@@ -1,0 +1,48 @@
+"""
+CRNN, Bartz et al. (2017) "Language identification using deep convolutional
+recurrent neural networks". (reference: lidbox/models/crnn.py)
+
+Note the reference default output activation is plain softmax, not
+log_softmax (reference crnn.py:24).
+"""
+from typing import Optional
+
+import flax.linen as nn
+import jax
+
+from .layers import BidirectionalRNN, batch_norm
+from .model_api import Model
+
+
+class CRNN(nn.Module):
+    num_outputs: int
+    output_activation: str = "softmax"
+    weight_decay: float = 0.001  # applied by the optimizer as decoupled L2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,
+                 output: str = "logits"):
+        # [B, T, F] -> image [B, F, T, 1] (freq bins first, reference crnn.py:27-29)
+        img = x.transpose(0, 2, 1)[..., None]
+        for i, (f, k) in enumerate(zip((16, 32, 64, 128, 256), (7, 5, 3, 3, 3)), start=1):
+            img = nn.relu(nn.Conv(f, (k, k), padding="SAME", name=f"conv_{i}")(img))
+            img = batch_norm(train, name=f"conv_{i}_bn")(img)
+            img = nn.max_pool(img, (2, 2), strides=(2, 2))
+        # [B, F', T', C] -> timesteps first, flatten channels (crnn.py:43-46)
+        b, fr, t, c = img.shape
+        seq = img.transpose(0, 2, 1, 3).reshape(b, t, fr * c)
+        x = BidirectionalRNN(256, return_sequences=False, name="blstm")(seq)
+        if output == "embedding":
+            return x
+        x = nn.Dense(self.num_outputs, name="output")(x)
+        if self.output_activation:
+            x = getattr(nn, self.output_activation)(x)
+        return x
+
+
+def create(input_shape, num_outputs, output_activation="softmax", weight_decay=0.001):
+    return Model(
+        module=CRNN(num_outputs=num_outputs, output_activation=output_activation,
+                    weight_decay=weight_decay),
+        input_shape=tuple(input_shape),
+        name="CRNN")

@@ -1,0 +1,173 @@
+"""
+Shared Flax layers for the lidbox_tpu model zoo.
+
+TPU-first notes: every layer keeps static shapes, and the time-pooling
+layers take an optional boolean frame ``mask`` so padded buckets reproduce
+variable-length semantics exactly (masked statistics) — the reference relied
+on ragged per-utterance tensors instead (SURVEY.md §5).
+"""
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Assuming spectral features [batch, time, channels]
+# (reference: lidbox/models/xvector.py:20-22).
+TIME_AXIS = 1
+STDDEV_SQRT_MIN_CLIP = 1e-10
+
+# Keras-compatible BatchNorm defaults (momentum 0.99, eps 1e-3), so layer
+# semantics match the reference architectures built on tf.keras.
+BN_MOMENTUM = 0.99
+BN_EPSILON = 1e-3
+
+
+def batch_norm(train: bool, name: str = None):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPSILON, name=name)
+
+
+class GlobalMeanStddevPooling1D(nn.Module):
+    """Concat of mean and stddev over the time axis, with the reference's
+    variance clip at 1e-10 (reference: lidbox/models/xvector.py:25-35).
+
+    With a mask, statistics run over valid frames only.
+    """
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        if mask is None:
+            means = jnp.mean(x, axis=TIME_AXIS, keepdims=True)
+            variances = jnp.mean(jnp.square(x - means), axis=TIME_AXIS)
+            means = jnp.squeeze(means, TIME_AXIS)
+        else:
+            m = mask[..., None].astype(x.dtype)                      # [B, T, 1]
+            count = jnp.maximum(jnp.sum(m, axis=TIME_AXIS), 1.0)     # [B, 1]
+            means = jnp.sum(x * m, axis=TIME_AXIS) / count
+            deltas = (x - means[:, None, :]) * m
+            variances = jnp.sum(jnp.square(deltas), axis=TIME_AXIS) / count
+        stddevs = jnp.sqrt(jnp.clip(variances, STDDEV_SQRT_MIN_CLIP, None))
+        return jnp.concatenate([means, stddevs], axis=-1)
+
+
+def global_avg_pool_1d(x, mask: Optional[jax.Array] = None):
+    """Masked GlobalAveragePooling1D over the time axis."""
+    if mask is None:
+        return jnp.mean(x, axis=TIME_AXIS)
+    m = mask[..., None].astype(x.dtype)
+    count = jnp.maximum(jnp.sum(m, axis=TIME_AXIS), 1.0)
+    return jnp.sum(x * m, axis=TIME_AXIS) / count
+
+
+class FrameLayer(nn.Module):
+    """Causal 1D convolution "frame layer" of the x-vector TDNN stack
+    (reference: lidbox/models/xvector.py:38-39)."""
+    filters: int
+    kernel_size: int
+    strides: int
+    padding: str = "CAUSAL"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.filters, (self.kernel_size,), strides=(self.strides,),
+                    padding=self.padding, name="conv")(x)
+        if self.activation:
+            x = getattr(nn, self.activation)(x)
+        return x
+
+
+class SpatialDropout1D(nn.Module):
+    """Channel dropout: drops whole feature channels across all time steps
+    (Keras SpatialDropout1D, used via channel_dropout_rate options,
+    reference: lidbox/models/xvector.py:50-51)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.Dropout(self.rate, broadcast_dims=(TIME_AXIS,),
+                          deterministic=not train)(x)
+
+
+class GaussianNoise(nn.Module):
+    """Additive zero-mean Gaussian noise, active only in training
+    (Keras GaussianNoise; reference: lidbox/models/clstm.py:48)."""
+    stddev: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.stddev == 0:
+            return x
+        rng = self.make_rng("noise")
+        return x + self.stddev * jax.random.normal(rng, x.shape, x.dtype)
+
+
+class FrequencyAttention(nn.Module):
+    """Frequency attention over d_f bins (Miao et al., Interspeech 2019;
+    reference: lidbox/models/clstm.py:31-42): softmax bin weights from two
+    bias-free dense layers, applied multiplicatively to channel groups."""
+    d_a: int = 64
+    d_f: int = 16
+
+    @nn.compact
+    def __call__(self, H):
+        d_h = H.shape[-1]
+        assert d_h % self.d_f == 0, (
+            f"channels ({d_h}) must divide evenly into d_f={self.d_f} bins")
+        x = nn.Dense(self.d_a, use_bias=False, name="Wf_1")(H)
+        x = nn.relu(x)
+        F_A = nn.softmax(nn.Dense(self.d_f, use_bias=False, name="Wf_2")(x))
+        B, T = H.shape[0], H.shape[1]
+        H_bins = H.reshape(B, T, self.d_f, d_h // self.d_f)
+        H_bins = F_A[..., None] * H_bins
+        return H_bins.reshape(B, T, d_h)
+
+
+def l2_normalize(x, axis=-1, epsilon=1e-12):
+    """tf.math.l2_normalize semantics: x / max(||x||, sqrt(eps))."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, epsilon))
+
+
+class LSTMLayer(nn.Module):
+    """Unidirectional LSTM over [B, T, F] via nn.RNN (lax.scan under jit)."""
+    units: int
+    return_sequences: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.RNN(nn.OptimizedLSTMCell(self.units), name="rnn")(x)
+        return y if self.return_sequences else y[:, -1]
+
+
+class BidirectionalRNN(nn.Module):
+    """Bidirectional LSTM/GRU with concat merge (Keras Bidirectional)."""
+    units: int
+    cell: str = "lstm"                 # "lstm" | "gru"
+    return_sequences: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cell_cls = nn.OptimizedLSTMCell if self.cell == "lstm" else nn.GRUCell
+        yf = nn.RNN(cell_cls(self.units), name="forward")(x)
+        yb = nn.RNN(cell_cls(self.units), reverse=True, keep_order=True,
+                    name="backward")(x)
+        if self.return_sequences:
+            return jnp.concatenate([yf, yb], axis=-1)
+        # Keras Bidirectional(return_sequences=False): forward final step
+        # concat backward final step (which sits at index 0 with keep_order).
+        return jnp.concatenate([yf[:, -1], yb[:, 0]], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    """Dense + BN + relu + dropout (reference: lidbox/models/multilevel_attention.py:47-66)."""
+    units: int
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.units, name="fc")(x)
+        x = batch_norm(train, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(x)

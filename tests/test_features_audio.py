@@ -1,0 +1,316 @@
+"""
+DSP parity tests: lidbox_tpu.features.audio vs tf.signal / scipy oracles
+(test strategy per SURVEY.md §4; reference: tests/test_features_audio.py).
+"""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import tensorflow as tf
+
+from lidbox_tpu import testutil
+from lidbox_tpu.features import audio, mel_ops
+from lidbox_tpu.features import io as audio_io
+
+tf.config.set_visible_devices([], "GPU")
+
+RATE = 16000
+
+
+def _signals(batch=4, dur=2.0):
+    sigs = [testutil.noisy_sinewave(100 * (i + 1), RATE, 0.1, dur, seed=i)
+            for i in range(batch)]
+    return np.stack(sigs)
+
+
+class TestScalars:
+    def test_dbfs_to_linear(self):
+        for db in (-25.0, -3.0, 0.0, 6.0):
+            np.testing.assert_allclose(
+                np.asarray(audio.dBFS_to_linear(db)), 10 ** (db / 20), rtol=1e-5)
+
+    def test_ms_to_frames(self):
+        assert audio.ms_to_frames(16000, 25) == 400
+        assert audio.ms_to_frames(16000, 10) == 160
+        assert audio.ms_to_frames(8000, 25) == 200
+
+    def test_log10(self):
+        x = np.abs(np.random.default_rng(0).normal(1, 10, 100)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(audio.log10(jnp.asarray(x))),
+                                   np.log10(x), rtol=1e-5, atol=1e-6)
+
+    def test_fft_frequencies_vs_tf_linspace(self):
+        ours = np.asarray(audio.fft_frequencies(16000, 512))
+        ref = np.linspace(0.0, 8000.0, 257)
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+class TestFraming:
+    @pytest.mark.parametrize("frame_length,frame_step", [(400, 160), (160, 160), (512, 100)])
+    def test_frame_matches_tf(self, frame_length, frame_step):
+        x = _signals(3, 1.0)
+        ours = np.asarray(audio.frame(jnp.asarray(x), frame_length, frame_step, axis=-1))
+        ref = tf.signal.frame(x, frame_length, frame_step).numpy()
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_frame_pad_end(self):
+        x = np.arange(10, dtype=np.float32)
+        ours = np.asarray(audio.frame(jnp.asarray(x), 4, 3, axis=0, pad_end=True))
+        ref = tf.signal.frame(x, 4, 3, pad_end=True).numpy()
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_hann_window_matches_tf(self):
+        for n in (400, 512, 401):
+            np.testing.assert_allclose(
+                np.asarray(audio.hann_window(n)),
+                tf.signal.hann_window(n).numpy(), atol=1e-6)
+
+    def test_blackman_window(self):
+        w = np.asarray(audio.blackman_window(400))
+        assert w.shape == (400,)
+        assert np.all(np.isfinite(w))
+        np.testing.assert_allclose(w[0], 0.0, atol=1e-7)
+
+
+class TestSpectrograms:
+    @pytest.mark.parametrize("power", [1.0, 2.0])
+    def test_spectrograms_match_tf_signal(self, power):
+        x = _signals()
+        ours = np.asarray(audio.spectrograms(jnp.asarray(x), RATE, power=power))
+        S = tf.signal.stft(x, 400, 160, fft_length=512)
+        ref = np.power(np.abs(S.numpy()), power)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_matmul_stft_matches_fft(self):
+        x = _signals()
+        fft = np.asarray(audio.spectrograms(jnp.asarray(x), RATE, method="fft"))
+        mm = np.asarray(audio.spectrograms(jnp.asarray(x), RATE, method="matmul"))
+        np.testing.assert_allclose(mm, fft, rtol=1e-3, atol=1e-3)
+
+    def test_mel_weight_matrix_matches_reference(self):
+        """Golden parity with the reference's vendored mel construction
+        (loaded directly from /root/reference/lidbox/features/mel_ops.py)."""
+        ref_path = "/root/reference/lidbox/features/mel_ops.py"
+        if not os.path.exists(ref_path):
+            pytest.skip("reference tree unavailable")
+        spec = importlib.util.spec_from_file_location("ref_mel_ops", ref_path)
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+        for kwargs in (
+                dict(num_mel_bins=40, num_spectrogram_bins=257, sample_rate=16000,
+                     lower_edge_hertz=20.0, upper_edge_hertz=7000.0),
+                dict(num_mel_bins=64, num_spectrogram_bins=257, sample_rate=16000,
+                     lower_edge_hertz=0.0, upper_edge_hertz=8000.0),
+                dict(num_mel_bins=20, num_spectrogram_bins=129, sample_rate=8000,
+                     lower_edge_hertz=125.0, upper_edge_hertz=3800.0)):
+            ours = mel_ops.linear_to_mel_weight_matrix(**kwargs)
+            ref = ref_mod.linear_to_mel_weight_matrix(**kwargs).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_logmel_pipeline_finite_and_shaped(self):
+        x = _signals()
+        S = audio.spectrograms(jnp.asarray(x), RATE)
+        M = audio.linear_to_mel(S, RATE, num_mel_bins=64)
+        logmel = jnp.log(M + 1e-6)
+        out = np.asarray(logmel)
+        assert out.shape == (4, 1 + (x.shape[1] - 400) // 160, 64)
+        assert np.all(np.isfinite(out))
+
+    def test_mfcc_matches_tf_signal(self):
+        x = _signals()
+        S = tf.math.square(tf.math.abs(tf.signal.stft(x, 400, 160, fft_length=512)))
+        mel_w = tf.signal.linear_to_mel_weight_matrix(40, 257, RATE, 20.0, 7000.0)
+        logmel = tf.math.log(tf.tensordot(S, mel_w, 1) + 1e-6)
+        ref = tf.signal.mfccs_from_log_mel_spectrograms(logmel).numpy()[..., 1:13]
+        ours = np.asarray(audio.mfcc(jnp.asarray(logmel.numpy()), 1, 13))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_power_to_db(self):
+        x = _signals()
+        S = np.asarray(audio.spectrograms(jnp.asarray(x), RATE))
+        db = np.asarray(audio.power_to_db(jnp.asarray(S)))
+        # formula parity (reference lidbox/features/audio.py:167-174)
+        amin = 1e-10
+        expected = 20.0 * (np.log10(np.maximum(amin, S))
+                           - np.log10(np.maximum(amin, S.max())))
+        expected = np.maximum(expected, expected.max() - 80.0)
+        np.testing.assert_allclose(db, expected, rtol=1e-4, atol=1e-4)
+        assert db.max() <= 0.0 + 1e-6
+        assert db.min() >= db.max() - 80.0 - 1e-5
+
+    def test_drop_frequency_bins(self):
+        x = _signals()
+        S = audio.spectrograms(jnp.asarray(x), RATE)
+        out = audio.drop_frequency_bins(S, RATE, 512, 300.0, 4000.0)
+        freqs = np.linspace(0, 8000, 257)
+        keep = ((freqs >= 300) & (freqs <= 4000)).sum()
+        assert out.shape == S.shape[:2] + (keep,)
+
+
+class TestAugmentation:
+    def test_snr_mixer_matches_msnsd_numpy(self):
+        """Parity with the MS-SNSD mixer formula
+        (reference: lidbox/features/audio.py:100-121)."""
+        rng = np.random.default_rng(0)
+        clean = testutil.noisy_sinewave(200, RATE, 0.05, 1.0)
+        noise = rng.uniform(-0.5, 0.5, clean.size).astype(np.float32)
+        for snr in (-5.0, 0.0, 10.0, 20.0):
+            c, n, mixed = audio.snr_mixer(jnp.asarray(clean), jnp.asarray(noise), snr)
+            # numpy oracle
+            rmsclean = np.sqrt((clean.astype(np.float64) ** 2).mean())
+            cleann = clean * (10 ** (-25 / 20) / rmsclean)
+            rmsclean = np.sqrt((cleann ** 2).mean())
+            rmsnoise = np.sqrt((noise.astype(np.float64) ** 2).mean())
+            noisen = noise * (10 ** (-25 / 20) / rmsnoise)
+            rmsnoise = np.sqrt((noisen ** 2).mean())
+            scalar = np.sqrt(rmsclean / (10 ** (snr / 20)) / rmsnoise)
+            expected = cleann + scalar * noisen
+            np.testing.assert_allclose(np.asarray(mixed), expected, rtol=1e-4, atol=1e-5)
+            # achieved SNR is the requested one
+            achieved = 20 * np.log10(np.linalg.norm(np.asarray(c)) / np.linalg.norm(np.asarray(n)))
+            np.testing.assert_allclose(achieved, snr, atol=0.2)
+
+    def test_snr_mixer_batch_masked_matches_unbatched(self):
+        clean = testutil.noisy_sinewave(300, RATE, 0.05, 1.0)
+        noise = np.random.default_rng(1).uniform(-0.5, 0.5, clean.size).astype(np.float32)
+        _, _, ref = audio.snr_mixer(jnp.asarray(clean), jnp.asarray(noise), 10.0)
+        # pad into a longer bucket with a mask
+        pad = 5000
+        cp = np.pad(clean, (0, pad))[None, :]
+        np_ = np.pad(noise, (0, pad))[None, :]
+        mask = np.arange(clean.size + pad)[None, :] < clean.size
+        mixed = audio.snr_mixer_batch(jnp.asarray(cp), jnp.asarray(np_),
+                                      jnp.asarray([10.0]), jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(mixed)[0, :clean.size],
+                                   np.asarray(ref), rtol=1e-4, atol=1e-5)
+        assert np.all(np.asarray(mixed)[0, clean.size:] == 0)
+
+    def test_fir_filter_matches_scipy_lfilter(self):
+        import scipy.signal
+        rng = np.random.default_rng(2)
+        sig = rng.normal(0, 0.3, 4000).astype(np.float32)
+        fir = rng.normal(0, 1, 10).astype(np.float32)
+        ours = np.asarray(audio.fir_filter(jnp.asarray(sig), jnp.asarray(fir)))
+        ref = scipy.signal.lfilter(fir, 1.0, sig).astype(np.float32)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_random_gaussian_fir_filter_shape(self):
+        import jax
+        sig = jnp.asarray(testutil.noisy_sinewave(100, RATE, 0.1, 1.0))
+        out = audio.random_gaussian_fir_filter(jax.random.PRNGKey(0), sig, 10)
+        assert out.shape == sig.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestVAD:
+    def test_rle(self):
+        v = jnp.asarray([1, 1, 0, 0, 0, 1, 2, 2], jnp.int32)
+        pos, lengths, n = audio.run_length_encoding(v)
+        n = int(n)
+        assert n == 4
+        np.testing.assert_array_equal(np.asarray(pos)[:n], [0, 2, 5, 6])
+        np.testing.assert_array_equal(np.asarray(lengths)[:n], [2, 3, 1, 2])
+
+    def test_invert_too_short_consecutive_false(self):
+        mask = jnp.asarray([True, False, False, True, False, False, False, True])
+        out = np.asarray(audio.invert_too_short_consecutive_false(mask, 3))
+        np.testing.assert_array_equal(out, [True, True, True, True, False, False, False, True])
+        out0 = np.asarray(audio.invert_too_short_consecutive_false(mask, 0))
+        np.testing.assert_array_equal(out0, np.asarray(mask))
+
+    def test_vad_pure_tone_is_speech(self):
+        sig = testutil.sinewave(200, RATE, 1.0)
+        vad = np.asarray(audio.framewise_rms_energy_vad_decisions(
+            jnp.asarray(sig), RATE, 10, strength=0.05))
+        assert vad.all()
+
+    def test_vad_zeros_are_not_speech(self):
+        sig = np.zeros(RATE, np.float32)
+        vad = np.asarray(audio.framewise_rms_energy_vad_decisions(
+            jnp.asarray(sig), RATE, 10, strength=0.05))
+        assert not vad.any()
+
+    def test_vad_silence_segment_detected(self):
+        tone = testutil.sinewave(200, RATE, 1.0)
+        sig = np.concatenate([tone, np.zeros(RATE, np.float32), tone])
+        vad = np.asarray(audio.framewise_rms_energy_vad_decisions(
+            jnp.asarray(sig), RATE, 10, strength=0.1))
+        assert vad[:100].all()
+        assert not vad[100:200].any()
+        assert vad[200:].all()
+
+    def test_vad_batch_matches_unbatched(self):
+        tone = testutil.sinewave(200, RATE, 1.0)
+        sig = np.concatenate([tone, np.zeros(RATE // 2, np.float32), tone])
+        single = np.asarray(audio.framewise_rms_energy_vad_decisions(
+            jnp.asarray(sig), RATE, 10, strength=0.1))
+        padded = np.pad(sig, (0, 3000))[None, :]
+        batched = np.asarray(audio.framewise_rms_energy_vad_decisions_batch(
+            jnp.asarray(padded), jnp.asarray([sig.size]), RATE, 10, strength=0.1))
+        np.testing.assert_array_equal(batched[0, :single.size], single)
+        assert not batched[0, single.size:].any()
+
+    def test_remove_silence(self):
+        tone = testutil.sinewave(200, RATE, 1.0)
+        sig = np.concatenate([tone, np.zeros(RATE, np.float32), tone])
+        trimmed, num_valid = audio.remove_silence(jnp.asarray(sig), RATE,
+                                                  min_non_speech_ms=0)
+        num_valid = int(num_valid)
+        assert num_valid == 2 * tone.size
+        voiced = np.asarray(trimmed)[:num_valid]
+        assert np.abs(voiced).min() >= 0.0
+        assert np.all(np.asarray(trimmed)[num_valid:] == 0)
+        # voiced content is the two tones concatenated
+        np.testing.assert_allclose(voiced, np.concatenate([tone, tone]), atol=1e-6)
+
+
+class TestIO:
+    def test_wav_round_trip(self, tmp_path):
+        sig = testutil.noisy_sinewave(250, RATE, 0.1, 0.5)
+        p = tmp_path / "x.wav"
+        audio_io.write_mono_wav(p, sig, RATE)
+        back, rate = audio_io.read_wav(p)
+        assert rate == RATE
+        np.testing.assert_allclose(back, sig, atol=1.0 / 32000)
+
+    def test_wav_matches_tf_decode(self, tmp_path):
+        sig = testutil.noisy_sinewave(120, RATE, 0.2, 0.3)
+        p = tmp_path / "x.wav"
+        audio_io.write_mono_wav(p, sig, RATE)
+        ref = tf.audio.decode_wav(tf.io.read_file(str(p)))
+        ours, rate = audio_io.read_wav(p)
+        assert rate == int(ref.sample_rate)
+        np.testing.assert_allclose(ours, ref.audio.numpy()[:, 0], atol=1e-6)
+
+    def test_wav_header_is_valid(self, tmp_path):
+        sig = testutil.sinewave(100, RATE, 0.1)
+        p = tmp_path / "ok.wav"
+        audio_io.write_mono_wav(p, sig, RATE)
+        assert audio_io.wav_header_is_valid(p)
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFjunkjunkjunk")
+        assert not audio_io.wav_header_is_valid(bad)
+        notwav = tmp_path / "not.wav"
+        notwav.write_bytes(b"\x00" * 100)
+        assert not audio_io.wav_header_is_valid(notwav)
+
+    def test_pcm_data_header(self):
+        sig = testutil.sinewave(100, RATE, 0.1)
+        header, body = audio_io.wav_to_pcm_data(sig, RATE)
+        assert len(header) == 44
+        assert len(body) == 2 * sig.size
+        assert header[:4] == b"RIFF"
+
+    def test_resample(self):
+        sig = testutil.sinewave(100, RATE, 0.5)
+        out, rate = audio_io.resample(sig, RATE, 8000)
+        assert rate == 8000
+        assert out.size == sig.size // 2
+
+    def test_peak_normalize(self):
+        sig = 0.1 * testutil.sinewave(100, RATE, 0.25)
+        out = np.asarray(audio.peak_normalize(jnp.asarray(sig), dBFS=-3.0))
+        np.testing.assert_allclose(np.abs(out).max(), 10 ** (-3 / 20), rtol=1e-5)
