@@ -1,0 +1,307 @@
+"""
+Host-side streaming dataset: the execution substrate for the step pipeline.
+
+The reference builds a tf.data graph of dict-elements
+(reference: lidbox/data/steps.py). The TPU-native split is different
+(SURVEY.md §7): host Python threads handle IO-bound work (decode, chunk
+bookkeeping, shuffling, caching), while all numerical feature work is
+batched and executed as jit-compiled XLA programs on the accelerator via
+``lidbox_tpu.data.device_pipeline``. This module provides the host half: a
+lazy, replayable stream of ``dict[str, np.ndarray | scalar]`` elements.
+
+Every transformation returns a new Dataset; iteration re-runs the whole
+chain (like tf.data, datasets are factories, not exhausted iterators).
+"""
+import collections
+import itertools
+import pickle
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from lidbox_tpu import RANDOM_SEED, get_logger
+
+logger = get_logger("data")
+
+
+class Dataset:
+    """A replayable stream of element dicts."""
+
+    def __init__(self, gen_factory):
+        self._gen_factory = gen_factory
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_elements(elements):
+        elements = list(elements)
+        return Dataset(lambda: iter(elements))
+
+    @staticmethod
+    def from_dict_of_lists(init_data):
+        """Columnar dict {key: [v0, v1, ...]} -> row elements, the analogue
+        of Dataset.from_tensor_slices on the metadata dict
+        (reference: lidbox/data/steps.py:776-800)."""
+        keys = list(init_data.keys())
+        n = len(init_data[keys[0]])
+        for k in keys:
+            assert len(init_data[k]) == n, f"ragged init_data column {k}"
+
+        def gen():
+            for i in range(n):
+                yield {k: init_data[k][i] for k in keys}
+        return Dataset(gen)
+
+    # -- transformations ----------------------------------------------------
+
+    def map(self, fn, num_parallel_calls=None):
+        """Element-wise transform; with ``num_parallel_calls`` the function
+        runs on a thread pool with ordered results (the host analogue of
+        tf.data's parallel map)."""
+        if num_parallel_calls in (None, 0, 1):
+            def gen():
+                for x in self._gen_factory():
+                    yield fn(x)
+            return Dataset(gen)
+
+        def gen_parallel():
+            with ThreadPoolExecutor(max_workers=num_parallel_calls) as pool:
+                window = collections.deque()
+                it = self._gen_factory()
+                try:
+                    for x in itertools.islice(it, 2 * num_parallel_calls):
+                        window.append(pool.submit(fn, x))
+                    for x in it:
+                        yield window.popleft().result()
+                        window.append(pool.submit(fn, x))
+                    while window:
+                        yield window.popleft().result()
+                finally:
+                    for f in window:
+                        f.cancel()
+        return Dataset(gen_parallel)
+
+    def filter(self, predicate):
+        def gen():
+            for x in self._gen_factory():
+                if predicate(x):
+                    yield x
+        return Dataset(gen)
+
+    def flat_map(self, fn):
+        """fn(element) -> iterable of elements, flattened in order (the host
+        analogue of the reference's interleave-based chunk flattening)."""
+        def gen():
+            for x in self._gen_factory():
+                yield from fn(x)
+        return Dataset(gen)
+
+    def shuffle(self, buffer_size, seed=None):
+        """Buffered shuffle (reference: lidbox/data/steps.py:997-999)."""
+        if buffer_size <= 0:
+            return self
+
+        def gen():
+            rng = np.random.default_rng(RANDOM_SEED if seed is None else seed)
+            buf = []
+            for x in self._gen_factory():
+                buf.append(x)
+                if len(buf) >= buffer_size:
+                    i = rng.integers(len(buf))
+                    buf[i], buf[-1] = buf[-1], buf[i]
+                    yield buf.pop()
+            rng.shuffle(buf)
+            yield from buf
+        return Dataset(gen)
+
+    def batch(self, batch_size, drop_remainder=False):
+        """Stack consecutive elements into batched dicts. All arrays under a
+        key must share a shape (use group_by_axis_length or padded_batch for
+        ragged data)."""
+        def gen():
+            batch = []
+            for x in self._gen_factory():
+                batch.append(x)
+                if len(batch) == batch_size:
+                    yield _stack_elements(batch)
+                    batch = []
+            if batch and not drop_remainder:
+                yield _stack_elements(batch)
+        return Dataset(gen)
+
+    def unbatch(self):
+        def gen():
+            for b in self._gen_factory():
+                n = _batch_len(b)
+                for i in range(n):
+                    yield {k: v[i] for k, v in b.items()}
+        return Dataset(gen)
+
+    def prefetch(self, buffer_size=2):
+        """Run the upstream pipeline in a background thread with a bounded
+        queue — the host analogue of tf.data prefetch, and the hook that
+        overlaps host decode with device compute."""
+        def gen():
+            q = queue.Queue(maxsize=max(1, buffer_size))
+            done = object()
+            err = []
+
+            def worker():
+                try:
+                    for x in self._gen_factory():
+                        q.put(x)
+                except BaseException as e:  # propagate into consumer
+                    err.append(e)
+                finally:
+                    q.put(done)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                x = q.get()
+                if x is done:
+                    if err:
+                        raise err[0]
+                    return
+                yield x
+        return Dataset(gen)
+
+    def take(self, n):
+        def gen():
+            yield from itertools.islice(self._gen_factory(), n)
+        return Dataset(gen)
+
+    def concatenate(self, other):
+        def gen():
+            yield from self._gen_factory()
+            yield from other._gen_factory()
+        return Dataset(gen)
+
+    def cache_to_memory(self):
+        store = []
+        loaded = threading.Event()
+        lock = threading.Lock()
+
+        def gen():
+            if loaded.is_set():
+                yield from store
+                return
+            with lock:
+                if loaded.is_set():
+                    yield from store
+                    return
+                tmp = []
+                for x in self._gen_factory():
+                    tmp.append(x)
+                    yield x
+                store.extend(tmp)
+                loaded.set()
+        return Dataset(gen)
+
+    def cache_to_file(self, path):
+        """Pickle-shard disk cache; first pass writes, later passes read
+        (the analogue of tf.data's .cache(filename),
+        reference: lidbox/data/steps.py:371-392)."""
+        import os
+        path = str(path)
+
+        def gen():
+            done_marker = path + ".done"
+            if os.path.exists(done_marker):
+                with open(path, "rb") as f:
+                    while True:
+                        try:
+                            yield pickle.load(f)
+                        except EOFError:
+                            return
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "wb") as f:
+                for x in self._gen_factory():
+                    pickle.dump(x, f, protocol=pickle.HIGHEST_PROTOCOL)
+                    yield x
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        return Dataset(gen)
+
+    @staticmethod
+    def sample_from_datasets(datasets, weights=None, seed=None):
+        """Randomly interleave elements from several datasets until all are
+        exhausted (reference augment merge: lidbox/data/steps.py:226-229)."""
+        def gen():
+            rng = np.random.default_rng(RANDOM_SEED if seed is None else seed)
+            iters = [d._gen_factory() for d in datasets]
+            w = np.asarray(weights if weights is not None else
+                           [1.0 / len(iters)] * len(iters), np.float64)
+            alive = list(range(len(iters)))
+            while alive:
+                probs = w[alive] / w[alive].sum()
+                pick = rng.choice(len(alive), p=probs)
+                try:
+                    yield next(iters[alive[pick]])
+                except StopIteration:
+                    alive.pop(pick)
+        return Dataset(gen)
+
+    # -- consumption --------------------------------------------------------
+
+    def __iter__(self):
+        return self._gen_factory()
+
+    def as_numpy_iterator(self):
+        return self._gen_factory()
+
+    def collect(self):
+        return list(self._gen_factory())
+
+
+def _stack_elements(elements):
+    keys = elements[0].keys()
+    out = {}
+    for k in keys:
+        vals = [e[k] for e in elements]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating, bool, np.bool_)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = list(vals)
+    return out
+
+
+def _batch_len(batch):
+    for v in batch.values():
+        try:
+            return len(v)
+        except TypeError:
+            continue
+    raise ValueError("cannot infer batch length")
+
+
+def padded_batch(elements, key, pad_axis=0, buckets=None):
+    """Stack ragged arrays under ``key`` by right-padding along ``pad_axis``
+    to the max (or next bucket) length; adds ``<key>_length`` with the
+    original lengths. TPU-first: a small fixed bucket set keeps the number
+    of distinct XLA program shapes bounded (SURVEY.md §7 hard parts)."""
+    lengths = np.asarray([e[key].shape[pad_axis] for e in elements], np.int32)
+    target = int(lengths.max())
+    if buckets is not None:
+        larger = [b for b in buckets if b >= target]
+        target = larger[0] if larger else int(buckets[-1])
+    out = []
+    for e in elements:
+        arr = e[key]
+        n = arr.shape[pad_axis]
+        if n > target:
+            sl = [slice(None)] * arr.ndim
+            sl[pad_axis] = slice(0, target)
+            arr = arr[tuple(sl)]
+        elif n < target:
+            widths = [(0, 0)] * arr.ndim
+            widths[pad_axis] = (0, target - n)
+            arr = np.pad(arr, widths)
+        out.append({**e, key: arr})
+    batch = _stack_elements(out)
+    batch[key + "_length"] = np.minimum(lengths, target)
+    return batch

@@ -121,8 +121,15 @@ def frame(signal, frame_length, frame_step, axis=-1, pad_end=False):
 
 def hann_window(window_length, periodic=True, dtype=jnp.float32):
     """Periodic Hann window, matching tf.signal.hann_window defaults used by
-    tf.signal.stft (reference STFT at lidbox/features/audio.py:226-230)."""
-    n = window_length if periodic else window_length - 1
+    tf.signal.stft (reference STFT at lidbox/features/audio.py:226-230).
+
+    tf.signal's raised-cosine denominator is
+    ``window_length + periodic * (1 - window_length % 2) - 1``: the length
+    for even periodic windows, length - 1 otherwise (the same convention as
+    the reference's blackman_window, lidbox/features/audio.py:206-209).
+    """
+    even = 1 - window_length % 2
+    n = window_length + int(periodic) * even - 1
     count = np.arange(window_length, dtype=np.float64)
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * count / n)
     return jnp.asarray(w, dtype)

@@ -52,6 +52,8 @@ class Model:
 
     @property
     def params(self):
+        if self.variables is None:
+            self.init()
         return self.variables["params"]
 
     def num_params(self):

@@ -1,0 +1,186 @@
+"""
+Config-driven model wrapper: the analogue of the reference's KerasWrapper
+(reference: lidbox/models/keras_utils.py:96-214), binding the Flax model
+zoo to the Trainer, optax optimizers, metric/callback factories, and the
+best-by-metric checkpoint layout.
+
+Cache layout parity: ``<cache_directory>/<model key>/<experiment name>``
+(reference: keras_utils.py:19-24), checkpoints under ``checkpoints/`` with
+metric-bearing filenames.
+
+Note: the reference called ``model_module.loader(...)`` although every
+model module defines ``create`` (reference keras_utils.py:134 —
+a v1-refactor inconsistency, SURVEY.md §2.5); this framework standardizes
+on ``create``.
+"""
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+import lidbox_tpu.models as model_registry
+from lidbox_tpu import get_logger
+from lidbox_tpu.losses import AngularProximity, get_loss, nll_loss
+from lidbox_tpu.metrics import AverageDetectionCost, SparseAverageDetectionCost
+from lidbox_tpu.train import checkpoint as ckpt_lib
+from lidbox_tpu.train.loop import (EarlyStopping, LearningRateDateLogger,
+                                   ModelCheckpoint, Trainer)
+from lidbox_tpu.train.optimizers import optimizer_from_config
+
+logger = get_logger("models.utils")
+
+
+def experiment_cache_from_config(config):
+    """(reference: keras_utils.py:19-24)"""
+    experiment_config = config.get("sklearn_experiment") or config["experiment"]
+    return os.path.join(experiment_config["cache_directory"],
+                        experiment_config["model"]["key"],
+                        experiment_config["name"])
+
+
+def best_model_checkpoint_from_config(config):
+    """(reference: keras_utils.py:27-38)"""
+    checkpoint_callbacks = [d for d in config["experiment"].get("callbacks", [])
+                            if d["cls"] == "ModelCheckpoint"]
+    kwargs = checkpoint_callbacks[0].get("kwargs", {}) if checkpoint_callbacks else {}
+    checkpoints_dir = os.path.join(experiment_cache_from_config(config),
+                                   "checkpoints")
+    return ckpt_lib.get_best_checkpoint_path(
+        checkpoints_dir, key=kwargs.get("monitor"), mode=kwargs.get("mode"))
+
+
+def init_metric_from_config(config):
+    """(reference: keras_utils.py:45-52)"""
+    cls = config["cls"]
+    if cls.endswith("AverageDetectionCost"):
+        lin = config["threshold_linspace"]
+        thresholds = np.linspace(lin["start"], lin["stop"], lin["num"]).tolist()
+        metric_cls = (SparseAverageDetectionCost if cls.startswith("Sparse")
+                      else AverageDetectionCost)
+        return metric_cls(config["N"], tuple(thresholds),
+                          **config.get("kwargs", {}))
+    raise KeyError(f"unknown metric class {cls!r}")
+
+
+def init_loss_from_config(config):
+    """Map reference Keras loss class names onto our loss registry."""
+    cls = config["cls"]
+    kwargs = dict(config.get("kwargs", {}))
+    if cls in ("SparseCategoricalCrossentropy", "sparse_categorical_crossentropy"):
+        # Zoo heads emit log-probabilities; NLL == sparse CCE on log-softmax.
+        return nll_loss
+    if cls in ("SparseAngularProximity", "AngularProximity"):
+        return AngularProximity(**kwargs)
+    return get_loss(cls, **kwargs)
+
+
+def init_callback_from_config(config, cache_dir):
+    """(reference: keras_utils.py:55-78)"""
+    cls = config["cls"]
+    kwargs = dict(config.get("kwargs", {}))
+    if cls == "ModelCheckpoint":
+        kwargs.setdefault("checkpoints_dir", os.path.join(cache_dir, "checkpoints"))
+        kwargs.pop("filepath", None)
+        return ModelCheckpoint(**{k: v for k, v in kwargs.items()
+                                  if k in ("checkpoints_dir", "monitor", "mode",
+                                           "save_best_only")})
+    if cls == "EarlyStopping":
+        return EarlyStopping(**{k: v for k, v in kwargs.items()
+                                if k in ("monitor", "mode", "patience", "min_delta")})
+    if cls == "LearningRateDateLogger":
+        return LearningRateDateLogger()
+    if cls == "TensorBoard":
+        # Handled by Trainer's MetricsLogger (JSONL + optional tf.summary).
+        return None
+    raise KeyError(f"unknown callback class {cls!r}")
+
+
+class ModelWrapper:
+    """Model + Trainer built from a config dict."""
+
+    def __init__(self, model, model_key, trainer):
+        self.model = model
+        self.model_key = model_key
+        self.trainer = trainer
+        self.initial_epoch = 0
+
+    @classmethod
+    def from_config(cls, config, mesh=None):
+        """(reference: keras_utils.py:124-149)"""
+        experiment = config["experiment"]
+        cache_dir = experiment_cache_from_config(config)
+        os.makedirs(cache_dir, exist_ok=True)
+        model_key = experiment["model"]["key"]
+        input_shape = tuple(experiment["input_shape"])
+        num_outputs = int(np.squeeze(experiment["output_shape"]))
+        model = model_registry.create(model_key, input_shape, num_outputs,
+                                      **experiment["model"].get("kwargs", {}))
+        optimizer, lr_schedule = optimizer_from_config(experiment["optimizer"])
+        loss = init_loss_from_config(experiment["loss"])
+        metrics = {}
+        for mconf in experiment.get("metrics", []):
+            metric = init_metric_from_config(mconf)
+            metrics[mconf.get("name", mconf["cls"])] = metric
+        callbacks = [c for c in
+                     (init_callback_from_config(c, cache_dir)
+                      for c in experiment.get("callbacks", []))
+                     if c is not None]
+        trainer = Trainer(model, optimizer, loss, metrics=metrics, mesh=mesh,
+                          callbacks=callbacks, lr_schedule=lr_schedule,
+                          log_dir=os.path.join(cache_dir, "logs"))
+        return cls(model, model_key, trainer)
+
+    @classmethod
+    def from_config_as_embedding_extractor_fn(cls, config):
+        """Restore the best checkpoint, freeze, and return a jitted
+        input -> embedding function (reference: keras_utils.py:151-174)."""
+        cache_dir = experiment_cache_from_config({"experiment": {
+            "cache_directory": config["cache_directory"],
+            "model": config["model"],
+            "name": config["experiment_name"]}})
+        model_key = config["model"]["key"]
+        input_shape = tuple(config["input_shape"])
+        num_outputs = int(np.squeeze(config["output_shape"]))
+        model = model_registry.create(model_key, input_shape, num_outputs,
+                                      **config["model"].get("kwargs", {}))
+        model.init()
+        best = ckpt_lib.get_best_checkpoint_path(
+            os.path.join(cache_dir, "checkpoints"),
+            key=config["best_checkpoint"].get("monitor"),
+            mode=config["best_checkpoint"].get("mode"))
+        if best is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {cache_dir}/checkpoints")
+        logger.info("Restoring extractor weights from %s", best)
+        raw = ckpt_lib.load_raw_checkpoint(best)
+        variables = dict(model.variables)
+        variables["params"] = serialization.from_state_dict(
+            variables["params"], raw["params"])
+        if raw.get("batch_stats") and "batch_stats" in variables:
+            variables["batch_stats"] = serialization.from_state_dict(
+                variables["batch_stats"], raw["batch_stats"])
+        extractor = model_registry.as_embedding_extractor(model_key,
+                                                          model.with_variables(variables))
+
+        @jax.jit
+        def extractor_fn(x):
+            return extractor.apply(extractor.variables, x, train=False,
+                                   output="embedding")
+        return extractor_fn
+
+    def fit(self, train_batches, validation_batches, **kwargs):
+        """(reference: keras_utils.py:191-203)"""
+        return self.trainer.fit(train_batches, validation_batches, **kwargs)
+
+    def count_params(self):
+        return self.model.num_params()
+
+    def __str__(self):
+        shape = tuple(d if d is not None else 16 for d in self.model.input_shape)
+        try:
+            return self.model.module.tabulate(
+                jax.random.PRNGKey(0), np.zeros((1,) + shape, np.float32),
+                train=False)
+        except Exception:
+            return f"{self.model_key}: {self.model.module}"

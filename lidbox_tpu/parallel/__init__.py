@@ -1,0 +1,77 @@
+"""
+Device mesh and sharding helpers: the SPMD layer of the framework.
+
+The reference had no distributed support at all — device placement was a
+per-step ``tf.device("/GPU")`` string (reference: lidbox/data/steps.py:
+115-122; SURVEY.md §2.8). The TPU-native replacement is single-program
+data parallelism over a ``jax.sharding.Mesh``: batches are sharded over the
+``data`` axis (ICI collectives inserted by XLA), parameters and metric
+state are replicated, gradients and C_avg counters all-reduce with psum.
+Multi-host slices extend the same program via ``jax.distributed``.
+
+No parameter sharding is warranted for this model family (the largest model
+is the x-vector at ~4-6M params, SURVEY.md §5), but ``mesh_sharding`` takes
+arbitrary PartitionSpecs so tensor-sharded layouts remain expressible.
+"""
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host initialization over DCN (jax.distributed). Safe no-op for
+    single-process runs."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def get_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):
+    """1-D data-parallel mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name=DATA_AXIS):
+    """Shard the leading (batch) axis over the mesh."""
+    return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def mesh_sharding(mesh, *axes):
+    return NamedSharding(mesh, PartitionSpec(*axes))
+
+
+def shard_batch(batch, mesh, axis_name=DATA_AXIS):
+    """Place a pytree of host arrays onto the mesh with the batch axis
+    sharded. Leading dims must divide the mesh size (use pad_batch_to
+    first)."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch_to(batch, batch_size):
+    """Right-pad every array's leading axis to ``batch_size``; returns
+    (padded_batch, valid_mask [batch_size])."""
+    def _pad(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        if n == batch_size:
+            return x
+        widths = [(0, batch_size - n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+    n_valid = next(iter(jax.tree_util.tree_leaves(batch))).shape[0]
+    mask = np.arange(batch_size) < n_valid
+    return jax.tree_util.tree_map(_pad, batch), mask

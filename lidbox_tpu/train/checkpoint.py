@@ -1,0 +1,94 @@
+"""
+Checkpointing with the reference's best-by-metric filename semantics.
+
+The reference stored Keras weights as
+``epoch{epoch:06d}__val_loss{val_loss:.12f}.hdf5`` and selected/resumed by
+parsing metric values back out of filenames
+(reference: lidbox/models/keras_utils.py:41-42, 58, 102-118, 187-203).
+Here checkpoints are msgpack-serialized pytrees (params, batch_stats,
+optimizer state) via flax.serialization with the same name scheme and
+``.ckpt`` suffix, so best-checkpoint selection and ``initial_epoch`` resume
+behave identically. Writes go through a temp file + rename so a crashed run
+never leaves a torn checkpoint (failure-recovery analogue, SURVEY.md §5).
+"""
+import os
+import tempfile
+
+import jax
+from flax import serialization
+
+from lidbox_tpu import get_logger
+
+logger = get_logger("train.checkpoint")
+
+CHECKPOINT_SUFFIX = ".ckpt"
+DEFAULT_FORMAT = "epoch{epoch:06d}__val_loss{val_loss:.12f}" + CHECKPOINT_SUFFIX
+
+
+def parse_checkpoint_value(path, key):
+    """Parse the value following ``key`` from a checkpoint filename
+    (reference: keras_utils.py:41-42)."""
+    return (os.path.basename(path).split(key)[-1]
+            .split("__")[0].split(CHECKPOINT_SUFFIX)[0])
+
+
+def get_best_checkpoint_path(checkpoints_dir, key=None, mode=None):
+    """Best checkpoint by parsed filename value: greatest epoch when key is
+    "epoch"/None, else min/max of the monitored metric
+    (reference: keras_utils.py:102-118)."""
+    if key is None:
+        key = "epoch"
+    if not os.path.isdir(checkpoints_dir):
+        return None
+    ckpts = [p.path for p in os.scandir(checkpoints_dir)
+             if p.is_file() and p.name.endswith(CHECKPOINT_SUFFIX)]
+    if not ckpts:
+        return None
+    if key == "epoch":
+        return max(ckpts, key=lambda p: int(parse_checkpoint_value(p, key)))
+    assert mode in ("min", "max"), f"mode must be min or max, got {mode}"
+    pick = min if mode == "min" else max
+    return pick(ckpts, key=lambda p: float(parse_checkpoint_value(p, key)))
+
+
+def save_checkpoint(checkpoints_dir, state, epoch, val_loss=0.0,
+                    fmt=DEFAULT_FORMAT):
+    """Serialize a pytree state atomically; returns the checkpoint path."""
+    os.makedirs(checkpoints_dir, exist_ok=True)
+    path = os.path.join(checkpoints_dir,
+                        fmt.format(epoch=epoch, val_loss=float(val_loss)))
+    state = jax.device_get(state)
+    data = serialization.to_bytes(state)
+    fd, tmp = tempfile.mkstemp(dir=checkpoints_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    logger.info("Saved checkpoint %s (%d bytes)", path, len(data))
+    return path
+
+
+def restore_checkpoint(path, target):
+    """Restore a pytree state serialized by save_checkpoint into the
+    structure of ``target``."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(target, data)
+
+
+def load_raw_checkpoint(path):
+    """Restore a checkpoint as a raw nested dict (no target structure
+    needed) — used to pull params/batch_stats out of a full TrainState
+    checkpoint without reconstructing the optimizer state."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def initial_epoch_from_path(path):
+    """Epoch to resume from, parsed out of the checkpoint name
+    (reference: keras_utils.py:187-189)."""
+    return int(parse_checkpoint_value(path, "epoch"))

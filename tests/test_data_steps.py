@@ -1,0 +1,322 @@
+"""
+Data pipeline tests: Dataset combinators, step registry, config compiler
+(reference had NO tests for lidbox/data — added per SURVEY.md §4 implication).
+"""
+import numpy as np
+import pytest
+
+from lidbox_tpu.data import Dataset, Step, VALID_STEP_FUNCTIONS, from_steps
+from lidbox_tpu.data import steps as steps_mod
+from lidbox_tpu.data.dataset import padded_batch
+from lidbox_tpu.features import io as audio_io
+from lidbox_tpu import testutil
+
+RATE = 16000
+
+
+@pytest.fixture()
+def meta(audio_fixtures):
+    ids = sorted(audio_fixtures)
+    return {
+        "id": ids,
+        "path": [str(audio_fixtures[i]) for i in ids],
+        "label": ["noise" if i == "noise" else
+                  ("low" if i in ("sine_100", "sine_200") else "high")
+                  for i in ids],
+    }
+
+
+LABELS = ["high", "low", "noise"]
+
+
+class TestDataset:
+    def test_map_filter_batch_unbatch(self):
+        ds = Dataset.from_elements([{"v": i} for i in range(10)])
+        out = (ds.map(lambda x: {"v": x["v"] * 2})
+                 .filter(lambda x: x["v"] % 4 == 0)
+                 .collect())
+        assert [x["v"] for x in out] == [0, 4, 8, 12, 16]
+        b = Dataset.from_elements([{"v": np.float32(i)} for i in range(5)]).batch(2)
+        batches = b.collect()
+        assert [len(np.atleast_1d(x["v"])) for x in batches] == [2, 2, 1]
+        flat = b.unbatch().collect()
+        assert [float(x["v"]) for x in flat] == [0, 1, 2, 3, 4]
+
+    def test_parallel_map_preserves_order(self):
+        ds = Dataset.from_elements([{"v": i} for i in range(100)])
+        out = ds.map(lambda x: {"v": x["v"] ** 2}, num_parallel_calls=8).collect()
+        assert [x["v"] for x in out] == [i ** 2 for i in range(100)]
+
+    def test_shuffle_is_deterministic_permutation(self):
+        ds = Dataset.from_elements([{"v": i} for i in range(50)])
+        a = [x["v"] for x in ds.shuffle(16, seed=1)]
+        b = [x["v"] for x in ds.shuffle(16, seed=1)]
+        c = [x["v"] for x in ds.shuffle(16, seed=2)]
+        assert a == b and sorted(a) == list(range(50)) and a != c
+
+    def test_prefetch_and_replayability(self):
+        ds = Dataset.from_elements([{"v": i} for i in range(10)]).prefetch(2)
+        assert [x["v"] for x in ds] == list(range(10))
+        assert [x["v"] for x in ds] == list(range(10))
+
+    def test_cache_to_file(self, tmp_path):
+        calls = []
+
+        def gen():
+            for i in range(5):
+                calls.append(i)
+                yield {"v": np.float32(i)}
+        ds = Dataset(gen).cache_to_file(str(tmp_path / "c.cache"))
+        first = [float(x["v"]) for x in ds]
+        second = [float(x["v"]) for x in ds]
+        assert first == second == [0, 1, 2, 3, 4]
+        assert len(calls) == 5  # second pass came from disk
+
+    def test_sample_from_datasets_exhausts_all(self):
+        a = Dataset.from_elements([{"v": i} for i in range(5)])
+        b = Dataset.from_elements([{"v": i} for i in range(100, 103)])
+        out = [x["v"] for x in Dataset.sample_from_datasets([a, b], seed=0)]
+        assert sorted(out) == [0, 1, 2, 3, 4, 100, 101, 102]
+
+    def test_padded_batch_with_buckets(self):
+        elems = [{"x": np.ones((n, 3), np.float32), "id": str(n)}
+                 for n in (5, 9, 12)]
+        batch = padded_batch(elems, "x", buckets=(8, 16))
+        assert batch["x"].shape == (3, 16, 3)
+        np.testing.assert_array_equal(batch["x_length"], [5, 9, 12])
+        assert batch["x"][0, 5:].sum() == 0
+
+
+class TestSteps:
+    def test_registry_has_all_reference_steps(self):
+        """Registry parity with reference lidbox/data/steps.py:1077-1111."""
+        expected = {
+            "append_predictions", "apply_filters", "apply_vad",
+            "augment_by_additive_noise", "augment_signals", "as_supervised",
+            "cache", "compute_rms_vad", "compute_webrtc_vad", "consume",
+            "consume_to_tensorboard", "create_input_chunks",
+            "create_signal_chunks", "drop_empty", "drop_invalid_wavs",
+            "extract_embeddings", "extract_features", "filter_keys_in_set",
+            "group_by_axis_length", "initialize", "lambda", "load_audio",
+            "load_kaldi_data", "normalize", "random_signal_fir_filtering",
+            "random_signal_speed_change", "reduce_stats", "remap_keys",
+            "repeat_too_short_signals", "shuffle", "show_all_elements",
+            "unstable_reduce_features_mean_variance", "write_to_kaldi_files"}
+        assert expected <= set(VALID_STEP_FUNCTIONS)
+        # plus the step the reference config emitted but never implemented
+        assert "convert_to_binary_classification" in VALID_STEP_FUNCTIONS
+
+    def test_initialize_and_load_audio(self, meta):
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {})])
+        elems = ds.collect()
+        assert len(elems) == 5
+        for x in elems:
+            assert x["signal"].shape == (3 * RATE,)
+            assert int(x["sample_rate"]) == RATE
+            assert x["target"] == LABELS.index(x["label"])
+
+    def test_drop_invalid_wavs(self, meta, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFjunk")
+        init = {k: list(v) + ([str(bad)] if k == "path" else ["bad"])
+                for k, v in meta.items()}
+        init["label"][-1] = "noise"
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": init}),
+                         Step("drop_invalid_wavs", {})])
+        assert len(ds.collect()) == 5
+
+    def test_apply_filters_min_signal_length(self, meta):
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {})])
+        short = ds.map(lambda x: dict(x, signal=x["signal"][:RATE // 2]))
+        kept = steps_mod.apply_filters(
+            short, {"min_signal_length_ms": 1000}).collect()
+        assert kept == []
+        kept = steps_mod.apply_filters(
+            short, {"min_signal_length_ms": 100}).collect()
+        assert len(kept) == 5
+
+    def test_vad_pipeline_trims_silence(self, meta):
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {})])
+        # splice silence into the middle of each signal
+        def add_silence(x):
+            sig = x["signal"]
+            return dict(x, signal=np.concatenate(
+                [sig[:RATE], np.zeros(RATE, np.float32), sig[RATE:2 * RATE]]))
+        spliced = ds.map(add_silence)
+        out = from_steps_tail(spliced, [
+            Step("compute_rms_vad", {"strength": 0.3, "vad_frame_length_ms": 10}),
+            Step("apply_vad", {}),
+            Step("drop_empty", {})])
+        for x in out:
+            assert x["signal"].size < 3 * RATE
+            assert "vad_is_speech" not in x
+
+    def test_create_signal_chunks_ids_and_durations(self, meta):
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {}),
+                         Step("create_signal_chunks",
+                              {"length_ms": 1000, "step_ms": 500})])
+        elems = ds.collect()
+        # 3 s signal, 1 s chunks with 0.5 s steps -> 5 chunks each
+        assert len(elems) == 5 * 5
+        assert all(x["signal"].size == RATE for x in elems)
+        first = [x for x in elems if x["id"].startswith("noise-")]
+        assert [x["id"] for x in first] == [f"noise-{i:06d}" for i in range(1, 6)]
+
+    def test_repeat_too_short_signals(self):
+        ds = Dataset.from_elements([
+            {"id": "a", "signal": np.ones(100, np.float32),
+             "sample_rate": np.int32(16000)}])
+        out = steps_mod.repeat_too_short_signals(ds, min_length_ms=100).collect()
+        assert out[0]["signal"].size >= 1600
+
+    def test_extract_features_equal_length_groups(self, meta):
+        config = {"type": "logmelspectrogram",
+                  "melspectrogram": {"num_mel_bins": 40},
+                  "group_by_input_length": {"max_batch_size": 4}}
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {}),
+                         Step("extract_features", {"config": config})])
+        elems = ds.collect()
+        assert len(elems) == 5
+        for x in elems:
+            assert x["input"].shape == (1 + (3 * RATE - 400) // 160, 40)
+            assert np.all(np.isfinite(x["input"]))
+            assert x["feature_type"] == "logmelspectrogram"
+
+    def test_extract_features_ragged_matches_equal(self, meta):
+        """Padded-bucket extraction slices back to exact per-utterance
+        features (parity between the two batching modes)."""
+        lengths = [RATE, 2 * RATE, RATE + 4321]
+        base = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                           Step("load_audio", {})]).take(3).collect()
+        ragged = [dict(x, signal=x["signal"][:n]) for x, n in zip(base, lengths)]
+        config = {"type": "logmelspectrogram", "melspectrogram": {"num_mel_bins": 40}}
+        out_ragged = steps_mod.extract_features(
+            Dataset.from_elements(ragged), config).collect()
+        for x in out_ragged:
+            single = steps_mod.extract_features(
+                Dataset.from_elements([x]),
+                {**config, "group_by_input_length": {"max_batch_size": 1}}).collect()[0]
+            np.testing.assert_allclose(x["input"], single["input"],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_normalize_cmvn(self):
+        rng = np.random.default_rng(0)
+        ds = Dataset.from_elements([
+            {"id": "a", "input": rng.normal(3, 2, (50, 8)).astype(np.float32)}])
+        out = steps_mod.normalize(ds, {"key": "input"}).collect()[0]
+        np.testing.assert_allclose(out["input"].mean(axis=0), 0, atol=1e-5)
+        np.testing.assert_allclose(out["input"].std(axis=0), 1, atol=1e-4)
+
+    def test_as_supervised_and_remap_and_filter_keys(self):
+        ds = Dataset.from_elements([
+            {"id": "a", "input": np.ones(3, np.float32), "target": np.int32(1),
+             "junk": 0}])
+        sup = steps_mod.as_supervised(ds).collect()
+        assert isinstance(sup[0], tuple) and sup[0][1] == 1
+        remapped = steps_mod.remap_keys(ds, {"junk": None, "input": "x"}).collect()[0]
+        assert set(remapped) == {"id", "x", "target"}
+        filtered = steps_mod.filter_keys_in_set(ds, ["id"]).collect()[0]
+        assert set(filtered) == {"id"}
+
+    def test_random_fir_and_speed_change_are_deterministic_per_id(self):
+        sig = testutil.sinewave(200, RATE, 0.5)
+        ds = Dataset.from_elements([
+            {"id": "utt1", "signal": sig, "sample_rate": np.int32(RATE)}])
+        a = steps_mod.random_signal_fir_filtering(ds, num_coefs=5).collect()[0]
+        b = steps_mod.random_signal_fir_filtering(ds, num_coefs=5).collect()[0]
+        np.testing.assert_array_equal(a["signal"], b["signal"])
+        c = steps_mod.random_signal_speed_change(ds, 0.9, 1.1).collect()[0]
+        d = steps_mod.random_signal_speed_change(ds, 0.9, 1.1).collect()[0]
+        assert c["signal"].size == d["signal"].size
+
+    def test_augment_by_additive_noise(self, tmp_path, audio_fixtures):
+        noise_dir = tmp_path / "musan"
+        noise_dir.mkdir()
+        (noise_dir / "id2label").write_text("n1 noise\n")
+        (noise_dir / "id2path").write_text(f"n1 {audio_fixtures['noise']}\n")
+        sig = testutil.sinewave(300, RATE, 1.0)
+        ds = Dataset.from_elements([
+            {"id": "utt1", "signal": sig, "sample_rate": np.int32(RATE)}])
+        out = steps_mod.augment_by_additive_noise(
+            ds, str(noise_dir), [("noise", 5, 15)]).collect()
+        assert len(out) == 1
+        assert out[0]["id"].startswith("augmented-utt1-noise-snr")
+        assert out[0]["signal"].shape == sig.shape
+
+    def test_reduce_stats(self, meta):
+        ds = from_steps([Step("initialize", {"labels": LABELS, "init_data": meta}),
+                         Step("load_audio", {})])
+        steps_mod.reduce_stats(ds, "num_elements")
+        assert steps_mod.reduce_stats.last_result == 5
+        steps_mod.reduce_stats(ds, "min_max_mean", key="signal")
+        res = steps_mod.reduce_stats.last_result
+        assert -1.0 <= res["min"] <= res["max"] <= 1.0
+
+    def test_unstable_mean_variance(self):
+        rng = np.random.default_rng(1)
+        feats = [rng.normal(2, 3, (30, 4)).astype(np.float32) for _ in range(6)]
+        ds = Dataset.from_elements([{"input": f} for f in feats])
+        n, means, variances = steps_mod.unstable_reduce_features_mean_variance(ds)
+        allf = np.concatenate(feats, axis=0)
+        assert n == allf.shape[0]
+        np.testing.assert_allclose(means[0], allf.mean(axis=0), rtol=1e-5)
+        np.testing.assert_allclose(variances[0], allf.var(axis=0, ddof=1), rtol=1e-4)
+
+    def test_convert_to_binary_classification(self):
+        ds = Dataset.from_elements([{"id": "a", "label": "fi"},
+                                    {"id": "b", "label": "sv"}])
+        out = steps_mod.convert_to_binary_classification(ds, "fi").collect()
+        assert [int(x["target"]) for x in out] == [1, 0]
+
+    def test_cache_step_and_validation(self, tmp_path):
+        import pandas as pd
+        ds = Dataset.from_elements([{"id": "a", "v": np.float32(1)}])
+        cached = steps_mod.cache(ds, directory=str(tmp_path), cache_key="k")
+        assert len(cached.collect()) == 1
+        df = pd.DataFrame({"a": [1]})
+        steps_mod.validate_cache(df, str(tmp_path), "k")
+        steps_mod.validate_cache(df, str(tmp_path), "k")  # passes again
+        with pytest.raises(ValueError):
+            steps_mod.validate_cache(pd.DataFrame({"b": [1]}), str(tmp_path), "k")
+
+
+def from_steps_tail(ds, steps):
+    for step in steps:
+        ds = VALID_STEP_FUNCTIONS[step.key](ds, **step.kwargs)
+    return ds
+
+
+class TestPipelineCompiler:
+    def test_create_dataset_end_to_end(self, meta, tmp_path):
+        from lidbox_tpu.data.pipelines import create_dataset
+        config = {
+            "post_initialize": {"check_wav_headers": True,
+                                "num_prefetched_signals": 4},
+            "pre_process": {
+                "filters": {"min_signal_length_ms": 100},
+                "rms_vad": {"strength": 0.1, "vad_frame_length_ms": 10,
+                            "min_non_speech_length_ms": 300},
+                "chunks": {"length_ms": 1000, "step_ms": 1000},
+            },
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 40},
+                         "group_by_input_length": {"max_batch_size": 8}},
+            "post_process": {"normalize": {"key": "input"}},
+            "experiment": {"cache_directory": str(tmp_path), "name": "t",
+                           "model": {"key": "xvector"},
+                           "data": {"train": {"split": "train",
+                                              "shuffle_buffer_size": 8}}},
+        }
+        steps = create_dataset("train", LABELS, meta, config)
+        assert steps[0].key == "initialize"
+        ds = from_steps(steps)
+        elems = ds.collect()
+        assert len(elems) >= 10
+        for x in elems:
+            assert x["input"].shape[1] == 40
+            assert np.all(np.isfinite(x["input"]))

