@@ -1,0 +1,128 @@
+"""
+Benchmark: waveform -> log-Mel -> x-vector forward, utterances/sec/chip,
+plus feature-extraction real-time factor (RTFx).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is feature-RTFx / 10000: the reference publishes no benchmark
+numbers (BASELINE.md — "published": {}), so the denominator is 1000x the
+BASELINE.json north-star target of >= 10x real-time feature extraction per
+chip; vs_baseline > 1 means four orders of magnitude past the reference
+target.
+
+Runs on whatever JAX platform the ambient environment provides (the real
+TPU chip under the driver; CPU if forced).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+SECONDS = 3.0
+BATCH = 256
+MODEL_BATCH = 32
+NUM_MEL = 64
+NUM_LANGS = 8
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def _time(step_fn, carry0, n1=5, n2=25):
+    """Per-call seconds of ``carry = step_fn(carry)``.
+
+    Measurement notes for the axon-tunneled TPU: dispatch is fully async
+    and ``block_until_ready`` returns before remote execution completes, so
+    (a) each call is chained through a scalar carry to force sequential
+    execution on device, (b) completion is observed by reading one scalar
+    back to the host, and (c) the tunnel round-trip (30-300 ms) is
+    cancelled by delta timing two runs of different lengths:
+    per-call = (T(n2) - T(n1)) / (n2 - n1).
+    """
+    import numpy as np
+
+    def run(iters):
+        carry = carry0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step_fn(carry)
+        np.asarray(carry)  # host readback forces completion
+        return time.perf_counter() - t0
+
+    run(2)  # warmup / compile
+    t1 = run(n1)
+    t2 = run(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import lidbox_tpu.features as F
+    import lidbox_tpu.models as models
+
+    dev = jax.devices()[0]
+    log(f"benchmarking on {dev} ({jax.default_backend()})")
+    rng = np.random.default_rng(0)
+    samples = int(SAMPLE_RATE * SECONDS)
+
+    # --- feature extraction RTFx (waveform -> log-Mel), big batch ---------
+    signals = jnp.asarray(rng.normal(0, 0.1, (BATCH, samples)).astype(np.float32))
+
+    results = {}
+    for method in ("matmul", "fft"):
+        @jax.jit
+        def feat_step(carry, m=method):
+            feats = F.extract_features(
+                signals + carry * 1e-20, SAMPLE_RATE,
+                feature_type="logmelspectrogram",
+                melspectrogram={"num_mel_bins": NUM_MEL}, stft_method=m)
+            return jnp.mean(feats)  # scalar carry chains the next call
+        try:
+            dt = _time(feat_step, jnp.float32(0.0))
+            rtfx = BATCH * SECONDS / dt
+            results[method] = rtfx
+            log(f"  features[{method}]: {dt * 1e3:.3f} ms/batch{BATCH} "
+                f"-> RTFx {rtfx:,.0f}")
+        except Exception as e:
+            log(f"  features[{method}] failed: {type(e).__name__}: {e}")
+    rtfx = max(results.values())
+    best_method = max(results, key=results.get)
+
+    # --- end-to-end: waveform -> log-Mel -> x-vector forward --------------
+    frames = 1 + (samples - 400) // 160
+    model = models.create("xvector", (frames, NUM_MEL), NUM_LANGS)
+    model.init(jax.random.PRNGKey(0))
+    variables = model.variables
+
+    model_signals = signals[:MODEL_BATCH]
+
+    @jax.jit
+    def e2e_step(carry):
+        feats = F.extract_features(model_signals + carry * 1e-20, SAMPLE_RATE,
+                                   feature_type="logmelspectrogram",
+                                   melspectrogram={"num_mel_bins": NUM_MEL},
+                                   stft_method=best_method)
+        out = model.module.apply(variables, feats, train=False)
+        return jnp.mean(out)
+
+    dt = _time(e2e_step, jnp.float32(0.0))
+    utt_per_sec = MODEL_BATCH / dt
+    log(f"  e2e[b{MODEL_BATCH}, {SECONDS}s, {best_method}]: {dt * 1e3:.3f} ms/batch "
+        f"-> {utt_per_sec:,.1f} utt/s ({utt_per_sec * SECONDS:,.0f}x realtime)")
+
+    print(json.dumps({
+        "metric": f"utterances/sec/chip waveform->logMel->xvector "
+                  f"(b{MODEL_BATCH}, {SECONDS:.0f}s utts, {best_method} STFT)",
+        "value": round(utt_per_sec, 2),
+        "unit": "utt/s",
+        "vs_baseline": round(rtfx / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
