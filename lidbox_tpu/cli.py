@@ -1,0 +1,206 @@
+"""
+Command line interface.
+
+The reference's CLI entry point imported a ``lidbox.cli`` module that had
+been removed from the tree, leaving ``python -m lidbox`` broken
+(reference: lidbox/__main__.py:9,21 — SURVEY.md §1 layer 10). This module
+restores a working CLI over the same config-dict contract:
+
+    python -m lidbox_tpu train config.yaml
+    python -m lidbox_tpu evaluate config.yaml
+    python -m lidbox_tpu extract-embeddings config.yaml out.npz
+    python -m lidbox_tpu utils --validate-config config.yaml
+
+Configs are YAML or JSON. Metadata comes from a ``metadata`` section:
+either ``csv: <path>`` (columns: id, path, label, split[, duration]) or
+``common_voice: {corpus_dir, langs}``.
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from lidbox_tpu import get_logger
+
+logger = get_logger("cli")
+
+REQUIRED_CONFIG_KEYS = ("metadata",)
+
+
+def load_config(path):
+    with open(path, encoding="utf-8") as f:
+        if str(path).endswith((".yaml", ".yml")):
+            import yaml
+            return yaml.safe_load(f)
+        return json.load(f)
+
+
+def validate_config(config):
+    problems = []
+    for key in REQUIRED_CONFIG_KEYS:
+        if key not in config:
+            problems.append(f"missing required config section '{key}'")
+    if "experiment" in config:
+        for key in ("cache_directory", "name", "model", "input_shape",
+                    "output_shape", "optimizer", "loss"):
+            if key not in config["experiment"]:
+                problems.append(f"missing experiment key '{key}'")
+    meta = config.get("metadata", {})
+    if meta and not ("csv" in meta or "common_voice" in meta):
+        problems.append("metadata section must define 'csv' or 'common_voice'")
+    return problems
+
+
+def load_metadata(config):
+    import pandas as pd
+    meta_conf = config["metadata"]
+    if "csv" in meta_conf:
+        meta = pd.read_csv(meta_conf["csv"]).set_index("id", drop=True)
+    elif "common_voice" in meta_conf:
+        from lidbox_tpu.meta import common_voice
+        cv = meta_conf["common_voice"]
+        meta = common_voice.load_all(cv["corpus_dir"], cv["langs"])
+    else:
+        raise ValueError("metadata section must define 'csv' or 'common_voice'")
+    labels = sorted(meta.label.unique())
+    return meta, labels
+
+
+def build_split_dataset(split, meta, labels, config):
+    from lidbox_tpu.data import from_steps
+    from lidbox_tpu.data.pipelines import create_dataset
+    part = meta[meta["split"] == split]
+    init_data = {"id": list(part.index), "path": list(part.path),
+                 "label": list(part.label)}
+    return from_steps(create_dataset(split, labels, init_data, config))
+
+
+def cmd_train(args):
+    config = load_config(args.config)
+    meta, labels = load_metadata(config)
+    from lidbox_tpu import parallel
+    from lidbox_tpu.models.model_utils import ModelWrapper
+    from lidbox_tpu.train import batches_from_dataset
+
+    data_conf = config["experiment"]["data"]
+    train_split = data_conf["train"]["split"]
+    val_split = data_conf.get("validation", data_conf.get("test", {})).get(
+        "split", train_split)
+    train_ds = build_split_dataset(train_split, meta, labels, config)
+    val_ds = build_split_dataset(val_split, meta, labels, config)
+
+    mesh = parallel.get_mesh() if args.data_parallel else None
+    wrapper = ModelWrapper.from_config(config, mesh=mesh)
+    logger.info("Training %s (%d params) on split '%s'",
+                wrapper.model_key, wrapper.count_params(), train_split)
+    batch_size = data_conf["train"].get("batch_size", 32)
+    history = wrapper.fit(
+        batches_from_dataset(train_ds, batch_size),
+        batches_from_dataset(val_ds, batch_size),
+        epochs=config["experiment"].get("epochs", 1))
+    logger.info("Training done, final: %s", history[-1] if history else {})
+    return 0
+
+
+def cmd_evaluate(args):
+    config = load_config(args.config)
+    meta, labels = load_metadata(config)
+    from lidbox_tpu import util
+    from lidbox_tpu.meta import generate_label2target
+    from lidbox_tpu.models.model_utils import (ModelWrapper,
+                                               best_model_checkpoint_from_config)
+
+    test_split = config["experiment"]["data"].get("test", {}).get("split", "test")
+    test_ds = build_split_dataset(test_split, meta, labels, config)
+    wrapper = ModelWrapper.from_config(config)
+    best = best_model_checkpoint_from_config(config)
+    if best:
+        wrapper.trainer.restore(best)
+        wrapper.model.variables = {
+            "params": wrapper.trainer.state.params,
+            **({"batch_stats": wrapper.trainer.state.batch_stats}
+               if wrapper.trainer.state.batch_stats else {})}
+    meta_with_targets, label2target = generate_label2target(meta)
+    test_meta = meta_with_targets[meta_with_targets["split"] == test_split]
+    report = util.evaluate_testset_with_model(
+        wrapper.model, test_ds, test_meta[["target"]], label2target)
+    print(json.dumps({k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                      for k, v in report.items()}, indent=2))
+    return 0
+
+
+def cmd_extract_embeddings(args):
+    config = load_config(args.config)
+    meta, labels = load_metadata(config)
+    split = args.split
+    ds = build_split_dataset(split, meta, labels, config)
+    if "embeddings" not in config:
+        logger.error("config has no 'embeddings' section")
+        return 1
+    ids, embeddings = [], []
+    for x in ds:
+        ids.append(str(x["id"]))
+        embeddings.append(np.asarray(x["embedding"]))
+    np.savez(args.output, ids=np.asarray(ids),
+             embeddings=np.stack(embeddings))
+    logger.info("Wrote %d embeddings to %s", len(ids), args.output)
+    return 0
+
+
+def cmd_utils(args):
+    if args.validate_config:
+        config = load_config(args.validate_config)
+        problems = validate_config(config)
+        if problems:
+            for p in problems:
+                print(f"ERROR: {p}")
+            return 1
+        print("config ok")
+    return 0
+
+
+def create_argparser():
+    parser = argparse.ArgumentParser(
+        prog="lidbox_tpu",
+        description="TPU-native spoken language identification")
+    parser.add_argument("--run-cProfile", action="store_true",
+                        help="profile host Python, writing cProfile.log "
+                             "(reference: lidbox/__main__.py:13-20)")
+    parser.add_argument("--run-jax-profiler", metavar="DIR", default=None,
+                        help="capture a jax.profiler trace into DIR "
+                             "(TPU-native analogue of --run-tf-profiler)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a model from a config file")
+    p.add_argument("config")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate the best checkpoint")
+    p.add_argument("config")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("extract-embeddings", help="dump embeddings to npz")
+    p.add_argument("config")
+    p.add_argument("output")
+    p.add_argument("--split", default="test")
+    p.set_defaults(fn=cmd_extract_embeddings)
+
+    p = sub.add_parser("utils", help="config validation and helpers")
+    p.add_argument("--validate-config", metavar="CONFIG")
+    p.set_defaults(fn=cmd_utils)
+    return parser
+
+
+def main(argv=None):
+    args = create_argparser().parse_args(argv)
+    from lidbox_tpu.train.observability import cprofile, profiler
+    with cprofile(enabled=args.run_cProfile), \
+            profiler(args.run_jax_profiler, enabled=bool(args.run_jax_profiler)):
+        return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""
+High-level API: prediction, chunk merging, classification reports
+(reference: lidbox/util.py).
+"""
+import numpy as np
+import pandas as pd
+import sklearn.metrics
+
+import jax
+
+import lidbox_tpu.data.steps as data_steps
+from lidbox_tpu.data.dataset import padded_batch
+from lidbox_tpu.metrics import SparseAverageDetectionCost
+
+
+def predictions_to_dataframe(ids, predictions):
+    """(reference: util.py:17-20)"""
+    return (pd.DataFrame.from_dict({"id": ids, "prediction": predictions})
+            .set_index("id", drop=True, verify_integrity=True)
+            .sort_index())
+
+
+def predict_with_model(model, ds, predict_fn=None, batch_size=32,
+                       pad_buckets=None):
+    """Map a model over all elements of ds (dict elements with ``input``),
+    returning an id-indexed prediction DataFrame
+    (reference: util.py:23-38, which mapped over GPU-placed batches; here
+    the forward is one jit program per shape bucket on the default device).
+
+    ``model`` is a lidbox_tpu Model (or any callable taking [B, T, F]).
+    """
+    if predict_fn is None:
+        apply_jit = jax.jit(
+            lambda variables, x: model.apply(variables, x, train=False))
+
+        def predict_fn(inputs):
+            return np.asarray(jax.device_get(
+                apply_jit(model.variables, inputs)))
+
+    ids, predictions = [], []
+    pending = []
+    for x in ds:
+        pending.append(x)
+        if len(pending) == batch_size:
+            _flush(pending, predict_fn, ids, predictions, pad_buckets)
+            pending = []
+    if pending:
+        _flush(pending, predict_fn, ids, predictions, pad_buckets)
+    return predictions_to_dataframe(ids, predictions)
+
+
+def _flush(pending, predict_fn, ids, predictions, pad_buckets):
+    lengths = {p["input"].shape[0] for p in pending}
+    if len(lengths) == 1:
+        inputs = np.stack([p["input"] for p in pending])
+    else:
+        inputs = padded_batch(pending, "input", buckets=pad_buckets)["input"]
+    preds = predict_fn(np.asarray(inputs, np.float32))
+    for p, pred in zip(pending, preds):
+        ids.append(str(p["id"]))
+        predictions.append(np.asarray(pred))
+
+
+def chunk_parent_id(chunk_id):
+    """(reference: util.py:41-42)"""
+    return chunk_id.rsplit("-", 1)[0]
+
+
+def stack_and_average(v):
+    return np.stack(list(v)).mean(axis=0)
+
+
+def merge_chunk_predictions(chunk_predictions, merge_rows_fn=None):
+    """Group chunk rows by parent utterance id and merge their predictions
+    (mean by default) (reference: util.py:47-57)."""
+    if merge_rows_fn is None:
+        merge_rows_fn = stack_and_average
+    ids, predictions = [], []
+    for pid, rows in chunk_predictions.groupby(chunk_parent_id):
+        ids.append(pid)
+        predictions.append(merge_rows_fn(rows.prediction.values))
+    return predictions_to_dataframe(ids, predictions)
+
+
+def classification_report(true_sparse, pred_dense, label2target,
+                          dense2sparse_fn=None, num_cavg_thresholds=100):
+    """sklearn classification report + min C_avg over a threshold grid
+    spanning the score range + per-class EER from ROC + confusion matrix
+    (reference: util.py:60-105)."""
+    if dense2sparse_fn is None:
+        dense2sparse_fn = lambda pred: pred.argmax(axis=1)
+    true_sparse = np.asarray(true_sparse)
+    pred_dense = np.asarray(pred_dense)
+    pred_sparse = dense2sparse_fn(pred_dense)
+
+    report = sklearn.metrics.classification_report(
+        true_sparse, pred_sparse,
+        labels=list(range(len(label2target))),
+        target_names=list(label2target),
+        output_dict=True, zero_division=0)
+
+    thresholds = np.linspace(pred_dense.min(), pred_dense.max(),
+                             num_cavg_thresholds)
+    cavg = SparseAverageDetectionCost(len(label2target),
+                                      tuple(thresholds.tolist()))
+    state = cavg.update_sparse(cavg.init_state(), true_sparse, pred_dense)
+    report["avg_detection_cost"] = float(jax.device_get(cavg.result(state)))
+
+    true_dense = np.eye(len(label2target))[true_sparse]
+    eer = np.zeros(len(label2target))
+    for l, label in enumerate(label2target):
+        positives = true_dense[:, l].sum()
+        if positives == 0 or positives == len(true_sparse):
+            # EER undefined for a class absent from (or covering all of)
+            # the test set; the reference crashed here on nanargmin of an
+            # all-NaN ROC — report NaN and average over defined classes.
+            eer[l] = np.nan
+            continue
+        fpr, tpr, _ = sklearn.metrics.roc_curve(true_dense[:, l], pred_dense[:, l])
+        fnr = 1 - tpr
+        eer[l] = fpr[np.nanargmin(np.absolute(fnr - fpr))]
+    report["avg_equal_error_rate"] = float(np.nanmean(eer))
+    for label, i in label2target.items():
+        report[label]["equal_error_rate"] = eer[i]
+
+    report["confusion_matrix"] = sklearn.metrics.confusion_matrix(
+        true_sparse, pred_sparse)
+    return report
+
+
+def evaluate_testset_with_model(model, test_ds, test_meta, lang2target):
+    """predict + join on metadata + report (reference: util.py:108-119)."""
+    utt2pred = predict_with_model(model, test_ds)
+    test_meta = test_meta.join(utt2pred, how="outer")
+    assert not test_meta.isna().any(axis=None), (
+        "Failed to join predictions with test_meta: utterance id sets differ")
+    true_sparse = test_meta.target.to_numpy(np.int32)
+    pred_dense = np.stack(list(test_meta.prediction))
+    return classification_report(true_sparse, pred_dense, lang2target)
+
+
+def model2function(model):
+    """Model -> jit-compiled inference callable, the export analogue of the
+    reference's concrete tf.function (reference: util.py:122-127). The
+    returned function is also AOT-lowerable via ``.lower(x).compile()``."""
+    if model.variables is None:
+        model.init()
+    variables = model.variables
+
+    @jax.jit
+    def model_fn(x):
+        return model.module.apply(variables, x, train=False)
+    return model_fn
+
+
+def standard_scaler(dataset, axis=0, key="input"):
+    """Dataset-level standardization closure from two-pass float64 moments
+    (reference: util.py:130-146)."""
+    _, means, variances = data_steps.unstable_reduce_features_mean_variance(
+        dataset, axis=axis, key=key)
+    stddevs = np.sqrt(np.maximum(1e-9, variances))
+
+    def scale_dataset(ds):
+        def _scale(x):
+            scaled = (np.asarray(x[key], np.float64) - means) / stddevs
+            return dict(x, **{key: scaled.astype(np.asarray(x[key]).dtype)})
+        return ds.map(_scale)
+    return scale_dataset

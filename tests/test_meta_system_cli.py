@@ -1,0 +1,205 @@
+"""
+Metadata, system utilities and CLI tests
+(reference layers: lidbox/meta/, lidbox/system.py, lidbox/__main__.py —
+the reference CLI was a dead entry point; ours must actually run).
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lidbox_tpu import iter_metadata_file, system
+from lidbox_tpu.meta import (generate_label2target, random_oversampling,
+                             random_undersampling, read_audio_durations,
+                             verify_integrity)
+
+
+def _meta(audio_fixtures, durations=(3.0, 3.0, 3.0, 3.0, 3.0)):
+    ids = sorted(audio_fixtures)
+    return pd.DataFrame({
+        "path": [str(audio_fixtures[i]) for i in ids],
+        "label": ["noise" if i == "noise" else
+                  ("low" if i in ("sine_100", "sine_200") else "high")
+                  for i in ids],
+        "split": ["train", "train", "test", "test", "train"],
+        "client_id": [f"spk_{i}" for i in ids],
+        "duration": list(durations),
+    }, index=pd.Index(ids, name="id"))
+
+
+class TestMetaUtils:
+    def test_verify_integrity_passes(self, audio_fixtures):
+        verify_integrity(_meta(audio_fixtures))
+
+    def test_verify_integrity_missing_column(self, audio_fixtures):
+        with pytest.raises(ValueError, match="missing"):
+            verify_integrity(_meta(audio_fixtures).drop(columns=["split"]))
+
+    def test_verify_integrity_missing_file(self, audio_fixtures):
+        meta = _meta(audio_fixtures)
+        meta.loc[meta.index[0], "path"] = "/nonexistent.wav"
+        with pytest.raises(FileNotFoundError):
+            verify_integrity(meta)
+
+    def test_verify_integrity_speaker_leak(self, audio_fixtures):
+        meta = _meta(audio_fixtures)
+        meta["client_id"] = "same_speaker"
+        with pytest.raises(ValueError, match="share"):
+            verify_integrity(meta)
+
+    def test_read_audio_durations(self, audio_fixtures):
+        durations = read_audio_durations(_meta(audio_fixtures))
+        np.testing.assert_allclose(durations, 3.0, atol=0.01)
+
+    def test_generate_label2target_lexicographic(self, audio_fixtures):
+        meta, label2target = generate_label2target(_meta(audio_fixtures))
+        assert list(label2target) == ["high", "low", "noise"]
+        assert list(label2target.values()) == [0, 1, 2]
+        assert meta.loc["noise", "target"] == 2
+
+    def test_random_oversampling_balances_durations(self, audio_fixtures):
+        meta = _meta(audio_fixtures, durations=(3, 3, 3, 3, 3))
+        # make 'high' the heavy label by inflating durations
+        meta.loc[meta.label == "high", "duration"] = 30.0
+        out = random_oversampling(meta, random_state=0)
+        assert len(out) > len(meta)
+        assert out.is_copy.sum() == len(out) - len(meta)
+        totals = out.groupby("label").duration.sum()
+        assert totals["low"] >= 0.5 * totals["high"]
+        copies = out[out.is_copy]
+        assert all("_copy_" in i for i in copies.index)
+
+    def test_random_undersampling(self, audio_fixtures):
+        meta = _meta(audio_fixtures)
+        # 'high' has 2 rows of 2 s (total 4 s); target 'noise' totals 3 s,
+        # so 'high' is sampled down to int(3 / 2) = 1 row.
+        meta.loc[meta.label == "high", "duration"] = 2.0
+        out = random_undersampling(meta, "noise", random_state=0)
+        assert (out.label == "high").sum() == 1
+        assert (out.label == "noise").sum() == 1
+        # 'low' (2 rows x 3 s = 6 s) also exceeds the 3 s target ->
+        # int(3 / 3) = 1 row kept
+        assert (out.label == "low").sum() == 1
+
+
+class TestSystem:
+    def test_run_command(self):
+        code, out, err = system.run_command("echo hello")
+        assert code == 0 and out.strip() == "hello"
+
+    def test_run_for_files_batching(self, tmp_path):
+        files = []
+        for i in range(7):
+            p = tmp_path / f"f{i}.txt"
+            p.write_text(str(i))
+            files.append(str(p))
+        outs = list(system.run_for_files("cat", files, batch_size=3))
+        assert len(outs) == 3
+        assert "".join(outs) == "0123456"
+
+    def test_md5sums(self, tmp_path):
+        p1 = tmp_path / "a"; p1.write_bytes(b"hello")
+        p2 = tmp_path / "b"; p2.write_bytes(b"hello")
+        sums = system.all_md5sums([p1, p2])
+        assert sums[0] == sums[1] == system.md5sum(p1)
+
+    def test_total_duration(self, audio_fixtures):
+        total = system.get_total_duration_sec(
+            [audio_fixtures[k] for k in sorted(audio_fixtures)])
+        np.testing.assert_allclose(total, 15.0, atol=0.1)
+
+    def test_get_audio_type(self, audio_fixtures, tmp_path):
+        assert system.get_audio_type(audio_fixtures["noise"]) == "wav"
+        junk = tmp_path / "x.bin"; junk.write_bytes(b"\x01" * 20)
+        assert system.get_audio_type(junk) == "unknown"
+
+    def test_iter_log_events_jsonl(self, tmp_path):
+        p = tmp_path / "events.jsonl"
+        p.write_text(json.dumps({"wall_time": 1.0, "step": 1,
+                                 "metrics": {"loss": 0.5}}) + "\n")
+        events = list(system.iter_log_events(p))
+        assert events == [(1.0, 1, "loss", 0.5)]
+
+    def test_iter_metadata_file(self, tmp_path):
+        p = tmp_path / "utt2path"
+        p.write_text("utt1 /a/b.wav\nutt2 /c/d.wav\nbadline\n")
+        rows = list(iter_metadata_file(p, 2))
+        assert rows == [("utt1", "/a/b.wav"), ("utt2", "/c/d.wav")]
+
+
+class TestCommonVoice:
+    def _make_corpus(self, tmp_path, lang="fi"):
+        d = tmp_path / lang
+        (d / "clips").mkdir(parents=True)
+        for split, rows in [("train", 2), ("dev", 1), ("test", 1),
+                            ("validated", 4)]:
+            lines = ["client_id\tpath\tsentence"]
+            for i in range(rows):
+                lines.append(f"spk{split}{i}\t{lang}_{split}_{i}.mp3\thello")
+            (d / f"{split}.tsv").write_text("\n".join(lines) + "\n")
+        return tmp_path
+
+    def test_load(self, tmp_path):
+        from lidbox_tpu.meta import common_voice
+        corpus = self._make_corpus(tmp_path)
+        meta = common_voice.load(str(corpus), "fi")
+        assert len(meta) == 4
+        assert set(meta.split) == {"train", "dev", "test"}
+        assert all(meta.client_id.str.startswith("fi_"))
+        assert all(meta.path.str.endswith(".mp3"))
+        assert meta.index[0].startswith("fi_")
+
+    def test_load_all_validated(self, tmp_path):
+        from lidbox_tpu.meta import common_voice
+        corpus = self._make_corpus(tmp_path)
+        meta = common_voice.load(str(corpus), "fi")
+        merged = common_voice.load_all_validated_data(meta, str(corpus), "fi")
+        assert len(merged) == 8  # 4 original + 4 validated (no speaker overlap)
+        assert (merged.split == "train").sum() == 6
+
+
+class TestCLI:
+    def test_validate_config(self, tmp_path, capsys):
+        from lidbox_tpu.cli import main
+        cfg = tmp_path / "c.json"
+        cfg.write_text(json.dumps({"metadata": {"csv": "x.csv"}}))
+        assert main(["utils", "--validate-config", str(cfg)]) == 0
+        assert "config ok" in capsys.readouterr().out
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"experiment": {}}))
+        assert main(["utils", "--validate-config", str(bad)]) == 1
+
+    def test_train_and_evaluate_from_config(self, tmp_path, audio_fixtures,
+                                            capsys):
+        from lidbox_tpu.cli import main
+        meta = _meta(audio_fixtures)
+        csv = tmp_path / "meta.csv"
+        meta.reset_index().to_csv(csv, index=False)
+        config = {
+            "metadata": {"csv": str(csv)},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 24},
+                         "group_by_input_length": {"max_batch_size": 8}},
+            "experiment": {
+                "cache_directory": str(tmp_path / "cache"), "name": "t",
+                "input_shape": [298, 24], "output_shape": [3],
+                "model": {"key": "dnn"},
+                "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+                "callbacks": [{"cls": "ModelCheckpoint",
+                               "kwargs": {"monitor": "val_loss", "mode": "min"}}],
+                "epochs": 2,
+                "data": {"train": {"split": "train", "batch_size": 4},
+                         "test": {"split": "test"}}},
+        }
+        cfg = tmp_path / "config.yaml"
+        import yaml
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg)]) == 0
+        ckpts = list((tmp_path / "cache" / "dnn" / "t" / "checkpoints").glob("*.ckpt"))
+        assert len(ckpts) == 2
+        assert main(["evaluate", str(cfg)]) == 0
+        report = json.loads(capsys.readouterr().out)
+        assert "accuracy" in report and "avg_detection_cost" in report
