@@ -108,9 +108,10 @@ class TestSpectrograms:
                      lower_edge_hertz=125.0, upper_edge_hertz=3800.0)):
             ours = mel_ops.linear_to_mel_weight_matrix(**kwargs)
             ref = ref_mod.linear_to_mel_weight_matrix(**kwargs).numpy()
-            # fp32 (tf) vs fp64 (ours) construction: agreement well below
-            # the 1e-4 numerics target.
-            np.testing.assert_allclose(ours, ref, atol=1e-5)
+            # fp32 (tf) vs fp64 (ours) construction: triangle edge bins see
+            # ~1e-5 cancellation jitter; the budget is the 1e-4 numerics
+            # target (BASELINE.md).
+            np.testing.assert_allclose(ours, ref, atol=5e-5)
 
     def test_logmel_pipeline_finite_and_shaped(self):
         x = _signals()
