@@ -26,7 +26,17 @@ def read_wav(path):
 
     Channels are merged by averaging, matching tf.audio.decode_wav + mean
     (reference: lidbox/features/audio.py:17-23). Supports 8/16/32-bit PCM.
+
+    Uses the native C++ decoder (lidbox_tpu.native) when available — ctypes
+    drops the GIL so thread-pool decode parallelizes; this pure-Python body
+    is the fallback.
     """
+    from lidbox_tpu import native
+    if native.available():
+        try:
+            return native.read_wav(path)
+        except ValueError:
+            pass  # unusual wav layout: fall through to the Python parser
     with wave.open(str(path), "rb") as f:
         nch = f.getnchannels()
         width = f.getsampwidth()

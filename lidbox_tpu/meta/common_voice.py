@@ -14,6 +14,14 @@ SPLIT_NAMES = ("train", "dev", "test")
 USE_COLUMNS = ("client_id", "path", "sentence")
 
 
+def _set_unique_index(df, col="id"):
+    df = df.set_index(col, drop=True)
+    if not df.index.is_unique:
+        dupes = df.index[df.index.duplicated()].unique()[:5]
+        raise ValueError(f"duplicate utterance ids, e.g. {list(dupes)}")
+    return df
+
+
 def load_split(corpus_dir, lang, split, usecols=USE_COLUMNS):
     """One split tsv -> DataFrame with utterance ``id`` from the mp3 stem,
     absolute clip ``path``, and ``client_id`` prefixed with the language to
@@ -34,9 +42,7 @@ def load(corpus_dir, lang, usecols=USE_COLUMNS):
     """All train/dev/test splits of one language as a single id-indexed
     DataFrame (reference: common_voice.py:14-29)."""
     split_dfs = [load_split(corpus_dir, lang, s, usecols) for s in SPLIT_NAMES]
-    return (pd.concat(split_dfs)
-            .set_index("id", drop=True, verify_integrity=True)
-            .sort_index())
+    return _set_unique_index(pd.concat(split_dfs)).sort_index()
 
 
 def load_all(corpus_dir, langs, usecols=USE_COLUMNS, num_processes=None):
@@ -61,7 +67,6 @@ def load_all_validated_data(meta, corpus_dir, lang, usecols=USE_COLUMNS):
     existing_nontrain = meta.loc[meta["split"] != "train", "client_id"].unique()
     validated = validated[~validated["client_id"].isin(existing_nontrain)]
     validated = validated.assign(split="train")
-    return (pd.concat([meta.reset_index(), validated])
-            .drop_duplicates(subset=["id"])
-            .set_index("id", drop=True, verify_integrity=True)
-            .sort_index())
+    return _set_unique_index(
+        pd.concat([meta.reset_index(), validated])
+        .drop_duplicates(subset=["id"])).sort_index()

@@ -1,0 +1,230 @@
+// Native audio IO for the host data loader.
+//
+// The reference toolkit decoded audio through tf.audio / miniaudio inside
+// the tf.data graph (reference: lidbox/features/audio.py:17-34). In this
+// framework the host loader is Python, so the decode hot path is native:
+// ctypes calls release the GIL, letting a Python thread pool decode many
+// files in true parallelism while the TPU consumes batches.
+//
+// C ABI (see lidbox_tpu/native/__init__.py):
+//   la_read_wav            decode a PCM/float WAV to mono float32
+//   la_read_wav_into       decode into a caller buffer (no allocation)
+//   la_wav_header_is_valid RIFF + chunk-size validation
+//   la_resample_linear     linear resampler
+//   la_rms_frames          framewise RMS (energy VAD front half)
+//   la_free                free buffers allocated by this library
+//
+// Build: g++ -O3 -march=native -shared -fPIC audioio.cpp -o libaudioio.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+
+namespace {
+
+struct Reader {
+    FILE* f = nullptr;
+    explicit Reader(const char* path) { f = std::fopen(path, "rb"); }
+    ~Reader() { if (f) std::fclose(f); }
+    bool ok() const { return f != nullptr; }
+    bool read(void* dst, size_t n) { return std::fread(dst, 1, n, f) == n; }
+    bool skip(long n) { return std::fseek(f, n, SEEK_CUR) == 0; }
+    long tell() const { return std::ftell(f); }
+};
+
+uint32_t rd_u32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[3] << 24);
+}
+uint16_t rd_u16(const uint8_t* p) {
+    return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+struct WavFmt {
+    uint16_t format = 0;       // 1 = PCM, 3 = IEEE float
+    uint16_t channels = 0;
+    uint32_t sample_rate = 0;
+    uint16_t bits = 0;
+};
+
+// Parse RIFF chunks until the data chunk; fills fmt and positions the
+// reader at the start of sample data. Returns data byte size or -1.
+long parse_header(Reader& r, WavFmt* fmt) {
+    uint8_t hdr[12];
+    if (!r.read(hdr, 12)) return -1;
+    if (std::memcmp(hdr, "RIFF", 4) != 0 || std::memcmp(hdr + 8, "WAVE", 4) != 0)
+        return -1;
+    bool have_fmt = false;
+    for (;;) {
+        uint8_t ch[8];
+        if (!r.read(ch, 8)) return -1;
+        uint32_t size = rd_u32(ch + 4);
+        if (std::memcmp(ch, "fmt ", 4) == 0) {
+            uint8_t buf[16];
+            if (size < 16 || !r.read(buf, 16)) return -1;
+            fmt->format = rd_u16(buf);
+            fmt->channels = rd_u16(buf + 2);
+            fmt->sample_rate = rd_u32(buf + 4);
+            fmt->bits = rd_u16(buf + 14);
+            if (size > 16 && !r.skip((long)size - 16)) return -1;
+            have_fmt = true;
+        } else if (std::memcmp(ch, "data", 4) == 0) {
+            if (!have_fmt) return -1;
+            return (long)size;
+        } else {
+            // chunks are word-aligned
+            if (!r.skip((long)size + (size & 1))) return -1;
+        }
+    }
+}
+
+// Decode interleaved samples to mono float32 (channel average, matching
+// tf.audio.decode_wav + reduce_mean, reference audio.py:17-23).
+long decode_to_mono(const uint8_t* raw, long bytes, const WavFmt& fmt,
+                    float* out) {
+    const int ch = fmt.channels > 0 ? fmt.channels : 1;
+    const int bps = fmt.bits / 8;
+    if (bps == 0) return -1;
+    const long frames = bytes / (bps * ch);
+    const float inv_ch = 1.0f / (float)ch;
+    if (fmt.format == 1 && fmt.bits == 16) {
+        const int16_t* s = (const int16_t*)raw;
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.0f;
+            for (int c = 0; c < ch; ++c) acc += (float)s[i * ch + c];
+            out[i] = acc * inv_ch * (1.0f / 32768.0f);
+        }
+    } else if (fmt.format == 1 && fmt.bits == 32) {
+        const int32_t* s = (const int32_t*)raw;
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; ++c) acc += (double)s[i * ch + c];
+            out[i] = (float)(acc * inv_ch / 2147483648.0);
+        }
+    } else if (fmt.format == 1 && fmt.bits == 8) {
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.0f;
+            for (int c = 0; c < ch; ++c)
+                acc += ((float)raw[i * ch + c] - 128.0f);
+            out[i] = acc * inv_ch * (1.0f / 128.0f);
+        }
+    } else if (fmt.format == 3 && fmt.bits == 32) {
+        const float* s = (const float*)raw;
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.0f;
+            for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+            out[i] = acc * inv_ch;
+        }
+    } else {
+        return -1;
+    }
+    return frames;
+}
+
+}  // namespace
+
+extern "C" {
+
+void la_free(void* p) { std::free(p); }
+
+// Decode a WAV file to mono float32. Returns 0 on success; fills
+// *out_samples (caller frees with la_free), *out_n, *out_rate.
+int la_read_wav(const char* path, float** out_samples, long* out_n,
+                int* out_rate) {
+    Reader r(path);
+    if (!r.ok()) return -1;
+    WavFmt fmt;
+    long data_bytes = parse_header(r, &fmt);
+    if (data_bytes <= 0) return -2;
+    uint8_t* raw = (uint8_t*)std::malloc((size_t)data_bytes);
+    if (!raw) return -3;
+    if (!r.read(raw, (size_t)data_bytes)) {
+        std::free(raw);
+        return -4;
+    }
+    const int ch = fmt.channels > 0 ? fmt.channels : 1;
+    const long frames = data_bytes / ((fmt.bits / 8) * ch);
+    float* out = (float*)std::malloc(sizeof(float) * (size_t)frames);
+    if (!out) {
+        std::free(raw);
+        return -3;
+    }
+    long n = decode_to_mono(raw, data_bytes, fmt, out);
+    std::free(raw);
+    if (n < 0) {
+        std::free(out);
+        return -5;
+    }
+    *out_samples = out;
+    *out_n = n;
+    *out_rate = (int)fmt.sample_rate;
+    return 0;
+}
+
+// Decode into a caller-provided buffer of capacity `cap` samples.
+// Returns the number of samples written (truncated to cap) or < 0 on error;
+// fills *out_rate and *out_total (full length before truncation).
+long la_read_wav_into(const char* path, float* out, long cap, int* out_rate,
+                      long* out_total) {
+    float* tmp = nullptr;
+    long n = 0;
+    int rate = 0;
+    int err = la_read_wav(path, &tmp, &n, &rate);
+    if (err != 0) return err;
+    long m = n < cap ? n : cap;
+    std::memcpy(out, tmp, sizeof(float) * (size_t)m);
+    std::free(tmp);
+    *out_rate = rate;
+    *out_total = n;
+    return m;
+}
+
+// RIFF magic + body-size check (reference: lidbox/features/audio.py:377-396).
+int la_wav_header_is_valid(const char* path) {
+    Reader r(path);
+    if (!r.ok()) return 0;
+    WavFmt fmt;
+    long data_bytes = parse_header(r, &fmt);
+    if (data_bytes <= 0) return 0;
+    long data_start = r.tell();
+    if (std::fseek(r.f, 0, SEEK_END) != 0) return 0;
+    long file_size = r.tell();
+    return data_start + data_bytes <= file_size;
+}
+
+// Linear-interpolation resampler; returns output length, caller frees *out.
+long la_resample_linear(const float* in, long n, int in_rate, int out_rate,
+                        float** out) {
+    if (n <= 1 || in_rate <= 0 || out_rate <= 0) return -1;
+    long m = (long)((double)n * out_rate / in_rate);
+    float* o = (float*)std::malloc(sizeof(float) * (size_t)m);
+    if (!o) return -3;
+    const double step = (double)in_rate / (double)out_rate;
+    for (long i = 0; i < m; ++i) {
+        double pos = i * step;
+        long j = (long)pos;
+        if (j >= n - 1) j = n - 2;
+        double frac = pos - j;
+        o[i] = (float)((1.0 - frac) * in[j] + frac * in[j + 1]);
+    }
+    *out = o;
+    return m;
+}
+
+// Framewise RMS over non-overlapping frames of `step` samples.
+// Writes n/step values into out (caller-allocated).
+long la_rms_frames(const float* in, long n, long step, float* out) {
+    if (step <= 0) return -1;
+    long frames = n / step;
+    for (long f = 0; f < frames; ++f) {
+        double acc = 0.0;
+        const float* p = in + f * step;
+        for (long i = 0; i < step; ++i) acc += (double)p[i] * p[i];
+        out[f] = (float)std::sqrt(acc / (double)step);
+    }
+    return frames;
+}
+
+}  // extern "C"

@@ -13,11 +13,20 @@ from lidbox_tpu.data.dataset import padded_batch
 from lidbox_tpu.metrics import SparseAverageDetectionCost
 
 
+def _set_unique_index(df, col="id"):
+    """set_index + uniqueness check (pandas deprecated the built-in
+    verify_integrity keyword)."""
+    df = df.set_index(col, drop=True)
+    if not df.index.is_unique:
+        dupes = df.index[df.index.duplicated()].unique()[:5]
+        raise ValueError(f"duplicate utterance ids, e.g. {list(dupes)}")
+    return df
+
+
 def predictions_to_dataframe(ids, predictions):
     """(reference: util.py:17-20)"""
-    return (pd.DataFrame.from_dict({"id": ids, "prediction": predictions})
-            .set_index("id", drop=True, verify_integrity=True)
-            .sort_index())
+    return _set_unique_index(
+        pd.DataFrame.from_dict({"id": ids, "prediction": predictions})).sort_index()
 
 
 def predict_with_model(model, ds, predict_fn=None, batch_size=32,

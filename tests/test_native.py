@@ -1,0 +1,83 @@
+"""
+Native C++ audio library tests: parity with the pure-Python decoders.
+Skipped when no compiler toolchain is available.
+"""
+import numpy as np
+import pytest
+
+from lidbox_tpu import native, testutil
+from lidbox_tpu.features import io as audio_io
+
+RATE = 16000
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _write(tmp_path, sig, name="x.wav"):
+    p = tmp_path / name
+    audio_io.write_mono_wav(p, sig, RATE)
+    return p
+
+
+class TestNativeDecode:
+    def test_matches_python_decoder(self, tmp_path):
+        sig = testutil.noisy_sinewave(220, RATE, 0.1, 0.7)
+        p = _write(tmp_path, sig)
+        n_data, n_rate = native.read_wav(p)
+        import wave
+        with wave.open(str(p), "rb") as f:
+            raw = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+        py_data = raw.astype(np.float32) / 32768.0
+        assert n_rate == RATE
+        np.testing.assert_allclose(n_data, py_data, atol=1e-7)
+
+    def test_io_read_wav_uses_native(self, tmp_path):
+        sig = testutil.sinewave(100, RATE, 0.3)
+        p = _write(tmp_path, sig)
+        data, rate = audio_io.read_wav(p)
+        assert rate == RATE
+        np.testing.assert_allclose(data, sig, atol=1.0 / 16000)
+
+    def test_header_validation(self, tmp_path):
+        p = _write(tmp_path, testutil.sinewave(100, RATE, 0.1))
+        assert native.wav_header_is_valid(p)
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFFjunkjunk")
+        assert not native.wav_header_is_valid(bad)
+        truncated = tmp_path / "trunc.wav"
+        truncated.write_bytes(p.read_bytes()[:-100])
+        assert not native.wav_header_is_valid(truncated)
+
+    def test_decode_error_returns_cleanly(self, tmp_path):
+        bad = tmp_path / "nope.wav"
+        bad.write_bytes(b"\x00" * 64)
+        with pytest.raises(ValueError):
+            native.read_wav(bad)
+
+    def test_resample_linear(self):
+        t = np.arange(RATE, dtype=np.float32) / RATE
+        sig = np.sin(2 * np.pi * 5 * t).astype(np.float32)  # slow 5 Hz sine
+        out = native.resample_linear(sig, RATE, 8000)
+        assert out.shape == (8000,)
+        expected = np.sin(2 * np.pi * 5 * np.arange(8000) / 8000)
+        np.testing.assert_allclose(out, expected, atol=1e-3)
+
+    def test_rms_frames_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        sig = rng.normal(0, 0.3, 16000).astype(np.float32)
+        out = native.rms_frames(sig, 160)
+        ref = np.sqrt(np.mean(sig[:100 * 160].reshape(100, 160) ** 2, axis=1))
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+    def test_parallel_decode_throughput(self, tmp_path):
+        """Thread-pool decode through ctypes must produce correct results
+        concurrently (GIL released inside the library)."""
+        from concurrent.futures import ThreadPoolExecutor
+        paths = []
+        for i in range(16):
+            sig = testutil.sinewave(100 + i, RATE, 0.5)
+            paths.append(_write(tmp_path, sig, f"f{i}.wav"))
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(native.read_wav, paths))
+        assert all(r[1] == RATE and r[0].shape == (RATE // 2,) for r in results)

@@ -1,0 +1,64 @@
+"""
+Fused kernel tests: the Pallas log-Mel kernel (interpret mode on CPU) and
+the strided-conv variant must match the gather+matmul parity baseline,
+which itself matches tf.signal (tests/test_features_audio.py).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from lidbox_tpu.ops import fused_logmel, logmel_conv, logmel_reference
+from lidbox_tpu import testutil
+
+RATE = 16000
+
+
+def _signals(batch=2, seconds=1.5):
+    return jnp.asarray(np.stack([
+        testutil.noisy_sinewave(150 * (i + 1), RATE, 0.1, seconds, seed=i)
+        for i in range(batch)]))
+
+
+class TestLogmelConv:
+    def test_matches_reference(self):
+        x = _signals()
+        ref = np.asarray(logmel_reference(x, RATE))
+        conv = np.asarray(logmel_conv(x, RATE))
+        np.testing.assert_allclose(conv, ref, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mel,fmin,fmax", [(40, 20.0, 7000.0), (80, 0.0, 8000.0)])
+    def test_mel_options(self, mel, fmin, fmax):
+        x = _signals(1, 1.0)
+        ref = np.asarray(logmel_reference(x, RATE, num_mel_bins=mel,
+                                          fmin=fmin, fmax=fmax))
+        conv = np.asarray(logmel_conv(x, RATE, num_mel_bins=mel,
+                                      fmin=fmin, fmax=fmax))
+        assert conv.shape == ref.shape == (1, 98, mel)
+        np.testing.assert_allclose(conv, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedLogmelInterpret:
+    """Pallas kernel semantics via the TPU interpreter (compiled-path parity
+    is exercised by bench.py on hardware)."""
+
+    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32), (1.0, 64)])
+    def test_matches_reference(self, seconds, tile):
+        x = _signals(2, seconds)
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            fused = np.asarray(fused_logmel(x, RATE, frames_per_tile=tile))
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+
+    def test_single_tile_exact_multiple(self):
+        # exactly tile-aligned frame count: T = (F-1)*160 + 400 with F = 32
+        samples = 31 * 160 + 400
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 0.3, (1, samples)).astype(np.float32))
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            fused = np.asarray(fused_logmel(x, RATE, frames_per_tile=32))
+        assert fused.shape == (1, 32, 64)
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
