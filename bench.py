@@ -115,6 +115,33 @@ def main():
     log(f"  e2e[b{MODEL_BATCH}, {SECONDS}s, {best_method}]: {dt * 1e3:.3f} ms/batch "
         f"-> {utt_per_sec:,.1f} utt/s ({utt_per_sec * SECONDS:,.0f}x realtime)")
 
+    # --- x-vector training step (features + fwd + bwd + adam) -------------
+    import optax
+    from lidbox_tpu.losses import nll_loss
+    from lidbox_tpu.train.loop import Trainer
+    trainer = Trainer(model, optax.adam(1e-3), nll_loss)
+    trainer.create_state()
+    targets = jnp.asarray(rng.integers(0, NUM_LANGS, MODEL_BATCH).astype(np.int32))
+
+    @jax.jit
+    def train_step(state, carry):
+        feats = F.extract_features(model_signals + carry * 1e-20, SAMPLE_RATE,
+                                   feature_type="logmelspectrogram",
+                                   melspectrogram={"num_mel_bins": NUM_MEL},
+                                   stft_method=best_method)
+        new_state, loss = trainer._train_step(
+            state, {"input": feats, "target": targets}, trainer.rng)
+        return new_state, loss
+
+    state = trainer.state
+    def step_with_state(carry):
+        nonlocal state
+        state, loss = train_step(state, carry)
+        return loss
+    dt_train = _time(step_with_state, jnp.float32(0.0))
+    log(f"  train-step[b{MODEL_BATCH}]: {dt_train * 1e3:.3f} ms "
+        f"-> {MODEL_BATCH / dt_train:,.1f} utt/s trained")
+
     print(json.dumps({
         "metric": f"utterances/sec/chip waveform->logMel->xvector "
                   f"(b{MODEL_BATCH}, {SECONDS:.0f}s utts, {best_method} STFT)",

@@ -1,0 +1,104 @@
+"""
+Model persistence and deployment export.
+
+Maps two reference surfaces:
+- ``KerasWrapper.to_disk`` whole-model saving (reference:
+  lidbox/models/keras_utils.py:182-185),
+- the TF.js stats-pooling shim for browser deployment of trained
+  x-vectors (reference: lidbox/models/xvector_stats_pooling.js) — whose
+  TPU-era analogue is portable ahead-of-time export: ``export_stablehlo``
+  serializes the jitted forward as StableHLO via jax.export, loadable by
+  any PJRT runtime without Python model code.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+import lidbox_tpu.models as model_registry
+from lidbox_tpu import get_logger
+
+logger = get_logger("export")
+
+SPEC_NAME = "model.json"
+WEIGHTS_NAME = "variables.msgpack"
+STABLEHLO_NAME = "forward.stablehlo"
+
+
+def save_model(model, model_key, directory, model_kwargs=None):
+    """Save a Model (architecture spec + weights) to a directory."""
+    os.makedirs(directory, exist_ok=True)
+    if model.variables is None:
+        model.init()
+    spec = {
+        "model_key": model_key,
+        "input_shape": list(model.input_shape),
+        "name": model.name,
+        "output": model.output,
+        "kwargs": model_kwargs or {},
+    }
+    with open(os.path.join(directory, SPEC_NAME), "w", encoding="utf-8") as f:
+        json.dump(spec, f, indent=2)
+    with open(os.path.join(directory, WEIGHTS_NAME), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(model.variables)))
+    logger.info("Saved model '%s' to %s", model_key, directory)
+    return directory
+
+
+def load_model(directory, num_outputs=None):
+    """Rebuild a saved Model with its weights."""
+    with open(os.path.join(directory, SPEC_NAME), encoding="utf-8") as f:
+        spec = json.load(f)
+    kwargs = dict(spec.get("kwargs", {}))
+    if num_outputs is None:
+        num_outputs = kwargs.pop("num_outputs", None)
+    else:
+        kwargs.pop("num_outputs", None)
+    model = model_registry.create(spec["model_key"],
+                                  tuple(spec["input_shape"]),
+                                  num_outputs, **kwargs)
+    model.init()
+    with open(os.path.join(directory, WEIGHTS_NAME), "rb") as f:
+        model.variables = serialization.from_bytes(model.variables, f.read())
+    if spec.get("output") and spec["output"] != "logits":
+        model = model.with_output(spec["output"])
+    return model
+
+
+def export_stablehlo(model, directory, batch_size=1):
+    """AOT-export the inference forward as serialized StableHLO.
+
+    The artifact is runnable by any PJRT plugin (TPU, CPU, GPU) or by
+    jax.export.deserialize — the deployment analogue of the reference's
+    tfjs-converter path (SURVEY.md §2: "its TPU-era analogue is simply
+    model export")."""
+    from jax import export as jax_export
+
+    if model.variables is None:
+        model.init()
+    variables = model.variables
+    shape = tuple(d if d is not None else 16 for d in model.input_shape)
+    output = model.output
+
+    def forward(x):
+        return model.module.apply(variables, x, train=False, output=output)
+
+    exported = jax_export.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct((batch_size,) + shape, jnp.float32))
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, STABLEHLO_NAME)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    logger.info("Exported StableHLO forward to %s", path)
+    return path
+
+
+def load_stablehlo(path):
+    """Deserialize an exported forward into a callable."""
+    from jax import export as jax_export
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
