@@ -69,7 +69,17 @@ def load_metadata(config):
 
 def build_split_dataset(split, meta, labels, config):
     from lidbox_tpu.data import from_steps
-    from lidbox_tpu.data.pipelines import create_dataset
+    if config.get("user_script"):
+        # A config can replace the whole pipelines module with a user
+        # script defining create_dataset (reference: lidbox/data/pipelines.py:3).
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "lidbox_tpu_user_script", config["user_script"])
+        user_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(user_mod)
+        create_dataset = user_mod.create_dataset
+    else:
+        from lidbox_tpu.data.pipelines import create_dataset
     part = meta[meta["split"] == split]
     init_data = {"id": list(part.index), "path": list(part.path),
                  "label": list(part.label)}

@@ -44,6 +44,10 @@ class DeviceFeatureExtractor:
     def __init__(self, config):
         config = dict(config)
         self.feature_type = config.get("type", "logmelspectrogram")
+        # Numeric sanitization analogue of the reference's assert_all_finite
+        # after each stage (lidbox/data/tf_utils.py:173-191): opt-in host
+        # check on every extracted batch.
+        self.validate_finite = bool(config.get("validate_finite", False))
         # "matmul" rides the MXU (windowed-DFT as two matmuls) — the TPU
         # default; "fft" uses XLA's native FFT.
         self.stft_method = config.get("stft_method", "matmul")
@@ -80,7 +84,13 @@ class DeviceFeatureExtractor:
     def __call__(self, signals, sample_rate):
         """signals: numpy [B, T] (equal length). -> numpy [B, frames, C]."""
         fn = self._get_fn(int(sample_rate))
-        return np.asarray(fn(np.asarray(signals, np.float32)))
+        out = np.asarray(fn(np.asarray(signals, np.float32)))
+        if self.validate_finite and not np.all(np.isfinite(out)):
+            bad = int((~np.isfinite(out)).sum())
+            raise FloatingPointError(
+                f"feature extraction produced {bad} non-finite values "
+                f"(feature_type={self.feature_type})")
+        return out
 
     def extract_ragged(self, signal_list, sample_rate):
         """List of 1-D numpy signals (any lengths) -> list of [frames_i, C]

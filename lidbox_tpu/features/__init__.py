@@ -177,3 +177,11 @@ def num_non_finite(X):
     """Count of NaN/Inf entries (reference sanitization analogue:
     lidbox/data/steps.py:897-919)."""
     return jnp.sum(~jnp.isfinite(X))
+
+
+def load_tensor_from_kaldi_archive(ark_key):
+    """Load a float32 matrix from a Kaldi archive key
+    (reference: lidbox/features/__init__.py:113-118). Requires the optional
+    kaldiio package."""
+    import kaldiio
+    return np.asarray(kaldiio.load_mat(str(ark_key)), np.float32)

@@ -80,6 +80,58 @@ def restore_checkpoint(path, target):
     return serialization.from_bytes(target, data)
 
 
+class OrbaxCheckpointer:
+    """Orbax-backed checkpoint backend with the same best-by-metric
+    directory naming semantics (SURVEY.md §5: "TPU equivalent: Orbax
+    checkpointing with the same best-checkpoint semantics").
+
+    Each checkpoint is an Orbax PyTree directory named
+    ``epoch{epoch:06d}__val_loss{val_loss:.12f}``; saves can be
+    asynchronous so training never blocks on HBM->disk transfer.
+    """
+
+    def __init__(self, use_async=True):
+        import orbax.checkpoint as ocp
+        handler = ocp.StandardCheckpointHandler()
+        self._ckpt = (ocp.AsyncCheckpointer(handler) if use_async
+                      else ocp.Checkpointer(handler))
+
+    def save(self, checkpoints_dir, state, epoch, val_loss=0.0):
+        name = DEFAULT_FORMAT.format(epoch=epoch, val_loss=float(val_loss))
+        name = name[:-len(CHECKPOINT_SUFFIX)]  # orbax uses a directory
+        path = os.path.abspath(os.path.join(checkpoints_dir, name))
+        os.makedirs(checkpoints_dir, exist_ok=True)
+        self._ckpt.save(path, state, force=True)
+        return path
+
+    def restore(self, path, target=None):
+        import orbax.checkpoint as ocp
+        args = ocp.args.StandardRestore(target) if target is not None else None
+        return self._ckpt.restore(os.path.abspath(path), args=args)
+
+    def wait(self):
+        if hasattr(self._ckpt, "wait_until_finished"):
+            self._ckpt.wait_until_finished()
+
+    @staticmethod
+    def best_checkpoint_path(checkpoints_dir, key=None, mode=None):
+        """Same filename-parsing selection as get_best_checkpoint_path, over
+        orbax checkpoint directories."""
+        if key is None:
+            key = "epoch"
+        if not os.path.isdir(checkpoints_dir):
+            return None
+        dirs = [p.path for p in os.scandir(checkpoints_dir)
+                if p.is_dir() and p.name.startswith("epoch")]
+        if not dirs:
+            return None
+        if key == "epoch":
+            return max(dirs, key=lambda p: int(parse_checkpoint_value(p, key)))
+        assert mode in ("min", "max"), mode
+        pick = min if mode == "min" else max
+        return pick(dirs, key=lambda p: float(parse_checkpoint_value(p, key)))
+
+
 def load_raw_checkpoint(path):
     """Restore a checkpoint as a raw nested dict (no target structure
     needed) — used to pull params/batch_stats out of a full TrainState

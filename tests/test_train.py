@@ -167,3 +167,27 @@ class TestOptimizerConfig:
     def test_unknown_names_raise(self):
         with pytest.raises(KeyError):
             optimizer_from_config({"cls": "NoSuchOpt"})
+
+
+class TestOrbaxBackend:
+    def test_save_restore_best_selection(self, tmp_path):
+        from lidbox_tpu.train.checkpoint import OrbaxCheckpointer
+        trainer = make_trainer()
+        trainer.create_state()
+        ckpt = OrbaxCheckpointer(use_async=False)
+        d = str(tmp_path / "orbax")
+        import jax as _jax
+        state_dict = _jax.device_get({
+            "params": trainer.state.params,
+            "step": trainer.state.step})
+        ckpt.save(d, state_dict, epoch=1, val_loss=0.9)
+        ckpt.save(d, state_dict, epoch=2, val_loss=0.5)
+        ckpt.save(d, state_dict, epoch=3, val_loss=0.7)
+        ckpt.wait()
+        best = OrbaxCheckpointer.best_checkpoint_path(d, key="val_loss", mode="min")
+        assert "epoch000002" in best
+        latest = OrbaxCheckpointer.best_checkpoint_path(d)
+        assert "epoch000003" in latest
+        restored = ckpt.restore(best, target=state_dict)
+        _jax.tree_util.tree_map(np.testing.assert_array_equal,
+                                restored["params"], state_dict["params"])
