@@ -24,8 +24,11 @@ logger = get_logger("embed.sklearn")
 
 def _sparse_cce(y_true, log_pred):
     """Mean categorical cross entropy from log-probabilities (replaces the
-    reference's tf.keras.losses call at sklearn_utils.py:108-109)."""
-    picked = log_pred[np.arange(len(y_true)), np.asarray(y_true, int)]
+    reference's tf.keras.losses call at sklearn_utils.py:108-109). Log
+    probabilities are clamped at -100 like the reference's prediction path
+    (sklearn_utils.py:243) so degenerate classifiers score finitely."""
+    picked = np.maximum(
+        log_pred[np.arange(len(y_true)), np.asarray(y_true, int)], -100.0)
     return float(-picked.mean())
 
 

@@ -126,9 +126,14 @@ class ModelWrapper:
                      (init_callback_from_config(c, cache_dir)
                       for c in experiment.get("callbacks", []))
                      if c is not None]
+        compute_dtype = experiment.get("compute_dtype")
+        if isinstance(compute_dtype, str):
+            import jax.numpy as jnp
+            compute_dtype = getattr(jnp, compute_dtype)
         trainer = Trainer(model, optimizer, loss, metrics=metrics, mesh=mesh,
                           callbacks=callbacks, lr_schedule=lr_schedule,
-                          log_dir=os.path.join(cache_dir, "logs"))
+                          log_dir=os.path.join(cache_dir, "logs"),
+                          compute_dtype=compute_dtype)
         return cls(model, model_key, trainer)
 
     @classmethod

@@ -130,10 +130,14 @@ class Trainer:
 
     def __init__(self, model, optimizer, loss_fn, metrics=None, mesh=None,
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
-                 log_dir=None, rng=None):
+                 log_dir=None, rng=None, compute_dtype=None):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
+        # Mixed precision: forwards run in compute_dtype (e.g. bfloat16)
+        # while master params, optimizer state, loss and gradients stay
+        # float32 (upcast at the loss boundary).
+        self.compute_dtype = compute_dtype
         self.metrics = dict(metrics or {})
         self.mesh = mesh
         self.callbacks = list(callbacks)
@@ -189,17 +193,28 @@ class Trainer:
         has_bn = bool(batch_stats)
         if has_bn:
             variables["batch_stats"] = batch_stats
+        x = batch["input"]
+        if self.compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda p: p.astype(self.compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, variables)
+            x = x.astype(self.compute_dtype)
         kwargs = {}
         if "input_mask" in batch:
             kwargs["mask"] = batch["input_mask"]
         if train:
             out, updates = self.model.module.apply(
-                variables, batch["input"], train=True, rngs=rngs,
+                variables, x, train=True, rngs=rngs,
                 mutable=["batch_stats"] if has_bn else [], **kwargs)
             new_bs = updates.get("batch_stats", batch_stats) if has_bn else batch_stats
+            if self.compute_dtype is not None:
+                out = out.astype(jnp.float32)
+                new_bs = jax.tree_util.tree_map(
+                    lambda s: s.astype(jnp.float32), new_bs)
             return out, new_bs
-        out = self.model.module.apply(variables, batch["input"], train=False,
-                                      **kwargs)
+        out = self.model.module.apply(variables, x, train=False, **kwargs)
+        if self.compute_dtype is not None:
+            out = out.astype(jnp.float32)
         return out, batch_stats
 
     def _train_step(self, state, batch, rng):

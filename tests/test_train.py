@@ -191,3 +191,31 @@ class TestOrbaxBackend:
         restored = ckpt.restore(best, target=state_dict)
         _jax.tree_util.tree_map(np.testing.assert_array_equal,
                                 restored["params"], state_dict["params"])
+
+
+class TestMixedPrecision:
+    def test_bf16_compute_trains_and_matches_f32_trajectory(self):
+        import jax.numpy as jnp
+        model = models.create("dnn", (T, F), N_CLASSES)
+        t_bf16 = Trainer(model, optax.adam(5e-3), nll_loss,
+                         compute_dtype=jnp.bfloat16)
+        batches = toy_batches()
+        h = t_bf16.fit(lambda: batches, epochs=4)
+        assert h[-1]["loss"] < h[0]["loss"] * 0.8
+        # master params stayed float32
+        leaves = jax.tree_util.tree_leaves(t_bf16.state.params)
+        assert all(l.dtype == np.float32 for l in leaves)
+        # predictions are float32 log-probs
+        out = t_bf16.predict(lambda: toy_batches(1))
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(np.exp(out).sum(axis=1), 1.0, rtol=1e-2)
+
+    def test_bf16_with_batchnorm_model(self):
+        import jax.numpy as jnp
+        model = models.create("multilevel_attention", (T, F), N_CLASSES)
+        trainer = Trainer(model, optax.adam(1e-3), nll_loss,
+                          compute_dtype=jnp.bfloat16)
+        h = trainer.fit(lambda: toy_batches(3), epochs=2)
+        assert np.isfinite(h[-1]["loss"])
+        bs_leaves = jax.tree_util.tree_leaves(trainer.state.batch_stats)
+        assert all(l.dtype == np.float32 for l in bs_leaves)
