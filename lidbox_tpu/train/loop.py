@@ -138,6 +138,11 @@ class Trainer:
         # while master params, optimizer state, loss and gradients stay
         # float32 (upcast at the loss boundary).
         self.compute_dtype = compute_dtype
+        # Rematerialization: trade FLOPs for activation memory by
+        # recomputing the forward during backprop (jax.checkpoint). Off by
+        # default — the LId model family is small; enable for long-sequence
+        # or large-batch training that would otherwise spill HBM.
+        self.remat = False
         self.metrics = dict(metrics or {})
         self.mesh = mesh
         self.callbacks = list(callbacks)
@@ -222,8 +227,15 @@ class Trainer:
         rngs = {"dropout": step_rng, "noise": jax.random.fold_in(step_rng, 1)}
 
         def compute_loss(params):
-            outputs, new_bs = self._apply(params, state.batch_stats, batch,
-                                          train=True, rngs=rngs)
+            apply = self._apply
+            if self.remat:
+                apply = jax.checkpoint(
+                    lambda p, bs, b: self._apply(p, bs, b, train=True,
+                                                 rngs=rngs))
+                outputs, new_bs = apply(params, state.batch_stats, batch)
+            else:
+                outputs, new_bs = apply(params, state.batch_stats, batch,
+                                        train=True, rngs=rngs)
             losses = self.loss_fn(batch["target"], outputs)
             if "example_mask" in batch:
                 m = batch["example_mask"].astype(losses.dtype)
