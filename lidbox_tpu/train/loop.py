@@ -289,6 +289,37 @@ class Trainer:
                                      else np.logical_and(mask, valid))
         return parallel.shard_batch(batch, self.mesh)
 
+    def _staged(self, batches, buffer_size=2):
+        """Iterate batches with device staging (_put) running in a
+        background thread — host->device transfer and padding overlap with
+        the device executing the previous step (the double-buffered feed
+        the reference delegated to tf.data prefetch)."""
+        import queue
+        import threading
+        q = queue.Queue(maxsize=max(1, buffer_size))
+        done = object()
+        err = []
+
+        def worker():
+            try:
+                for b in batches:
+                    n = int(np.shape(b["target"])[0])
+                    q.put((n, self._put(b)))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def fit(self, train_batches, validation_batches=None, epochs=1,
             steps_per_epoch=None, verbose=True):
         """Run the training loop.
@@ -311,13 +342,13 @@ class Trainer:
             meter = ThroughputMeter()
             losses = []
             batches = train_batches() if callable(train_batches) else train_batches
-            for i, batch in enumerate(batches):
+            for i, (n, batch) in enumerate(self._staged(batches)):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 self.state, loss = self._jit_train_step(
-                    self.state, self._put(batch), self.rng)
+                    self.state, batch, self.rng)
                 losses.append(loss)
-                meter.update(np.shape(batch["target"])[0])
+                meter.update(n)
             train_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) \
                 if losses else float("nan")
             logs = {"loss": train_loss, **meter.rates(),
@@ -345,9 +376,9 @@ class Trainer:
                                            parallel.replicated(self.mesh))
         total, count = 0.0, 0.0
         it = batches() if callable(batches) else batches
-        for batch in it:
+        for _, batch in self._staged(it):
             loss_sum, n, metric_states = self._jit_eval_step(
-                self.state, self._put(batch), metric_states)
+                self.state, batch, metric_states)
             total += float(jax.device_get(loss_sum))
             count += float(jax.device_get(n))
         logs = {prefix + "loss": total / max(count, 1.0)}
