@@ -151,6 +151,30 @@ def main():
     log(f"  train-step[b{MODEL_BATCH}]: {dt_train * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_train:,.1f} utt/s trained")
 
+    # --- BASELINE config 5: augmented train step (VAD-free path:
+    # noise bank mix + FIR + SpecAugment + log-Mel + xvector fwd/bwd) -----
+    from lidbox_tpu.data import on_device
+    bank = jnp.asarray(rng.normal(0, 0.2, (16, SAMPLE_RATE * 4)).astype(np.float32))
+    bank_len = jnp.full((16,), SAMPLE_RATE * 4, jnp.int32)
+    feature_fn = on_device.make_augmented_feature_fn(
+        SAMPLE_RATE, {"type": "logmelspectrogram",
+                      "melspectrogram": {"num_mel_bins": NUM_MEL},
+                      "stft_method": best_method},
+        on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
+                                specaug_time_masks=2, specaug_freq_masks=2),
+        noise_bank=bank, noise_lengths=bank_len)
+    fused = on_device.make_fused_train_step(trainer, feature_fn)
+    state2 = trainer.state
+
+    def fused_with_state(carry):
+        nonlocal state2
+        state2, loss = fused(state2, model_signals + carry * 1e-20, targets,
+                             jax.random.PRNGKey(0))
+        return loss
+    dt_aug = _time(fused_with_state, jnp.float32(0.0))
+    log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
+        f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s (noise+FIR+SpecAugment fused)")
+
     print(json.dumps({
         "metric": f"utterances/sec/chip waveform->logMel->xvector "
                   f"(b{MODEL_BATCH}, {SECONDS:.0f}s utts, {best_method} STFT)",

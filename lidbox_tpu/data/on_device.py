@@ -33,7 +33,13 @@ logger = get_logger("data.on_device")
 
 def build_noise_bank(noise_paths, sample_rate, max_seconds=10.0):
     """Decode noise files into a device-resident bank: (signals [N, T],
-    lengths [N]). Long files are truncated, short ones zero-padded."""
+    lengths [N] original sample counts).
+
+    Each clip is tiled cyclically to fill its whole row (the reference's
+    tile-and-trim, lidbox/data/steps.py:296-302, done once at staging). A
+    full row means the per-step mixer can take a contiguous dynamic slice
+    at a random offset — a fast TPU op — instead of an arbitrary-index
+    gather (which measured ~80x slower)."""
     T = int(sample_rate * max_seconds)
     signals = np.zeros((len(noise_paths), T), np.float32)
     lengths = np.zeros(len(noise_paths), np.int32)
@@ -41,10 +47,9 @@ def build_noise_bank(noise_paths, sample_rate, max_seconds=10.0):
         sig, rate = audio_io.read_audio(path)
         assert rate == sample_rate, (
             f"noise sample rate {rate} != speech rate {sample_rate} ({path})")
-        n = min(len(sig), T)
-        signals[i, :n] = sig[:n]
-        lengths[i] = n
-    logger.info("Staged noise bank: %d files, %.1f s max", len(noise_paths),
+        signals[i] = np.resize(sig, T)  # cyclic tile + trim
+        lengths[i] = min(len(sig), T)
+    logger.info("Staged noise bank: %d files, %.1f s rows", len(noise_paths),
                 max_seconds)
     return jnp.asarray(signals), jnp.asarray(lengths)
 
@@ -61,21 +66,27 @@ class AugmentConfig:
 
 
 def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range):
-    """Per-example random noise clip from the bank mixed at a random SNR.
+    """Per-example random noise clip from the bank mixed at a random SNR
+    (the reference's MS-SNSD formula, audio.snr_mixer).
 
-    Noise is tiled (via modular indexing) to the signal length; the mix is
-    the reference's MS-SNSD formula (audio.snr_mixer_batch).
+    The bank rows are pre-tiled full-width (build_noise_bank), so each
+    example takes a contiguous random-offset dynamic slice — row gather +
+    vmapped dynamic_slice, both fast on TPU.
     """
+    del noise_lengths  # rows are pre-tiled full width
     B, T = signals.shape
+    bank_T = noise_bank.shape[1]
+    assert bank_T >= T, (
+        f"noise bank rows ({bank_T} samples) shorter than signals ({T}); "
+        "raise build_noise_bank(max_seconds=...)")
     k_idx, k_snr, k_off = jax.random.split(key, 3)
     idx = jax.random.randint(k_idx, (B,), 0, noise_bank.shape[0])
     snr = jax.random.uniform(k_snr, (B,), minval=snr_range[0],
                              maxval=snr_range[1])
-    offsets = jax.random.randint(k_off, (B,), 0, 1 << 30)
-    lengths = jnp.maximum(noise_lengths[idx], 1)                   # [B]
-    # modular gather tiles each noise clip to the signal length
-    pos = (offsets[:, None] + jnp.arange(T)[None, :]) % lengths[:, None]
-    noise = jnp.take_along_axis(noise_bank[idx], pos, axis=1)      # [B, T]
+    offsets = jax.random.randint(k_off, (B,), 0, bank_T - T + 1)
+    rows = noise_bank[idx]                                          # [B, bank_T]
+    noise = jax.vmap(
+        lambda row, off: jax.lax.dynamic_slice(row, (off,), (T,)))(rows, offsets)
     _, _, mixed = jax.vmap(audio.snr_mixer)(signals, noise, snr)
     return mixed
 

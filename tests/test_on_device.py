@@ -58,20 +58,19 @@ class TestNoiseBank:
         np.testing.assert_array_equal(mixed, mixed2)
 
     def test_mix_matches_reference_mixer_for_known_draw(self, noise_bank):
-        """The per-example mix is exactly audio.snr_mixer on the gathered
+        """The per-example mix is exactly audio.snr_mixer on the sliced
         noise clip."""
         bank, lengths = noise_bank
         clean = jnp.asarray(testutil.sinewave(300, RATE, 1.0))[None, :]
         key = jax.random.PRNGKey(1)
         mixed = np.asarray(on_device.mix_noise_from_bank(
             key, clean, bank, lengths, (15.0, 15.0)))[0]
-        # reproduce the draw
+        # reproduce the draw: random row + contiguous random-offset slice
         k_idx, k_snr, k_off = jax.random.split(key, 3)
         idx = int(jax.random.randint(k_idx, (1,), 0, 3)[0])
-        off = int(jax.random.randint(k_off, (1,), 0, 1 << 30)[0])
-        n = int(lengths[idx])
-        pos = (off + np.arange(RATE)) % n
-        noise = np.asarray(bank)[idx][pos]
+        bank_T = bank.shape[1]
+        off = int(jax.random.randint(k_off, (1,), 0, bank_T - RATE + 1)[0])
+        noise = np.asarray(bank)[idx][off:off + RATE]
         _, _, expected = audio.snr_mixer(clean[0], jnp.asarray(noise), 15.0)
         np.testing.assert_allclose(mixed, np.asarray(expected), rtol=1e-5,
                                    atol=1e-6)
