@@ -1,0 +1,120 @@
+"""
+Device featurizer, parallel helpers, and observability tests.
+"""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lidbox_tpu import parallel, testutil
+from lidbox_tpu.data.device_pipeline import DeviceFeatureExtractor, pick_bucket
+from lidbox_tpu.train.observability import (MetricsLogger, ThroughputMeter,
+                                            cprofile, profiler)
+
+RATE = 16000
+
+
+class TestDeviceFeatureExtractor:
+    def test_bucketing_bounds_compiled_shapes(self):
+        ex = DeviceFeatureExtractor({
+            "type": "logmelspectrogram",
+            "melspectrogram": {"num_mel_bins": 24},
+            "signal_buckets": (8000, 16000, 32000),
+            "batch_buckets": (2, 4)})
+        rng = np.random.default_rng(0)
+        sigs = [rng.normal(0, 0.3, n).astype(np.float32)
+                for n in (5000, 9000, 20000)]
+        feats = ex.extract_ragged(sigs, RATE)
+        for sig, f in zip(sigs, feats):
+            assert f.shape == (ex.num_frames(len(sig), RATE), 24)
+        assert pick_bucket(5000, (8000, 16000)) == 8000
+        assert pick_bucket(99999, (8000, 16000)) == 16000
+
+    def test_validate_finite_raises_on_nan(self):
+        ex = DeviceFeatureExtractor({"type": "spectrogram",
+                                     "validate_finite": True})
+        sigs = np.full((2, 8000), np.nan, np.float32)
+        with pytest.raises(FloatingPointError):
+            ex(sigs, RATE)
+
+    def test_mfcc_type(self):
+        ex = DeviceFeatureExtractor({
+            "type": "mfcc", "melspectrogram": {"num_mel_bins": 40},
+            "mfcc": {"coef_begin": 1, "coef_end": 13}})
+        sig = testutil.sinewave(200, RATE, 1.0)
+        out = ex(np.stack([sig]), RATE)
+        assert out.shape[2] == 12
+        assert np.all(np.isfinite(out))
+
+
+class TestParallelHelpers:
+    def test_mesh_and_shardings(self):
+        mesh = parallel.get_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.devices.size == 8
+        batch = {"x": np.zeros((16, 4), np.float32)}
+        sharded = parallel.shard_batch(batch, mesh)
+        assert sharded["x"].sharding.is_equivalent_to(
+            parallel.batch_sharding(mesh), 2)
+
+    def test_sub_mesh(self):
+        mesh = parallel.get_mesh(num_devices=4)
+        assert mesh.devices.size == 4
+
+    def test_pad_batch_to(self):
+        batch = {"x": np.ones((5, 3), np.float32), "y": np.arange(5)}
+        padded, mask = parallel.pad_batch_to(batch, 8)
+        assert padded["x"].shape == (8, 3)
+        assert padded["y"].shape == (8,)
+        np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 0, 0, 0])
+
+    def test_replicated_state_psum(self):
+        """Gradient-style psum across the mesh via shard_map."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        mesh = parallel.get_mesh()
+        x = np.arange(8, dtype=np.float32)
+
+        def f(x):
+            return jax.lax.psum(x, "data")
+        out = jax.jit(shard_map(f, mesh=mesh, in_specs=P("data"),
+                                out_specs=P("data")))(x)
+        np.testing.assert_allclose(np.asarray(out), np.full(8, x.sum()))
+
+    def test_initialize_distributed_noop(self):
+        parallel.initialize_distributed()  # no coordinator -> no-op
+
+
+class TestObservability:
+    def test_metrics_logger_and_reader(self, tmp_path):
+        logger = MetricsLogger(str(tmp_path))
+        logger.log(1, {"loss": 0.5, "acc": jnp.float32(0.9)})
+        logger.log(2, {"loss": 0.4})
+        logger.close()
+        from lidbox_tpu.system import iter_log_events
+        events = list(iter_log_events(os.path.join(tmp_path, "events.jsonl")))
+        assert (1, "loss", 0.5) in [(s, t, v) for _, s, t, v in events]
+        assert len(events) == 3
+
+    def test_throughput_meter(self):
+        meter = ThroughputMeter()
+        meter.update(10, audio_seconds=30.0)
+        time.sleep(0.01)
+        rates = meter.rates()
+        assert rates["examples_per_sec"] > 0
+        assert rates["audio_rtf"] > 0
+
+    def test_cprofile_context(self, tmp_path):
+        out = str(tmp_path / "prof.log")
+        with cprofile(output_path=out, enabled=True):
+            sum(range(1000))
+        assert os.path.getsize(out) > 0
+
+    def test_profiler_disabled_is_noop(self):
+        with profiler(None, enabled=False):
+            pass
