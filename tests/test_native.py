@@ -81,3 +81,41 @@ class TestNativeDecode:
         with ThreadPoolExecutor(max_workers=8) as pool:
             results = list(pool.map(native.read_wav, paths))
         assert all(r[1] == RATE and r[0].shape == (RATE // 2,) for r in results)
+
+
+class TestNativeFuzz:
+    def test_random_garbage_never_crashes(self, tmp_path):
+        """The C++ parser must reject arbitrary garbage cleanly (error
+        codes, not crashes) — it runs on untrusted corpus files."""
+        rng = np.random.default_rng(0)
+        outcomes = []
+        for i in range(60):
+            p = tmp_path / f"fuzz{i}.bin"
+            n = int(rng.integers(0, 2000))
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            if i % 3 == 0:  # bias toward RIFF-looking headers
+                data = b"RIFF" + data
+            if i % 5 == 0:
+                data = (b"RIFF" + (1 << 31).to_bytes(4, "little") + b"WAVE"
+                        + b"fmt " + (16).to_bytes(4, "little") + data)
+            p.write_bytes(data)
+            try:
+                native.read_wav(p)
+                outcomes.append("ok")
+            except ValueError:
+                outcomes.append("rejected")
+            native.wav_header_is_valid(p)  # must not crash either
+        assert outcomes.count("rejected") >= 55  # nearly all garbage rejected
+
+    def test_truncated_real_wav_rejected(self, tmp_path):
+        sig = testutil.sinewave(100, RATE, 0.2)
+        p = _write(tmp_path, sig)
+        raw = p.read_bytes()
+        for cut in (10, 44, 100, len(raw) - 4):
+            q = tmp_path / f"cut{cut}.wav"
+            q.write_bytes(raw[:cut])
+            try:
+                data, rate = native.read_wav(q)
+                assert len(data) <= sig.size
+            except ValueError:
+                pass  # clean rejection is fine
