@@ -31,10 +31,14 @@ FEATURE_KWARG_KEYS = ("spectrogram", "melspectrogram", "mfcc", "db_spectrogram",
 
 
 def pick_bucket(value, buckets):
+    """Smallest bucket >= value; values beyond the largest bucket round up
+    to the next multiple of it (so oversized batches/signals still fit, at
+    the cost of an extra compiled shape)."""
     for b in buckets:
         if value <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return -(-value // top) * top
 
 
 class DeviceFeatureExtractor:

@@ -33,7 +33,20 @@ class TestDeviceFeatureExtractor:
         for sig, f in zip(sigs, feats):
             assert f.shape == (ex.num_frames(len(sig), RATE), 24)
         assert pick_bucket(5000, (8000, 16000)) == 8000
-        assert pick_bucket(99999, (8000, 16000)) == 16000
+        # beyond the largest bucket: round up to a multiple of it
+        assert pick_bucket(99999, (8000, 16000)) == 7 * 16000
+
+    def test_oversized_batch_and_signal_still_work(self):
+        ex = DeviceFeatureExtractor({
+            "type": "logmelspectrogram",
+            "melspectrogram": {"num_mel_bins": 24},
+            "signal_buckets": (8000,), "batch_buckets": (2,)})
+        rng = np.random.default_rng(0)
+        sigs = [rng.normal(0, 0.3, 20000).astype(np.float32) for _ in range(5)]
+        feats = ex.extract_ragged(sigs, RATE)
+        assert len(feats) == 5
+        for f in feats:
+            assert f.shape == (ex.num_frames(20000, RATE), 24)
 
     def test_validate_finite_raises_on_nan(self):
         ex = DeviceFeatureExtractor({"type": "spectrogram",
