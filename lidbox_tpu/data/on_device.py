@@ -17,7 +17,7 @@ tf.data on the host (reference: lidbox/data/steps.py:235-368). Here:
   compile into ONE jit program; the host only feeds raw waveform batches.
 """
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import numpy as np
 
 import lidbox_tpu
 from lidbox_tpu import RANDOM_SEED, get_logger
-from lidbox_tpu.data.dataset import Dataset, padded_batch
+from lidbox_tpu.data.dataset import Dataset
 from lidbox_tpu.data.device_pipeline import DeviceFeatureExtractor
 from lidbox_tpu.features import io as audio_io
 

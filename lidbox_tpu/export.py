@@ -15,7 +15,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 import lidbox_tpu.models as model_registry

@@ -12,7 +12,6 @@ All functions are jit/pjit-compatible and differentiable; loss values are
 per-example so data-parallel training can ``psum`` means across the mesh.
 """
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from .layers import batch_norm, global_avg_pool_1d
 from .model_api import Model

@@ -11,7 +11,6 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from .layers import FrameLayer, GlobalMeanStddevPooling1D, SpatialDropout1D
 from .model_api import Model, as_embedding_extractor  # noqa: F401

@@ -4,7 +4,6 @@ readers (reference: lidbox/system.py).
 """
 import hashlib
 import json
-import multiprocessing
 import shutil
 import subprocess
 from concurrent.futures import ThreadPoolExecutor

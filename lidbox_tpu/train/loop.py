@@ -14,9 +14,8 @@ functional loop:
   replacing Keras callbacks, with the reference's best-by-metric
   checkpoint naming and ``initial_epoch`` resume.
 """
-import os
 import time
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ signal/feature/embedding heatmaps, PCA scatter
 All functions return the matplotlib figure (instead of calling plt.show())
 so they compose in notebooks and headless pipelines alike.
 """
-import matplotlib
-
 import numpy as np
 import pandas as pd
 
