@@ -1,0 +1,91 @@
+"""
+Batched inference service: wav files in, language scores out.
+
+The user-facing deployment surface the reference assembled by hand in
+notebooks (predict_with_model + merge_chunk_predictions + report,
+reference: lidbox/util.py:23-57): decode -> chunk -> features -> jitted
+model forward per shape bucket -> chunk-score merge, with the model
+restored from a training checkpoint or an exported artifact.
+"""
+import numpy as np
+
+import jax
+
+import lidbox_tpu.util as util
+from lidbox_tpu import get_logger
+from lidbox_tpu.data.dataset import Dataset
+from lidbox_tpu.data.device_pipeline import DeviceFeatureExtractor
+from lidbox_tpu.data import steps as steps_mod
+from lidbox_tpu.features import io as audio_io
+
+logger = get_logger("serve")
+
+
+class Classifier:
+    """End-to-end LId classifier over audio files."""
+
+    def __init__(self, model, labels, feature_config=None, chunk_length_ms=None,
+                 chunk_step_ms=None, batch_size=32, compute_dtype=None):
+        """Args:
+            model: an initialized lidbox_tpu Model (e.g. restored via
+                export.load_model or ModelWrapper).
+            labels: ordered label list (index = model output).
+            feature_config: features section of the config (defaults to
+                64-bin log-Mel).
+            chunk_length_ms/chunk_step_ms: optional utterance chunking;
+                chunk scores are averaged back per utterance
+                (reference merge semantics, util.py:41-57).
+        """
+        if model.variables is None:
+            model.init()
+        self.model = model
+        self.labels = list(labels)
+        self.extractor = DeviceFeatureExtractor(dict(feature_config or {
+            "type": "logmelspectrogram",
+            "melspectrogram": {"num_mel_bins": 64}}))
+        self.chunk_length_ms = chunk_length_ms
+        self.chunk_step_ms = chunk_step_ms
+        self.batch_size = batch_size
+        self._apply = jax.jit(
+            lambda v, x: model.apply(v, x, train=False,
+                                     compute_dtype=compute_dtype))
+
+    def _dataset(self, paths, ids=None):
+        ids = ids or [str(p) for p in paths]
+
+        def gen():
+            for pid, path in zip(ids, paths):
+                signal, rate = audio_io.read_audio(path)
+                yield {"id": pid, "signal": signal.astype(np.float32),
+                       "sample_rate": np.int32(rate)}
+        ds = Dataset(gen)
+        if self.chunk_length_ms:
+            ds = steps_mod.create_signal_chunks(
+                ds, self.chunk_length_ms,
+                self.chunk_step_ms or self.chunk_length_ms)
+        return steps_mod.extract_features(
+            ds, {**self.extractor.feature_kwargs,
+                 "type": self.extractor.feature_type,
+                 "batch_size": self.batch_size})
+
+    def scores(self, paths, ids=None):
+        """id-indexed DataFrame of per-utterance score vectors (chunk
+        scores averaged)."""
+        ds = self._dataset(paths, ids)
+        predict_fn = lambda x: np.asarray(
+            jax.device_get(self._apply(self.model.variables, x)))
+        chunk_scores = util.predict_with_model(
+            self.model, ds, predict_fn=predict_fn, batch_size=self.batch_size)
+        if self.chunk_length_ms:
+            return util.merge_chunk_predictions(chunk_scores)
+        return chunk_scores
+
+    def classify(self, paths, ids=None):
+        """DataFrame with predicted ``label`` and per-label score columns."""
+        df = self.scores(paths, ids)
+        scores = np.stack(list(df.prediction))
+        out = df.drop(columns=["prediction"])
+        out["label"] = [self.labels[i] for i in scores.argmax(axis=1)]
+        for i, lab in enumerate(self.labels):
+            out[f"score_{lab}"] = scores[:, i]
+        return out

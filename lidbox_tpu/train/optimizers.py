@@ -62,7 +62,10 @@ def schedule_from_config(config):
 def optimizer_from_config(config):
     """Build (optax optimizer, lr schedule or float) from an optimizer
     config dict; ``lr_scheduler`` inside kwargs is resolved first
-    (reference: keras_utils.py:136-140)."""
+    (reference: keras_utils.py:136-140).
+
+    Keras-style ``clipnorm`` / ``clipvalue`` kwargs become optax gradient
+    transforms chained before the optimizer."""
     cls = config["cls"]
     if cls not in OPTIMIZERS:
         raise KeyError(f"unknown optimizer {cls!r}; valid: {sorted(OPTIMIZERS)}")
@@ -71,4 +74,14 @@ def optimizer_from_config(config):
     if "lr_scheduler" in kwargs:
         lr = schedule_from_config(kwargs.pop("lr_scheduler"))
         kwargs["learning_rate"] = lr
-    return OPTIMIZERS[cls](**kwargs), lr
+    clipnorm = kwargs.pop("clipnorm", None)
+    clipvalue = kwargs.pop("clipvalue", None)
+    opt = OPTIMIZERS[cls](**kwargs)
+    transforms = []
+    if clipnorm is not None:
+        transforms.append(optax.clip_by_global_norm(clipnorm))
+    if clipvalue is not None:
+        transforms.append(optax.clip(clipvalue))
+    if transforms:
+        opt = optax.chain(*transforms, opt)
+    return opt, lr

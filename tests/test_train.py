@@ -219,3 +219,13 @@ class TestMixedPrecision:
         assert np.isfinite(h[-1]["loss"])
         bs_leaves = jax.tree_util.tree_leaves(trainer.state.batch_stats)
         assert all(l.dtype == np.float32 for l in bs_leaves)
+
+    def test_clipnorm_clipvalue(self):
+        opt, _ = optimizer_from_config({
+            "cls": "Adam", "kwargs": {"learning_rate": 1.0, "clipnorm": 0.1}})
+        params = {"w": np.zeros(4, np.float32)}
+        state = opt.init(params)
+        huge = {"w": np.full(4, 1e6, np.float32)}
+        updates, _ = opt.update(huge, state, params)
+        # clipped global norm bounds the adam pre-normalized input
+        assert np.all(np.isfinite(updates["w"]))
