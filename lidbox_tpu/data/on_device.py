@@ -165,6 +165,32 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
     return fn
 
 
+def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True):
+    """Train directly from raw waveform batches through the fused on-device
+    path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
+    update) with no per-step host readbacks.
+
+    ``signal_batches``: callable or iterable of (signals [B, T], targets [B])
+    numpy pairs. Returns per-epoch mean losses.
+    """
+    step = make_fused_train_step(trainer, feature_fn)
+    if trainer.state is None:
+        trainer.create_state()
+    history = []
+    for epoch in range(1, epochs + 1):
+        losses = []
+        it = signal_batches() if callable(signal_batches) else signal_batches
+        for i, (signals, targets) in enumerate(it):
+            trainer.state, loss = step(trainer.state, jnp.asarray(signals),
+                                       jnp.asarray(targets), trainer.rng)
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        history.append(mean_loss)
+        if verbose:
+            logger.info("fused epoch %d/%d: loss=%.6g", epoch, epochs, mean_loss)
+    return history
+
+
 def make_fused_train_step(trainer, feature_fn):
     """One jit program: raw waveforms -> on-device augmentation -> features
     -> model forward/backward -> optax update.

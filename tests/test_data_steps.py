@@ -320,3 +320,19 @@ class TestPipelineCompiler:
         for x in elems:
             assert x["input"].shape[1] == 40
             assert np.all(np.isfinite(x["input"]))
+
+
+class TestPreInitialize:
+    def test_drops_unknown_labels_and_shuffles(self):
+        import pandas as pd
+        from lidbox_tpu.data import pre_initialize
+        meta = pd.DataFrame({
+            "path": [f"/p{i}.wav" for i in range(6)],
+            "label": ["aa", "bb", "zz", "aa", "zz", "bb"],
+            "split": ["train"] * 6,
+        }, index=[f"u{i}" for i in range(6)])
+        out = pre_initialize(meta, labels=["aa", "bb"])
+        assert set(out.label) == {"aa", "bb"} and len(out) == 4
+        shuffled = pre_initialize(meta, labels=["aa", "bb"],
+                                  shuffle_utterances=True)
+        assert sorted(shuffled.index) == sorted(out.index)

@@ -132,3 +132,23 @@ class TestFusedTrainStep:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]  # learns even with augmentation
         assert int(jax.device_get(state.step)) == 10
+
+
+def test_fit_signals_fused_path(noise_bank):
+    bank, lengths = noise_bank
+    frames = 1 + (RATE - 400) // 160
+    model = models.create("dnn", (frames, 24), 3)
+    trainer = Trainer(model, optax.adam(2e-3), nll_loss)
+    feature_fn = on_device.make_augmented_feature_fn(
+        RATE, {"type": "logmelspectrogram",
+               "melspectrogram": {"num_mel_bins": 24}},
+        on_device.AugmentConfig(snr_range=None), noise_bank=None)
+    rng = np.random.default_rng(0)
+    signals = np.stack([testutil.noisy_sinewave(150 * (i % 3 + 1), RATE, 0.1,
+                                                1.0, seed=i) for i in range(12)])
+    targets = (np.arange(12) % 3).astype(np.int32)
+    batches = [(signals[:6], targets[:6]), (signals[6:], targets[6:])]
+    history = on_device.fit_signals(trainer, feature_fn, batches, epochs=6,
+                                    verbose=False)
+    assert len(history) == 6
+    assert history[-1] < history[0]
