@@ -131,3 +131,56 @@ class TestObservability:
     def test_profiler_disabled_is_noop(self):
         with profiler(None, enabled=False):
             pass
+
+
+class TestShardMapTrainStep:
+    def test_matches_gspmd_trajectory(self):
+        """Explicit pmean collectives (shard_map) and GSPMD auto-sharding
+        must produce identical training trajectories."""
+        import optax
+        import lidbox_tpu.models as models
+        from lidbox_tpu.losses import nll_loss
+        from lidbox_tpu.parallel.spmd import make_shard_map_train_step
+        from lidbox_tpu.train.loop import Trainer
+
+        mesh = parallel.get_mesh()
+        model = models.create("dnn", (12, 6), 3)
+        rng = np.random.default_rng(0)
+        batch = {"input": rng.normal(0, 1, (16, 12, 6)).astype(np.float32),
+                 "target": rng.integers(0, 3, 16).astype(np.int32)}
+
+        t_auto = Trainer(model, optax.adam(1e-2), nll_loss, mesh=mesh)
+        t_auto.create_state()
+        state_auto = t_auto.state
+        import copy
+        step_manual = make_shard_map_train_step(model, optax.adam(1e-2),
+                                                nll_loss, mesh)
+        state_manual = jax.device_put(
+            jax.device_get(state_auto), parallel.replicated(mesh))
+
+        losses_a, losses_m = [], []
+        for i in range(3):
+            state_auto, la = t_auto._jit_train_step(
+                state_auto, t_auto._put(dict(batch)), t_auto.rng)
+            with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _nullctx():
+                state_manual, lm = step_manual(
+                    state_manual, parallel.shard_batch(dict(batch), mesh),
+                    t_auto.rng)
+            losses_a.append(float(jax.device_get(la)))
+            losses_m.append(float(jax.device_get(lm)))
+        np.testing.assert_allclose(losses_m, losses_a, rtol=1e-5)
+        pa = jax.device_get(state_auto.params)
+        pm = jax.device_get(state_manual.params)
+        # GSPMD reduces sums globally; shard_map pmeans per-shard means —
+        # different reduction order gives ~1e-6 float noise through adam.
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+            pa, pm)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _nullctx():
+    yield
