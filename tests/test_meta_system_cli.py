@@ -203,3 +203,48 @@ class TestCLI:
         assert main(["evaluate", str(cfg)]) == 0
         report = json.loads(capsys.readouterr().out)
         assert "accuracy" in report and "avg_detection_cost" in report
+
+    def test_extract_embeddings_command(self, tmp_path, audio_fixtures):
+        """Full CLI journey: train -> checkpoints -> extract-embeddings npz."""
+        from lidbox_tpu.cli import main
+        import yaml
+        meta = _meta(audio_fixtures)
+        csv = tmp_path / "meta.csv"
+        meta.reset_index().to_csv(csv, index=False)
+        cache = str(tmp_path / "cache")
+        experiment = {
+            "cache_directory": cache, "name": "t",
+            "input_shape": [298, 24], "output_shape": [3],
+            "model": {"key": "xvector"},
+            "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+            "loss": {"cls": "SparseCategoricalCrossentropy"},
+            "callbacks": [{"cls": "ModelCheckpoint",
+                           "kwargs": {"monitor": "val_loss", "mode": "min"}}],
+            "epochs": 1,
+            "data": {"train": {"split": "train", "batch_size": 4},
+                     "test": {"split": "test"}}}
+        config = {
+            "metadata": {"csv": str(csv)},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 24},
+                         "group_by_input_length": {"max_batch_size": 8}},
+            "experiment": experiment,
+        }
+        cfg = tmp_path / "config.yaml"
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg)]) == 0
+
+        config["embeddings"] = {
+            "extractors": [{
+                "cache_directory": cache, "model": {"key": "xvector"},
+                "experiment_name": "t", "input_shape": [298, 24],
+                "output_shape": [3],
+                "best_checkpoint": {"monitor": "val_loss", "mode": "min"}}],
+            "batch_size": 4}
+        cfg.write_text(yaml.safe_dump(config))
+        out = tmp_path / "emb.npz"
+        assert main(["extract-embeddings", str(cfg), str(out),
+                     "--split", "test"]) == 0
+        data = np.load(out)
+        assert data["embeddings"].shape == (2, 512)
+        assert len(data["ids"]) == 2
