@@ -3,8 +3,12 @@ Fused waveform -> log-Mel kernels for TPU.
 
 The hot path of the whole framework (reference equivalent:
 tf.signal.stft + mel matmul + log inside the tf.data graph,
-lidbox/data/tf_utils.py:166-195). Three implementations, fastest first on
-TPU:
+lidbox/data/tf_utils.py:166-195). Implementations (v5e, b256 x 3 s, full
+f32 parity): logmel_reference ~1.3 ms, fused_logmel_pipelined ~3.6 ms,
+logmel_conv ~4.9 ms. The XLA gather+matmul path wins on time (the Pallas
+segment decomposition pads the DFT contraction 400->768 for Mosaic lane
+alignment); the Pallas kernels win on memory (no [B, frames, 512] frame
+tensor in HBM), which matters for long-audio/large-batch workloads.
 
 1. ``fused_logmel`` — a Pallas kernel: each grid cell DMAs a span of raw
    signal HBM->VMEM, builds overlapping frames in VMEM (no [B, frames, 512]
@@ -166,6 +170,12 @@ def fused_logmel(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
     num_frames = max(0, 1 + (T - frame_length) // frame_step)
     assert num_frames > 0, "signal shorter than one frame"
 
+    # Fit the tile to the actual frame count (sublane-rounded) when that
+    # keeps VMEM happy: a single exact tile avoids paying for padding
+    # frames (e.g. 298 frames in one 304-tile instead of two 256-tiles).
+    exact = _round_up(num_frames, 8)
+    if exact <= max(frames_per_tile, 1024):
+        frames_per_tile = exact
     num_tiles = -(-num_frames // frames_per_tile)
     Wc_seg, Ws_seg, M = (jnp.asarray(a) for a in _segmented_bases(
         frame_length, frame_step, fft_length, num_mel_bins,
@@ -216,6 +226,104 @@ def fused_logmel(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
             bytes_accessed=4 * B * (T + num_tiles * frames_per_tile * m_pad),
             transcendentals=B * num_tiles * frames_per_tile * m_pad),
     )(signal_rows, Wc_seg, Ws_seg, M)
+    return out[:, :num_frames, :num_mel_bins]
+
+
+def _logmel_kernel_pipelined(main_ref, tail_ref, wc_ref, ws_ref, mel_ref,
+                             out_ref, *, frames_per_tile, num_segments):
+    """Pipelined variant: signal rows arrive through BlockSpec-managed
+    blocks (Mosaic double-buffers them automatically, overlapping the HBM
+    fetch of tile t+1 with the compute of tile t) instead of a blocking
+    manual DMA. The n_seg-1 overlap rows each tile needs from its
+    neighbour are precomputed host-side into ``tails``.
+    """
+    prec = jax.lax.Precision.HIGHEST
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    main = main_ref[0]          # [F, step_pad]
+    tail = tail_ref[0, 0]       # [8, step_pad] (first n_seg-1 rows valid)
+    real = dot(main, wc_ref[0])
+    imag = dot(main, ws_ref[0])
+    for s in range(1, num_segments):
+        # Segment s of frame i is signal row i+s: main rows [s, F) then the
+        # first s tail rows.
+        Rs = jnp.concatenate([main[s:], tail[:s]], axis=0)
+        real += dot(Rs, wc_ref[s])
+        imag += dot(Rs, ws_ref[s])
+    power = real * real + imag * imag
+    out_ref[0] = jnp.log(dot(power, mel_ref[:]) + 1e-6)
+
+
+def fused_logmel_pipelined(signals, sample_rate, frame_length_ms=25,
+                           frame_step_ms=10, fft_length=512, num_mel_bins=64,
+                           fmin=0.0, fmax=8000.0, frames_per_tile=256):
+    """fused_logmel with BlockSpec-managed input pipelining (see
+    _logmel_kernel_pipelined). Identical numerics."""
+    frame_length = audio.ms_to_frames(sample_rate, frame_length_ms)
+    frame_step = audio.ms_to_frames(sample_rate, frame_step_ms)
+    B, T = signals.shape
+    num_frames = max(0, 1 + (T - frame_length) // frame_step)
+    assert num_frames > 0, "signal shorter than one frame"
+
+    # Fit the tile to the actual frame count (sublane-rounded) when that
+    # keeps VMEM happy: a single exact tile avoids paying for padding
+    # frames (e.g. 298 frames in one 304-tile instead of two 256-tiles).
+    exact = _round_up(num_frames, 8)
+    if exact <= max(frames_per_tile, 1024):
+        frames_per_tile = exact
+    num_tiles = -(-num_frames // frames_per_tile)
+    Wc_seg, Ws_seg, M = (jnp.asarray(a) for a in _segmented_bases(
+        frame_length, frame_step, fft_length, num_mel_bins,
+        int(sample_rate), float(fmin), float(fmax)))
+    n_seg = Wc_seg.shape[0]
+    nb_pad, m_pad = M.shape
+    step_pad = _round_up(frame_step, LANE)
+
+    total_rows = num_tiles * frames_per_tile + n_seg - 1
+    needed = total_rows * frame_step
+    if needed > T:
+        signals = jnp.pad(signals, ((0, 0), (0, needed - T)))
+    rows = signals[:, :needed].reshape(B, total_rows, frame_step)
+    if step_pad > frame_step:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, step_pad - frame_step)))
+    main = rows[:, :num_tiles * frames_per_tile]
+    # Overlap rows per tile: rows [(t+1)*F, (t+1)*F + n_seg - 1), padded to
+    # 8 sublanes. Tiny ([B, tiles, 8, step_pad]).
+    tail_idx = (np.arange(num_tiles)[:, None] * frames_per_tile
+                + frames_per_tile + np.arange(8)[None, :])
+    tail_idx = np.minimum(tail_idx, total_rows - 1)
+    tails = rows[:, jnp.asarray(tail_idx)]          # [B, tiles, 8, step_pad]
+
+    out = pl.pallas_call(
+        functools.partial(_logmel_kernel_pipelined,
+                          frames_per_tile=frames_per_tile, num_segments=n_seg),
+        grid=(B, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, frames_per_tile, step_pad),
+                         lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, step_pad), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_pad, m_pad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, frames_per_tile, m_pad),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, num_tiles * frames_per_tile, m_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * num_tiles * frames_per_tile
+            * (n_seg * step_pad * nb_pad * 2 + nb_pad * m_pad),
+            bytes_accessed=4 * B * (T + num_tiles * frames_per_tile * m_pad),
+            transcendentals=B * num_tiles * frames_per_tile * m_pad),
+    )(main, tails, Wc_seg, Ws_seg, M)
     return out[:, :num_frames, :num_mel_bins]
 
 
