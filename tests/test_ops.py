@@ -62,3 +62,16 @@ class TestFusedLogmelInterpret:
             fused = np.asarray(fused_logmel(x, RATE, frames_per_tile=32))
         assert fused.shape == (1, 32, 64)
         np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedLogmelPipelined:
+    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32)])
+    def test_matches_reference(self, seconds, tile):
+        from lidbox_tpu.ops.logmel import fused_logmel_pipelined
+        x = _signals(2, seconds)
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fused_logmel_pipelined(x, RATE,
+                                                    frames_per_tile=tile))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
