@@ -2,4 +2,9 @@
 TPU kernels: fused Pallas implementations of the hot DSP ops
 (SURVEY.md §7 phase 1 perf deliverable).
 """
-from .logmel import fused_logmel, logmel_conv, logmel_reference  # noqa: F401
+from .logmel import (  # noqa: F401
+    fused_logmel,
+    fused_logmel_pipelined,
+    logmel_conv,
+    logmel_reference,
+)
