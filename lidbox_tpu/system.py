@@ -99,10 +99,16 @@ def iter_log_events(path):
     """
     path = str(path)
     if "tfevents" in path:
+        import tensorflow as tf
         from tensorflow.python.summary.summary_iterator import summary_iterator
         for event in summary_iterator(path):
             for value in getattr(event.summary, "value", []):
-                yield event.wall_time, event.step, value.tag, value.simple_value
+                if value.HasField("tensor"):
+                    # TF2 scalars arrive as tensor protos
+                    scalar = float(tf.make_ndarray(value.tensor))
+                else:
+                    scalar = value.simple_value
+                yield event.wall_time, event.step, value.tag, scalar
         return
     with open(path, encoding="utf-8") as f:
         for line in f:
