@@ -288,7 +288,13 @@ def padded_batch(elements, key, pad_axis=0, buckets=None):
     target = int(lengths.max())
     if buckets is not None:
         larger = [b for b in buckets if b >= target]
-        target = larger[0] if larger else int(buckets[-1])
+        if larger:
+            target = larger[0]
+        else:
+            # beyond the largest bucket: round up to a multiple of it (a new
+            # compiled shape) rather than silently truncating data
+            top = int(buckets[-1])
+            target = -(-target // top) * top
     out = []
     for e in elements:
         arr = e[key]

@@ -336,3 +336,30 @@ class TestPreInitialize:
         shuffled = pre_initialize(meta, labels=["aa", "bb"],
                                   shuffle_utterances=True)
         assert sorted(shuffled.index) == sorted(out.index)
+
+
+class TestEdgeCases:
+    def test_from_steps_requires_initialize_first(self):
+        with pytest.raises(ValueError, match="initialize"):
+            from_steps([Step("shuffle", {"buffer_size": 4})])
+
+    def test_take_and_concatenate(self):
+        a = Dataset.from_elements([{"v": i} for i in range(5)])
+        b = Dataset.from_elements([{"v": i} for i in range(10, 12)])
+        out = [x["v"] for x in a.take(2).concatenate(b)]
+        assert out == [0, 1, 10, 11]
+
+    def test_padded_batch_beyond_largest_bucket_does_not_truncate(self):
+        elems = [{"x": np.ones((50, 2), np.float32), "id": "a"}]
+        batch = padded_batch(elems, "x", buckets=(8, 16))
+        # rounds up to a multiple of the largest bucket instead of cutting
+        assert batch["x"].shape[1] == 64
+        assert batch["x_length"][0] == 50
+        np.testing.assert_array_equal(batch["x"][0, :50], 1.0)
+
+    def test_empty_dataset_everywhere(self):
+        empty = Dataset.from_elements([])
+        assert empty.collect() == []
+        assert empty.batch(4).collect() == []
+        assert empty.shuffle(10).collect() == []
+        assert steps_mod.drop_empty(empty).collect() == []
