@@ -66,18 +66,26 @@ class DeviceFeatureExtractor:
                                if config.get(k)}
         self._jit_by_rate = {}
 
-    def _get_fn(self, sample_rate):
-        fn = self._jit_by_rate.get(sample_rate)
+    def _get_fn(self, sample_rate, masked=False):
+        fn = self._jit_by_rate.get((sample_rate, masked))
         if fn is None:
             feature_type, kwargs = self.feature_type, self.feature_kwargs
             stft_method = self.stft_method
 
-            @jax.jit
-            def extract(signals):
-                return F.extract_features(signals, sample_rate,
-                                          feature_type=feature_type,
-                                          stft_method=stft_method, **kwargs)
-            fn = self._jit_by_rate[sample_rate] = extract
+            if masked:
+                @jax.jit
+                def extract(signals, lengths):
+                    return F.extract_features(signals, sample_rate,
+                                              feature_type=feature_type,
+                                              stft_method=stft_method,
+                                              lengths=lengths, **kwargs)
+            else:
+                @jax.jit
+                def extract(signals):
+                    return F.extract_features(signals, sample_rate,
+                                              feature_type=feature_type,
+                                              stft_method=stft_method, **kwargs)
+            fn = self._jit_by_rate[(sample_rate, masked)] = extract
         return fn
 
     def num_frames(self, num_samples, sample_rate):
@@ -99,15 +107,25 @@ class DeviceFeatureExtractor:
     def extract_ragged(self, signal_list, sample_rate):
         """List of 1-D numpy signals (any lengths) -> list of [frames_i, C]
         feature arrays. Signals are padded to a length bucket and the batch
-        to a batch bucket, run through one XLA program, then sliced back to
-        each signal's true frame count."""
+        to a batch bucket, run through one XLA program with the true lengths
+        threaded in (so per-sample statistics — min-max scaling, window
+        normalization — see only real frames), then sliced back to each
+        signal's true frame count."""
         lengths = [len(s) for s in signal_list]
         t_bucket = pick_bucket(max(lengths), self.signal_buckets)
         b_bucket = pick_bucket(len(signal_list), self.batch_buckets)
         batch = np.zeros((b_bucket, t_bucket), np.float32)
+        clipped = np.zeros(b_bucket, np.int32)
         for i, s in enumerate(signal_list):
-            batch[i, :min(len(s), t_bucket)] = s[:t_bucket]
-        feats = self(batch, sample_rate)
+            clipped[i] = min(len(s), t_bucket)
+            batch[i, :clipped[i]] = s[:t_bucket]
+        fn = self._get_fn(int(sample_rate), masked=True)
+        feats = np.asarray(fn(batch, clipped))
+        if self.validate_finite and not np.all(np.isfinite(feats)):
+            bad = int((~np.isfinite(feats)).sum())
+            raise FloatingPointError(
+                f"feature extraction produced {bad} non-finite values "
+                f"(feature_type={self.feature_type})")
         out = []
         for i, n in enumerate(lengths):
             nf = self.num_frames(min(n, t_bucket), sample_rate)

@@ -63,6 +63,19 @@ def cmvn_masked(X, mask, axis=1):
     return jnp.where(mask, out, 0.0)
 
 
+def feature_scaling_masked(X, min, max, mask):
+    """Per-sample min-max scaling over valid frames only. ``mask`` is
+    broadcastable to X ([B, T, 1] for [B, T, F] features) with True marking
+    real frames; padded frames are zeroed. Matches ``feature_scaling`` with
+    axis=(1, ..) on each unpadded sample."""
+    X_min = jnp.min(jnp.where(mask, X, jnp.inf),
+                    axis=tuple(range(1, X.ndim)), keepdims=True)
+    X_max = jnp.max(jnp.where(mask, X, -jnp.inf),
+                    axis=tuple(range(1, X.ndim)), keepdims=True)
+    out = min + (max - min) * divide_no_nan(X - X_min, X_max - X_min)
+    return jnp.where(mask, out, 0.0)
+
+
 def window_normalization(X, axis=1, window_len=-1, normalize_variance=True):
     """Sliding-window CMVN over the time axis of [B, T, F] features
     (reference: lidbox/features/__init__.py:35-67).
@@ -106,6 +119,57 @@ def window_normalization(X, axis=1, window_len=-1, normalize_variance=True):
     return out
 
 
+def window_normalization_masked(X, frame_lengths, axis=1, window_len=-1,
+                                normalize_variance=True):
+    """Per-row exact ``window_normalization`` on a padded batch.
+
+    ``frame_lengths`` [B] gives each row's valid frame count; row i of the
+    result equals ``window_normalization(X[i:i+1, :n_i])`` padded back with
+    zeros. Rows with n_i <= window_len take the whole-row CMN/CMVN fallback
+    (masked), exactly as the reference falls back when the window covers all
+    frames (reference: lidbox/features/__init__.py:39-43).
+
+    The reflect padding the reference applies to each unpadded row is
+    reproduced with a per-row gather (static shapes): conceptual source
+    index q in the padded row maps to |q| on the left bounce and
+    2(n-1) - q on the right bounce. For rows on the windowed path
+    (n > window_len) a single bounce is always sufficient.
+    """
+    assert axis == 1, "window normalization is defined over the time axis of [B, T, F]"
+    B, T, _ = X.shape
+    n = frame_lengths.astype(jnp.int32)[:, None]                # [B, 1]
+    mask3 = (jnp.arange(T)[None, :] < n)[..., None]             # [B, T, 1]
+    fallback = (cmvn_masked(X, mask3) if normalize_variance
+                else cmn_masked(X, mask3))
+    if window_len == -1:
+        return fallback
+
+    pad_l = window_len // 2
+    pad_r = window_len // 2 - 1 + (window_len & 1)
+    q = jnp.arange(T + pad_l + pad_r) - pad_l                   # [Tp]
+    idx = jnp.abs(q)[None, :]                                   # left reflect
+    idx = jnp.where(idx >= n, 2 * (n - 1) - idx, idx)           # right reflect
+    idx = jnp.clip(idx, 0, T - 1)
+    Xp = jnp.take_along_axis(X, idx[..., None], axis=1)         # [B, Tp, F]
+
+    def sliding_sum(v):
+        return jax.lax.reduce_window(
+            v, 0.0, jax.lax.add,
+            window_dimensions=(1, window_len, 1),
+            window_strides=(1, 1, 1), padding="VALID")
+
+    inv_n = 1.0 / window_len
+    mean = sliding_sum(Xp) * inv_n
+    out = X - mean
+    if normalize_variance:
+        center, _ = _masked_moments(X, mask3, axis=1)           # conditioning
+        sq = sliding_sum(jnp.square(Xp - center)) * inv_n
+        var = jnp.maximum(sq - jnp.square(mean - center), 0.0)
+        out = divide_no_nan(out, jnp.sqrt(var))
+    out = jnp.where(n[..., None] <= window_len, fallback, out)
+    return jnp.where(mask3, out, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Feature-type dispatcher
 # ---------------------------------------------------------------------------
@@ -119,7 +183,8 @@ VALID_FEATURE_TYPES = (
 def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
                      spectrogram=None, melspectrogram=None, mfcc=None,
                      db_spectrogram=None, sample_minmax_scaling=None,
-                     window_normalization=None, stft_method="fft"):
+                     window_normalization=None, stft_method="fft",
+                     lengths=None):
     """Batched waveforms [B, T] -> features [B, frames, channels].
 
     JAX rebuild of the reference feature dispatcher
@@ -129,6 +194,11 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
     sliding-window normalization. The whole chain is one fused XLA program;
     with stft_method="matmul" the STFT itself rides the MXU.
 
+    ``lengths`` [B] (valid sample counts of a zero-padded batch) switches
+    the per-sample statistics stages — min-max scaling and window
+    normalization — to masked variants that reproduce each row's unpadded
+    numerics exactly; padded frames come back zeroed.
+
     Note: the reference's dispatcher had a latent AttributeError calling the
     nonexistent ``audio_features.melspectrograms``
     (lidbox/data/tf_utils.py:175); this implements the intended behavior.
@@ -136,6 +206,15 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
     assert feature_type in VALID_FEATURE_TYPES, feature_type
     spectrogram = spectrogram or {}
     S = audio.spectrograms(signals, sample_rate, method=stft_method, **spectrogram)
+    frame_mask = frame_lengths = None
+    if lengths is not None:
+        fl = audio.ms_to_frames(sample_rate,
+                                spectrogram.get("frame_length_ms", 25))
+        fs = audio.ms_to_frames(sample_rate,
+                                spectrogram.get("frame_step_ms", 10))
+        lengths = jnp.asarray(lengths, jnp.int32)
+        frame_mask = frame_mask_from_lengths(lengths, S.shape[1], fl, fs)
+        frame_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
     if feature_type == "spectrogram":
         X = S
     elif feature_type == "db_spectrogram":
@@ -152,13 +231,20 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
                 X = audio.mfcc(X, coef_begin=coef_begin, coef_end=coef_end)
     if sample_minmax_scaling:
         # Scale each sample's features into a fixed range over all axes but batch.
-        axes = tuple(range(1, X.ndim))
-        X = feature_scaling(X,
-                            sample_minmax_scaling.get("min", 0.0),
-                            sample_minmax_scaling.get("max", 1.0),
-                            axis=axes)
+        lo = sample_minmax_scaling.get("min", 0.0)
+        hi = sample_minmax_scaling.get("max", 1.0)
+        if frame_mask is not None:
+            X = feature_scaling_masked(X, lo, hi, frame_mask[..., None])
+        else:
+            X = feature_scaling(X, lo, hi, axis=tuple(range(1, X.ndim)))
     if window_normalization:
-        X = globals()["window_normalization"](X, **window_normalization)
+        if frame_lengths is not None:
+            X = window_normalization_masked(X, frame_lengths,
+                                            **window_normalization)
+        else:
+            X = globals()["window_normalization"](X, **window_normalization)
+    if frame_mask is not None:
+        X = jnp.where(frame_mask[..., None], X, 0.0)
     return X
 
 

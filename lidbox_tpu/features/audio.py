@@ -406,9 +406,13 @@ def framewise_rms_energy_vad_decisions_batch(signals, lengths, sample_rate,
     decisions = (rms > threshold) & valid
     min_non_speech_frames = ms_to_frames(sample_rate, min_non_speech_ms) // frame_step
     if min_non_speech_frames > 0:
+        # Mark padding True before smoothing so a trailing short non-speech
+        # run in the real signal keeps its true run length (it must not
+        # merge with the padding's False run, which would stop it from
+        # being inverted — per-utterance parity), then re-mask.
         smooth = jax.vmap(
             lambda m: invert_too_short_consecutive_false(m, min_non_speech_frames))
-        decisions = smooth(decisions) & valid
+        decisions = smooth(decisions | ~valid) & valid
     return decisions
 
 

@@ -78,9 +78,20 @@ def cross_entropy_with_logits(y_true_sparse, logits):
     return nll_loss(y_true_sparse, jax.nn.log_softmax(logits))
 
 
+def nll_loss_from_probs(y_true_sparse, probs):
+    """Per-example negative log likelihood [B] from *probability* outputs
+    [B, N] (softmax heads, e.g. the CRNN default). Matches Keras
+    SparseCategoricalCrossentropy(from_logits=False): probabilities are
+    clipped to [eps, 1-eps] before the log."""
+    eps = 1e-7
+    return nll_loss(y_true_sparse, jnp.log(jnp.clip(probs, eps, 1.0 - eps)))
+
+
 LOSS_REGISTRY = {
     "sparse_categorical_crossentropy": lambda **kw: nll_loss,
     "nll": lambda **kw: nll_loss,
+    "nll_from_probs": lambda **kw: nll_loss_from_probs,
+    "cross_entropy_with_logits": lambda **kw: cross_entropy_with_logits,
     "sparse_angular_proximity": lambda **kw: AngularProximity(**kw),
 }
 

@@ -17,7 +17,10 @@ from .model_api import Model
 class CRNN(nn.Module):
     num_outputs: int
     output_activation: str = "softmax"
-    weight_decay: float = 0.001  # applied by the optimizer as decoupled L2
+    # Matches reference kernel_regularizer=l2(0.001) on the conv stack
+    # (crnn.py:30-38); ModelWrapper.from_config translates this into a
+    # coupled optax.add_decayed_weights transform on conv kernels.
+    weight_decay: float = 0.001
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,

@@ -21,7 +21,8 @@ from flax import serialization
 
 import lidbox_tpu.models as model_registry
 from lidbox_tpu import get_logger
-from lidbox_tpu.losses import AngularProximity, get_loss, nll_loss
+from lidbox_tpu.losses import (AngularProximity, cross_entropy_with_logits,
+                               get_loss, nll_loss, nll_loss_from_probs)
 from lidbox_tpu.metrics import AverageDetectionCost, SparseAverageDetectionCost
 from lidbox_tpu.train import checkpoint as ckpt_lib
 from lidbox_tpu.train.loop import (EarlyStopping, LearningRateDateLogger,
@@ -63,16 +64,34 @@ def init_metric_from_config(config):
     raise KeyError(f"unknown metric class {cls!r}")
 
 
-def init_loss_from_config(config):
-    """Map reference Keras loss class names onto our loss registry."""
+def init_loss_from_config(config, output_activation="log_softmax"):
+    """Map reference Keras loss class names onto our loss registry.
+
+    ``output_activation`` is the model head's activation: sparse CCE on a
+    log_softmax head is plain NLL, but on a softmax head (e.g. the CRNN
+    default, reference crnn.py:24) the probabilities need a clipped log
+    first — Keras SCC(from_logits=False) semantics — and a bare-logits
+    head gets log_softmax folded into the loss."""
     cls = config["cls"]
     kwargs = dict(config.get("kwargs", {}))
     if cls in ("SparseCategoricalCrossentropy", "sparse_categorical_crossentropy"):
-        # Zoo heads emit log-probabilities; NLL == sparse CCE on log-softmax.
+        if output_activation == "softmax":
+            return nll_loss_from_probs
+        if not output_activation:  # raw logits head
+            return cross_entropy_with_logits
         return nll_loss
     if cls in ("SparseAngularProximity", "AngularProximity"):
         return AngularProximity(**kwargs)
     return get_loss(cls, **kwargs)
+
+
+def _conv_kernel_decay_mask(params):
+    """True for conv-layer kernel leaves — the parameter set the reference
+    regularizes with ``kernel_regularizer=l2`` (reference crnn.py:30-38)."""
+    def is_conv_kernel(path, _):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        return keys[-1] == "kernel" and any(k.startswith("conv") for k in keys)
+    return jax.tree_util.tree_map_with_path(is_conv_kernel, params)
 
 
 def init_callback_from_config(config, cache_dir):
@@ -117,7 +136,20 @@ class ModelWrapper:
         model = model_registry.create(model_key, input_shape, num_outputs,
                                       **experiment["model"].get("kwargs", {}))
         optimizer, lr_schedule = optimizer_from_config(experiment["optimizer"])
-        loss = init_loss_from_config(experiment["loss"])
+        # Keras kernel_regularizer=l2(wd) adds wd*sum(w^2) to the loss, i.e.
+        # grad += 2*wd*w flowing through the optimizer — reproduced here as a
+        # coupled decay transform on conv kernels (reference crnn.py:30-38).
+        weight_decay = float(getattr(model.module, "weight_decay", 0.0) or 0.0)
+        if weight_decay:
+            import optax
+            optimizer = optax.chain(
+                optax.add_decayed_weights(2.0 * weight_decay,
+                                          mask=_conv_kernel_decay_mask),
+                optimizer)
+        loss = init_loss_from_config(
+            experiment["loss"],
+            output_activation=getattr(model.module, "output_activation",
+                                      "log_softmax"))
         metrics = {}
         for mconf in experiment.get("metrics", []):
             metric = init_metric_from_config(mconf)

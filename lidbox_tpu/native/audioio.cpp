@@ -68,6 +68,12 @@ long parse_header(Reader& r, WavFmt* fmt) {
             fmt->channels = rd_u16(buf + 2);
             fmt->sample_rate = rd_u32(buf + 4);
             fmt->bits = rd_u16(buf + 14);
+            // Reject malformed fmt chunks up front: bits outside {8,16,32}
+            // or zero channels would otherwise divide by zero (SIGFPE) in
+            // the frame-count math before decode_to_mono's checks run.
+            if (fmt->channels == 0 || fmt->sample_rate == 0 ||
+                (fmt->bits != 8 && fmt->bits != 16 && fmt->bits != 32))
+                return -1;
             if (size > 16 && !r.skip((long)size - 16)) return -1;
             have_fmt = true;
         } else if (std::memcmp(ch, "data", 4) == 0) {

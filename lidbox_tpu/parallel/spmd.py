@@ -10,7 +10,10 @@ you want deterministic control over where collectives happen (e.g. to
 overlap them with compute, fuse them with optimizer steps, or extend to
 pipeline/tensor axes later).
 
-Both paths compute identical updates; tests assert trajectory equality.
+For deterministic models both paths compute identical updates (tests assert
+trajectory equality). Stochastic models (dropout, GaussianNoise) differ by
+construction: GSPMD draws one mask over the global batch while this path
+draws per-shard masks from shard-distinct keys.
 """
 import functools
 
@@ -31,8 +34,12 @@ def make_shard_map_train_step(model, optimizer, loss_fn, mesh,
     divisible by the mesh size; state is replicated."""
 
     def per_shard_step(state, inputs, targets, rng):
-        # Runs with per-device shards; state arrives replicated.
+        # Runs with per-device shards; state arrives replicated. The RNG is
+        # folded with the shard's mesh position so each shard draws distinct
+        # dropout/noise masks over its distinct data shard (replicated keys
+        # would correlate regularization noise across the batch).
         step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
         rngs = {"dropout": step_rng, "noise": jax.random.fold_in(step_rng, 1)}
 
         def compute_loss(params):

@@ -49,6 +49,9 @@ class Classifier:
         self._apply = jax.jit(
             lambda v, x: model.apply(v, x, train=False,
                                      compute_dtype=compute_dtype))
+        self._apply_masked = jax.jit(
+            lambda v, x, m: model.apply(v, x, train=False, mask=m,
+                                        compute_dtype=compute_dtype))
 
     def _dataset(self, paths, ids=None):
         ids = ids or [str(p) for p in paths]
@@ -72,8 +75,13 @@ class Classifier:
         """id-indexed DataFrame of per-utterance score vectors (chunk
         scores averaged)."""
         ds = self._dataset(paths, ids)
-        predict_fn = lambda x: np.asarray(
-            jax.device_get(self._apply(self.model.variables, x)))
+
+        def predict_fn(x, mask=None):
+            if mask is None:
+                out = self._apply(self.model.variables, x)
+            else:
+                out = self._apply_masked(self.model.variables, x, mask)
+            return np.asarray(jax.device_get(out))
         chunk_scores = util.predict_with_model(
             self.model, ds, predict_fn=predict_fn, batch_size=self.batch_size)
         if self.chunk_length_ms:

@@ -37,14 +37,23 @@ def predict_with_model(model, ds, predict_fn=None, batch_size=32,
     the forward is one jit program per shape bucket on the default device).
 
     ``model`` is a lidbox_tpu Model (or any callable taking [B, T, F]).
+    A custom ``predict_fn`` must accept ``(inputs, frame_mask)`` — the mask
+    is non-None when a ragged batch was padded, so stats-pooling models can
+    exclude padding frames (masked numerics == unpadded numerics).
     """
     if predict_fn is None:
         apply_jit = jax.jit(
             lambda variables, x: model.apply(variables, x, train=False))
+        apply_jit_masked = jax.jit(
+            lambda variables, x, m: model.apply(variables, x, train=False,
+                                                mask=m))
 
-        def predict_fn(inputs):
-            return np.asarray(jax.device_get(
-                apply_jit(model.variables, inputs)))
+        def predict_fn(inputs, mask=None):
+            if mask is None:
+                out = apply_jit(model.variables, inputs)
+            else:
+                out = apply_jit_masked(model.variables, inputs, mask)
+            return np.asarray(jax.device_get(out))
 
     ids, predictions = [], []
     pending = []
@@ -60,11 +69,15 @@ def predict_with_model(model, ds, predict_fn=None, batch_size=32,
 
 def _flush(pending, predict_fn, ids, predictions, pad_buckets):
     lengths = {p["input"].shape[0] for p in pending}
+    mask = None
     if len(lengths) == 1:
         inputs = np.stack([p["input"] for p in pending])
     else:
-        inputs = padded_batch(pending, "input", buckets=pad_buckets)["input"]
-    preds = predict_fn(np.asarray(inputs, np.float32))
+        batch = padded_batch(pending, "input", buckets=pad_buckets)
+        inputs = batch["input"]
+        mask = (np.arange(inputs.shape[1])[None, :]
+                < batch["input_length"][:, None])
+    preds = predict_fn(np.asarray(inputs, np.float32), mask)
     for p, pred in zip(pending, preds):
         ids.append(str(p["id"]))
         predictions.append(np.asarray(pred))

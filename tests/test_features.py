@@ -130,3 +130,90 @@ class TestExtractFeatures:
         X[0, 0] = np.nan
         X[1, 2] = np.inf
         assert int(F.num_non_finite(jnp.asarray(X))) == 2
+
+
+class TestMaskedStatsParity:
+    """Padded-bucket stats must reproduce unpadded numerics exactly
+    (ADVICE r1: ragged paths computed per-sample stats over padding)."""
+
+    def test_feature_scaling_masked_matches_per_row(self):
+        rng = np.random.default_rng(1)
+        T, Fdim = 60, 8
+        lengths = [60, 37, 12]
+        X = np.zeros((3, T, Fdim), np.float32)
+        rows = [rng.normal(0, 3, (n, Fdim)).astype(np.float32) for n in lengths]
+        for i, r in enumerate(rows):
+            X[i, :len(r)] = r
+        mask = (np.arange(T)[None, :] < np.asarray(lengths)[:, None])[..., None]
+        out = np.asarray(F.feature_scaling_masked(jnp.asarray(X), -1.0, 1.0,
+                                                  jnp.asarray(mask)))
+        for i, r in enumerate(rows):
+            ref = np.asarray(F.feature_scaling(
+                jnp.asarray(r[None]), -1.0, 1.0,
+                axis=tuple(range(1, r[None].ndim))))
+            np.testing.assert_allclose(out[i, :len(r)], ref[0], rtol=1e-5,
+                                       atol=1e-5)
+            np.testing.assert_array_equal(out[i, len(r):], 0.0)
+
+    @pytest.mark.parametrize("normalize_variance", [True, False])
+    def test_window_normalization_masked_matches_per_row(self, normalize_variance):
+        """Rows longer than the window take the reflect-padded sliding path;
+        rows shorter fall back to whole-row CMVN — both per-row exact."""
+        rng = np.random.default_rng(2)
+        T, Fdim, window = 64, 6, 16
+        lengths = [64, 40, 17, 16, 9]  # includes the n == window boundary
+        X = np.zeros((len(lengths), T, Fdim), np.float32)
+        rows = [rng.normal(0, 2, (n, Fdim)).astype(np.float32) for n in lengths]
+        for i, r in enumerate(rows):
+            X[i, :len(r)] = r
+        out = np.asarray(F.window_normalization_masked(
+            jnp.asarray(X), jnp.asarray(lengths, jnp.int32),
+            window_len=window, normalize_variance=normalize_variance))
+        for i, r in enumerate(rows):
+            ref = np.asarray(F.window_normalization(
+                jnp.asarray(r[None]), window_len=window,
+                normalize_variance=normalize_variance))
+            np.testing.assert_allclose(out[i, :len(r)], ref[0], rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_array_equal(out[i, len(r):], 0.0)
+
+    def test_extract_features_with_lengths_matches_unpadded(self):
+        """Full dispatcher on a zero-padded batch with lengths == each
+        signal extracted alone, for configs with per-sample stats."""
+        sig_lens = [int(RATE * s) for s in (1.0, 0.61, 0.33)]
+        signals = [testutil.noisy_sinewave(200 + 100 * i, RATE, 0.1, 1.0,
+                                           seed=i)[:n]
+                   for i, n in enumerate(sig_lens)]
+        T = max(sig_lens)
+        batch = np.zeros((len(signals), T), np.float32)
+        for i, s in enumerate(signals):
+            batch[i, :len(s)] = s
+        kwargs = dict(feature_type="logmelspectrogram",
+                      melspectrogram={"num_mel_bins": 40},
+                      sample_minmax_scaling={"min": 0.0, "max": 1.0},
+                      window_normalization={"window_len": 20})
+        out = np.asarray(F.extract_features(
+            jnp.asarray(batch), RATE, lengths=jnp.asarray(sig_lens), **kwargs))
+        for i, s in enumerate(signals):
+            ref = np.asarray(F.extract_features(jnp.asarray(s[None]), RATE,
+                                                **kwargs))
+            nf = ref.shape[1]
+            np.testing.assert_allclose(out[i, :nf], ref[0], rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_array_equal(out[i, nf:], 0.0)
+
+    def test_extract_ragged_with_stats_matches_unpadded(self):
+        from lidbox_tpu.data.device_pipeline import DeviceFeatureExtractor
+        config = {"type": "logmelspectrogram",
+                  "melspectrogram": {"num_mel_bins": 32},
+                  "sample_minmax_scaling": {"min": 0.0, "max": 1.0},
+                  "window_normalization": {"window_len": 24}}
+        ex = DeviceFeatureExtractor(config)
+        signals = [testutil.noisy_sinewave(150 * (i + 1), RATE, 0.1, 1.0,
+                                           seed=i)[:n]
+                   for i, n in enumerate((16000, 9777, 4000))]
+        ragged = ex.extract_ragged(signals, RATE)
+        for s, got in zip(signals, ragged):
+            ref = ex(s[None], RATE)[0]
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

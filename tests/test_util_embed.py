@@ -188,3 +188,19 @@ class TestUtil:
         df = util.predict_with_model(model, Dataset.from_elements(elems),
                                      batch_size=4)
         assert len(df) == 4
+
+    def test_predict_ragged_masked_matches_per_utterance(self):
+        """Padded ragged prediction must equal each utterance predicted
+        alone — the mask keeps stats pooling off padding frames (ADVICE r1)."""
+        rng = np.random.default_rng(3)
+        model = models.create("xvector", (None, 8), N).init()
+        elems = [{"id": f"u{i}",
+                  "input": rng.normal(0, 1, (20 + 11 * i, 8)).astype(np.float32)}
+                 for i in range(4)]
+        df = util.predict_with_model(model, Dataset.from_elements(elems),
+                                     batch_size=4)
+        for e in elems:
+            alone = np.asarray(model.apply(
+                model.variables, e["input"][None], train=False))[0]
+            np.testing.assert_allclose(df.loc[e["id"]].prediction, alone,
+                                       rtol=1e-4, atol=1e-5)
