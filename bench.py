@@ -74,24 +74,30 @@ def main():
     signals = jnp.asarray(rng.normal(0, 0.1, (BATCH, samples)).astype(np.float32))
 
     results = {}
-    for method in ("matmul", "fft"):
+    for method, precision in (("matmul", "highest"), ("pallas", "highest"),
+                              ("fft", "highest"), ("matmul", "bf16_3x")):
         @jax.jit
-        def feat_step(carry, m=method):
+        def feat_step(carry, m=method, p=precision):
             feats = F.extract_features(
                 signals + carry * 1e-20, SAMPLE_RATE,
                 feature_type="logmelspectrogram",
-                melspectrogram={"num_mel_bins": NUM_MEL}, stft_method=m)
+                melspectrogram={"num_mel_bins": NUM_MEL}, stft_method=m,
+                precision=p)
             return jnp.mean(feats)  # scalar carry chains the next call
         try:
             dt = _time(feat_step, jnp.float32(0.0))
             rtfx = BATCH * SECONDS / dt
-            results[method] = rtfx
-            log(f"  features[{method}]: {dt * 1e3:.3f} ms/batch{BATCH} "
-                f"-> RTFx {rtfx:,.0f}")
+            results[(method, precision)] = rtfx
+            log(f"  features[{method},{precision}]: {dt * 1e3:.3f} "
+                f"ms/batch{BATCH} -> RTFx {rtfx:,.0f}")
         except Exception as e:
-            log(f"  features[{method}] failed: {type(e).__name__}: {e}")
-    rtfx = max(results.values())
-    best_method = max(results, key=results.get)
+            log(f"  features[{method},{precision}] failed: "
+                f"{type(e).__name__}: {e}")
+    # Headline RTFx stays f32-parity-grade (1e-4 vs tf.signal); the bf16_3x
+    # training-precision line is reported above for the speed-of-light view.
+    parity = {k: v for k, v in results.items() if k[1] == "highest"}
+    rtfx = max(parity.values())
+    best_method = max(parity, key=parity.get)[0]
 
     # --- end-to-end: waveform -> log-Mel -> x-vector forward --------------
     frames = 1 + (samples - 400) // 160
@@ -174,6 +180,30 @@ def main():
     dt_aug = _time(fused_with_state, jnp.float32(0.0))
     log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s (noise+FIR+SpecAugment fused)")
+
+    # --- long-audio memory profile: Pallas fused kernel vs XLA gather path.
+    # The XLA lowering materializes a [B, frames, 400] f32 frame tensor in
+    # HBM (gather), the fused kernel streams signal rows through VMEM.
+    try:
+        from lidbox_tpu.ops import fused_logmel_packed, logmel_reference
+        long_secs = 60.0
+        long_b = 32
+        long_sig = jnp.asarray(rng.normal(
+            0, 0.1, (long_b, int(SAMPLE_RATE * long_secs))).astype(np.float32))
+        for name, fn in (("pallas", fused_logmel_packed),
+                         ("xla-gather", logmel_reference)):
+            @jax.jit
+            def long_step(carry, f=fn):
+                return jnp.mean(f(long_sig + carry * 1e-20, SAMPLE_RATE))
+            dt_long = _time(long_step, jnp.float32(0.0), n1=3, n2=9)
+            gather_mb = long_b * 5998 * 400 * 4 / 1e6 if name != "pallas" else 0
+            log(f"  long-audio[{name}, b{long_b} x {long_secs:.0f}s]: "
+                f"{dt_long * 1e3:.3f} ms "
+                f"(+{gather_mb:,.0f} MB HBM frame tensor)" if gather_mb else
+                f"  long-audio[{name}, b{long_b} x {long_secs:.0f}s]: "
+                f"{dt_long * 1e3:.3f} ms (no frame tensor)")
+    except Exception as e:
+        log(f"  long-audio section failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": f"utterances/sec/chip waveform->logMel->xvector "

@@ -53,8 +53,12 @@ class DeviceFeatureExtractor:
         # check on every extracted batch.
         self.validate_finite = bool(config.get("validate_finite", False))
         # "matmul" rides the MXU (windowed-DFT as two matmuls) — the TPU
-        # default; "fft" uses XLA's native FFT.
+        # default; "fft" uses XLA's native FFT; "pallas" uses the fused
+        # memory-lean kernel for log-mel/MFCC (ops/logmel.py).
         self.stft_method = config.get("stft_method", "matmul")
+        # "highest" = f32 parity; "bf16_3x" = ~1.75x faster MXU passes with
+        # ~1.5e-3 max log-mel error (training-grade, see audio.DSP_PRECISIONS)
+        self.precision = config.get("precision", "highest")
         spec = config.get("spectrogram") or {}
         self.frame_length_ms = spec.get("frame_length_ms", 25)
         self.frame_step_ms = spec.get("frame_step_ms", 10)
@@ -70,7 +74,7 @@ class DeviceFeatureExtractor:
         fn = self._jit_by_rate.get((sample_rate, masked))
         if fn is None:
             feature_type, kwargs = self.feature_type, self.feature_kwargs
-            stft_method = self.stft_method
+            stft_method, precision = self.stft_method, self.precision
 
             if masked:
                 @jax.jit
@@ -78,13 +82,15 @@ class DeviceFeatureExtractor:
                     return F.extract_features(signals, sample_rate,
                                               feature_type=feature_type,
                                               stft_method=stft_method,
+                                              precision=precision,
                                               lengths=lengths, **kwargs)
             else:
                 @jax.jit
                 def extract(signals):
                     return F.extract_features(signals, sample_rate,
                                               feature_type=feature_type,
-                                              stft_method=stft_method, **kwargs)
+                                              stft_method=stft_method,
+                                              precision=precision, **kwargs)
             fn = self._jit_by_rate[(sample_rate, masked)] = extract
         return fn
 

@@ -56,22 +56,49 @@ def build_noise_bank(noise_paths, sample_rate, max_seconds=10.0):
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
-    """Which on-device augmentations a fused step applies."""
+    """Which on-device augmentations a fused step applies.
+
+    The full BASELINE config-5 chain — waveform -> energy VAD ->
+    noise / random resampling / SpecAugment -> log-Mel — compiles into one
+    XLA program when all stages are enabled.
+    """
     snr_range: Optional[Tuple[float, float]] = (5.0, 20.0)   # None = no noise
     fir_coefs: int = 0                   # >0: random-normal FIR filtering
+    speed_range: Optional[Tuple[float, float]] = None  # e.g. (0.9, 1.1)
+    vad: bool = False                    # energy-VAD silence removal
+    vad_frame_ms: int = 10
+    vad_min_non_speech_ms: int = 300
+    vad_strength: float = 0.1
     specaug_time_masks: int = 0          # SpecAugment time masks
     specaug_time_width: int = 20
     specaug_freq_masks: int = 0          # SpecAugment frequency masks
     specaug_freq_width: int = 8
 
+    @property
+    def tracks_lengths(self):
+        """VAD and resampling change each example's valid sample count, so
+        the fused feature fn must carry lengths and emit a frame mask."""
+        return self.vad or self.speed_range is not None
 
-def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range):
+
+def _masked_rms(x, lengths):
+    """Per-row RMS over the first ``lengths`` samples of [B, T] rows."""
+    B, T = x.shape
+    valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+    count = jnp.maximum(lengths.astype(x.dtype), 1.0)
+    return jnp.sqrt(jnp.sum(jnp.square(x) * valid, axis=1) / count)
+
+
+def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range,
+                        lengths=None):
     """Per-example random noise clip from the bank mixed at a random SNR
     (the reference's MS-SNSD formula, audio.snr_mixer).
 
     The bank rows are pre-tiled full-width (build_noise_bank), so each
     example takes a contiguous random-offset dynamic slice — row gather +
-    vmapped dynamic_slice, both fast on TPU.
+    vmapped dynamic_slice, both fast on TPU. When ``lengths`` is given the
+    clean-signal RMS is computed over valid samples only (padded rows then
+    reproduce per-utterance reference numerics) and padding stays zero.
     """
     del noise_lengths  # rows are pre-tiled full width
     B, T = signals.shape
@@ -87,8 +114,81 @@ def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range):
     rows = noise_bank[idx]                                          # [B, bank_T]
     noise = jax.vmap(
         lambda row, off: jax.lax.dynamic_slice(row, (off,), (T,)))(rows, offsets)
-    _, _, mixed = jax.vmap(audio.snr_mixer)(signals, noise, snr)
-    return mixed
+    if lengths is None:
+        _, _, mixed = jax.vmap(audio.snr_mixer)(signals, noise, snr)
+        return mixed
+    # Masked reimplementation of audio.snr_mixer (reference
+    # lidbox/features/audio.py:124-148): normalize clean and noise to
+    # -25 dBFS (clean RMS over valid samples), scale noise to the SNR.
+    target = audio.dBFS_to_linear(-25.0)
+    scalarclean = target / jnp.maximum(_masked_rms(signals, lengths), 1e-12)
+    clean_norm = scalarclean[:, None] * signals
+    rmsclean = _masked_rms(clean_norm, lengths)
+    rmsnoise = audio.root_mean_square(noise, axis=1)
+    noise_norm = (target / jnp.maximum(rmsnoise, 1e-12))[:, None] * noise
+    rmsnoise = audio.root_mean_square(noise_norm, axis=1)
+    level = audio.dBFS_to_linear(snr)
+    noisescalar = jnp.sqrt(rmsclean / level / jnp.maximum(rmsnoise, 1e-12))
+    mixed = clean_norm + noisescalar[:, None] * noise_norm
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    return jnp.where(valid, mixed, 0.0)
+
+
+def random_speed_change_batch(key, signals, lengths, speed_range):
+    """Per-example random speed perturbation on [B, T] rows.
+
+    The reference drew ratio ~ U[min, max] and FFT-resampled from
+    ratio*rate to rate, i.e. output[i] = input(i * ratio) with new length
+    n / ratio (reference: lidbox/data/steps.py:331-352). Device version:
+    batched linear-interpolation gather — static output shape [B, T], new
+    valid lengths returned alongside (slowdowns that would exceed T are
+    truncated, as chunking would anyway).
+    """
+    B, T = signals.shape
+    ratio = jax.random.uniform(key, (B,), minval=speed_range[0],
+                               maxval=speed_range[1])
+    pos = jnp.arange(T)[None, :] * ratio[:, None]              # [B, T]
+    lo = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - lo).astype(signals.dtype)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    lo = jnp.clip(lo, 0, T - 1)
+    out = (jnp.take_along_axis(signals, lo, axis=1) * (1.0 - frac)
+           + jnp.take_along_axis(signals, hi, axis=1) * frac)
+    # valid output positions: pos[i] <= lengths - 1
+    new_lengths = jnp.minimum(
+        (jnp.floor((lengths.astype(jnp.float32) - 1.0) / ratio) + 1.0
+         ).astype(jnp.int32), T)
+    new_lengths = jnp.maximum(new_lengths, 0)
+    valid = jnp.arange(T)[None, :] < new_lengths[:, None]
+    return jnp.where(valid, out, 0.0), new_lengths
+
+
+def energy_vad_compact_batch(signals, lengths, sample_rate, frame_ms=10,
+                             min_non_speech_ms=300, strength=0.1):
+    """Batched on-device silence removal: energy VAD over ``frame_ms``
+    windows, voiced windows compacted to the front of each row
+    (static-shape form of audio.remove_silence, reference:
+    lidbox/features/audio.py:332-353). Returns (signals, new_lengths)."""
+    B, T = signals.shape
+    decisions = audio.framewise_rms_energy_vad_decisions_batch(
+        signals, lengths, sample_rate, frame_ms,
+        min_non_speech_ms=min_non_speech_ms, strength=strength)
+    window = audio.ms_to_frames(sample_rate, frame_ms)
+    num_windows = decisions.shape[1]
+
+    def one(sig, vad):
+        windows = audio.frame(sig, window, window, axis=0)   # [F, W]
+        order = jnp.argsort(jnp.where(vad, jnp.arange(num_windows),
+                                      num_windows))
+        compacted = windows[order]
+        keep = jnp.sum(vad)
+        mask = (jnp.arange(num_windows) < keep)[:, None]
+        return jnp.where(mask, compacted, 0.0).reshape(-1), keep * window
+
+    out, new_lengths = jax.vmap(one)(signals, decisions)
+    if out.shape[1] < T:  # windows don't cover a partial tail; keep shape
+        out = jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
+    return out, new_lengths.astype(jnp.int32)
 
 
 def random_fir(key, signals, num_coefs):
@@ -133,34 +233,67 @@ def spec_augment(key, feats, time_masks=2, time_width=20, freq_masks=2,
 
 def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfig,
                               noise_bank=None, noise_lengths=None):
-    """(key, signals [B, T]) -> features [B, frames, C], with all
-    augmentations applied on device. Safe to close over in a jitted
-    training step."""
+    """(key, signals [B, T], lengths=None) -> features, with every stage of
+    the BASELINE config-5 chain on device: energy VAD -> noise mix / random
+    resampling / FIR -> log-Mel -> SpecAugment, one XLA program. Safe to
+    close over in a jitted training step.
+
+    When the config tracks lengths (VAD or resampling enabled, or lengths
+    passed), returns (features [B, frames, C], frame_mask [B, frames]);
+    otherwise returns just the features (back-compatible).
+    """
     feature_config = dict(feature_config)
     feature_type = feature_config.pop("type", "logmelspectrogram")
     feature_config.pop("validate_finite", None)
     stft_method = feature_config.pop("stft_method", "matmul")
+    precision = feature_config.pop("precision", "highest")
     kwargs = {k: v for k, v in feature_config.items()
               if k in ("spectrogram", "melspectrogram", "mfcc",
                        "db_spectrogram", "sample_minmax_scaling",
                        "window_normalization")}
+    spec_conf = kwargs.get("spectrogram") or {}
+    frame_len_ms = spec_conf.get("frame_length_ms", 25)
+    frame_step_ms = spec_conf.get("frame_step_ms", 10)
 
-    def fn(key, signals):
-        k_noise, k_fir, k_spec = jax.random.split(key, 3)
+    def fn(key, signals, lengths=None):
+        with_mask = augment.tracks_lengths or lengths is not None
+        if lengths is None:
+            lengths = jnp.full((signals.shape[0],), signals.shape[1],
+                               jnp.int32)
+        k_vad, k_speed, k_noise, k_fir, k_spec = jax.random.split(key, 5)
+        del k_vad  # energy VAD is deterministic
+        if augment.vad:
+            signals, lengths = energy_vad_compact_batch(
+                signals, lengths, sample_rate, frame_ms=augment.vad_frame_ms,
+                min_non_speech_ms=augment.vad_min_non_speech_ms,
+                strength=augment.vad_strength)
+        if augment.speed_range is not None:
+            signals, lengths = random_speed_change_batch(
+                k_speed, signals, lengths, augment.speed_range)
         if augment.snr_range is not None and noise_bank is not None:
-            signals = mix_noise_from_bank(k_noise, signals, noise_bank,
-                                          noise_lengths, augment.snr_range)
+            signals = mix_noise_from_bank(
+                k_noise, signals, noise_bank, noise_lengths,
+                augment.snr_range, lengths=lengths if with_mask else None)
         if augment.fir_coefs > 0:
             signals = random_fir(k_fir, signals, augment.fir_coefs)
         feats = F.extract_features(signals, sample_rate,
                                    feature_type=feature_type,
-                                   stft_method=stft_method, **kwargs)
+                                   stft_method=stft_method,
+                                   precision=precision,
+                                   lengths=lengths if with_mask else None,
+                                   **kwargs)
         if augment.specaug_time_masks or augment.specaug_freq_masks:
             feats = spec_augment(k_spec, feats,
                                  time_masks=augment.specaug_time_masks,
                                  time_width=augment.specaug_time_width,
                                  freq_masks=augment.specaug_freq_masks,
                                  freq_width=augment.specaug_freq_width)
+        if with_mask:
+            fl = audio.ms_to_frames(sample_rate, frame_len_ms)
+            fs = audio.ms_to_frames(sample_rate, frame_step_ms)
+            frame_mask = F.frame_mask_from_lengths(lengths, feats.shape[1],
+                                                   fl, fs)
+            return feats, frame_mask
         return feats
     return fn
 
@@ -202,6 +335,10 @@ def make_fused_train_step(trainer, feature_fn):
     def step(state, signals, targets, rng):
         feat_key = jax.random.fold_in(rng, state.step)
         feats = feature_fn(jax.random.fold_in(feat_key, 7), signals)
-        return trainer._train_step(state, {"input": feats, "target": targets},
-                                   rng)
+        batch = {"target": targets}
+        if isinstance(feats, tuple):  # length-tracking fn: (feats, mask)
+            batch["input"], batch["input_mask"] = feats
+        else:
+            batch["input"] = feats
+        return trainer._train_step(state, batch, rng)
     return step

@@ -180,11 +180,33 @@ VALID_FEATURE_TYPES = (
 )
 
 
+def _pallas_available(feature_type, spectrogram):
+    """True when the fused Pallas log-Mel kernel can serve this request:
+    log-domain mel features, power spectrum, and a TPU backend (the kernel
+    also runs under pltpu.force_tpu_interpret_mode for tests)."""
+    if feature_type not in ("logmelspectrogram", "mfcc"):
+        return False
+    if spectrogram.get("power", 2.0) != 2.0:
+        return False
+    try:
+        import jax as _jax
+        if _jax.default_backend() in ("tpu", "axon"):
+            return True
+        # pltpu.force_tpu_interpret_mode makes the kernel runnable on any
+        # backend (used by the CPU test suite).
+        from jax._src import config as _jax_config
+        holder = _jax_config.pallas_tpu_interpret_mode_context_manager
+        from jax._src.pallas.mosaic.interpret import InterpretParams
+        return isinstance(holder.get_local(), InterpretParams)
+    except Exception:
+        return False
+
+
 def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
                      spectrogram=None, melspectrogram=None, mfcc=None,
                      db_spectrogram=None, sample_minmax_scaling=None,
                      window_normalization=None, stft_method="fft",
-                     lengths=None):
+                     lengths=None, precision="highest"):
     """Batched waveforms [B, T] -> features [B, frames, channels].
 
     JAX rebuild of the reference feature dispatcher
@@ -205,7 +227,47 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
     """
     assert feature_type in VALID_FEATURE_TYPES, feature_type
     spectrogram = spectrogram or {}
-    S = audio.spectrograms(signals, sample_rate, method=stft_method, **spectrogram)
+    if stft_method == "pallas" and (precision != "highest"
+                                    or not _pallas_available(feature_type,
+                                                             spectrogram)):
+        stft_method = "matmul"  # the Pallas kernel is f32-parity only
+    if stft_method == "pallas":
+        # Fused Pallas kernel: waveform -> log-Mel in ONE MXU program (no
+        # frame tensor in HBM, single large-K DFT matmul). Numerics match
+        # the matmul path at the f32 floor (ops/logmel.py).
+        from lidbox_tpu.ops import logmel as _logmel
+        mel_kw = dict(melspectrogram or {})
+        X = _logmel.fused_logmel_packed(
+            signals, sample_rate,
+            frame_length_ms=spectrogram.get("frame_length_ms", 25),
+            frame_step_ms=spectrogram.get("frame_step_ms", 10),
+            fft_length=spectrogram.get("fft_length", 512),
+            num_mel_bins=mel_kw.get("num_mel_bins", 40),
+            fmin=mel_kw.get("fmin", 0.0), fmax=mel_kw.get("fmax", 8000.0))
+        if feature_type == "mfcc":
+            kw = dict(mfcc or {})
+            X = audio.mfcc(X, coef_begin=kw.pop("coef_begin", 1),
+                           coef_end=kw.pop("coef_end", 13))
+        num_stft_frames = X.shape[1]
+    else:
+        S = audio.spectrograms(signals, sample_rate, method=stft_method,
+                               precision=precision, **spectrogram)
+        num_stft_frames = S.shape[1]
+        if feature_type == "spectrogram":
+            X = S
+        elif feature_type == "db_spectrogram":
+            X = audio.power_to_db(S, **(db_spectrogram or {}))
+        else:
+            M = audio.linear_to_mel(S, sample_rate, precision=precision,
+                                    **(melspectrogram or {}))
+            X = M
+            if feature_type in ("logmelspectrogram", "mfcc"):
+                X = jnp.log(M + 1e-6)
+                if feature_type == "mfcc":
+                    kw = dict(mfcc or {})
+                    coef_begin = kw.pop("coef_begin", 1)
+                    coef_end = kw.pop("coef_end", 13)
+                    X = audio.mfcc(X, coef_begin=coef_begin, coef_end=coef_end)
     frame_mask = frame_lengths = None
     if lengths is not None:
         fl = audio.ms_to_frames(sample_rate,
@@ -213,22 +275,8 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
         fs = audio.ms_to_frames(sample_rate,
                                 spectrogram.get("frame_step_ms", 10))
         lengths = jnp.asarray(lengths, jnp.int32)
-        frame_mask = frame_mask_from_lengths(lengths, S.shape[1], fl, fs)
+        frame_mask = frame_mask_from_lengths(lengths, num_stft_frames, fl, fs)
         frame_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
-    if feature_type == "spectrogram":
-        X = S
-    elif feature_type == "db_spectrogram":
-        X = audio.power_to_db(S, **(db_spectrogram or {}))
-    else:
-        M = audio.linear_to_mel(S, sample_rate, **(melspectrogram or {}))
-        X = M
-        if feature_type in ("logmelspectrogram", "mfcc"):
-            X = jnp.log(M + 1e-6)
-            if feature_type == "mfcc":
-                kw = dict(mfcc or {})
-                coef_begin = kw.pop("coef_begin", 1)
-                coef_end = kw.pop("coef_end", 13)
-                X = audio.mfcc(X, coef_begin=coef_begin, coef_end=coef_end)
     if sample_minmax_scaling:
         # Scale each sample's features into a fixed range over all axes but batch.
         lo = sample_minmax_scaling.get("min", 0.0)

@@ -373,17 +373,23 @@ class Trainer:
         if self.mesh is not None:
             metric_states = jax.device_put(metric_states,
                                            parallel.replicated(self.mesh))
-        total, count = 0.0, 0.0
+        # Loss accumulates on device (async adds) — one host readback per
+        # evaluate() instead of two tunnel round-trips per batch.
+        total = count = None
         it = batches() if callable(batches) else batches
         for _, batch in self._staged(it):
             loss_sum, n, metric_states = self._jit_eval_step(
                 self.state, batch, metric_states)
-            total += float(jax.device_get(loss_sum))
-            count += float(jax.device_get(n))
-        logs = {prefix + "loss": total / max(count, 1.0)}
-        for name, metric in self.metrics.items():
-            logs[prefix + name] = float(jax.device_get(
-                metric.result(metric_states[name])))
+            total = loss_sum if total is None else total + loss_sum
+            count = n if count is None else count + n
+        results = {name: metric.result(metric_states[name])
+                   for name, metric in self.metrics.items()}
+        results, total, count = jax.device_get((results, total, count))
+        denom = max(float(count) if count is not None else 0.0, 1.0)
+        logs = {prefix + "loss": (float(total) if total is not None
+                                  else float("nan")) / denom}
+        for name, value in results.items():
+            logs[prefix + name] = float(value)
         return logs
 
     def predict(self, batches):

@@ -152,3 +152,112 @@ def test_fit_signals_fused_path(noise_bank):
                                     verbose=False)
     assert len(history) == 6
     assert history[-1] < history[0]
+
+
+class TestVadAndResample:
+    def test_energy_vad_compact_matches_remove_silence(self):
+        """Batched compaction must reproduce audio.remove_silence per row
+        (reference: lidbox/features/audio.py:332-353)."""
+        tone = testutil.sinewave(200, RATE, 0.6)
+        sig = np.concatenate([tone, np.zeros(RATE // 2, np.float32), tone])
+        T = sig.size + 1600
+        batch = np.zeros((2, T), np.float32)
+        batch[0, :sig.size] = sig
+        batch[1, :tone.size] = tone
+        lengths = jnp.asarray([sig.size, tone.size], jnp.int32)
+        out, new_lengths = on_device.energy_vad_compact_batch(
+            jnp.asarray(batch), lengths, RATE, min_non_speech_ms=0)
+        for i, raw in enumerate((sig, tone)):
+            trimmed, keep = audio.remove_silence(jnp.asarray(raw), RATE,
+                                                 min_non_speech_ms=0)
+            keep = int(keep)
+            assert int(new_lengths[i]) == keep
+            np.testing.assert_allclose(np.asarray(out)[i, :keep],
+                                       np.asarray(trimmed)[:keep], atol=1e-6)
+            assert not np.asarray(out)[i, keep:].any()
+
+    def test_random_speed_change_scales_frequency(self):
+        """A speed ratio r maps a tone of f Hz to r*f Hz (the reference's
+        resample-to-rate/ratio semantics, lidbox/data/steps.py:331-352)."""
+        tone = testutil.sinewave(400, RATE, 1.0)
+        batch = jnp.asarray(np.stack([tone] * 4))
+        lengths = jnp.full((4,), tone.size, jnp.int32)
+        key = jax.random.PRNGKey(3)
+        out, new_lengths = on_device.random_speed_change_batch(
+            key, batch, lengths, (0.8, 1.25))
+        out, new_lengths = np.asarray(out), np.asarray(new_lengths)
+        # reproduce the ratios the function drew
+        ratios = np.asarray(jax.random.uniform(key, (4,), minval=0.8,
+                                               maxval=1.25))
+        for i in range(4):
+            n = int(new_lengths[i])
+            expected_n = min(int((tone.size - 1) / ratios[i]) + 1, tone.size)
+            assert n == expected_n, (n, expected_n, ratios[i])
+            seg = out[i, :min(n, RATE // 2)]
+            freqs = np.fft.rfftfreq(seg.size, 1.0 / RATE)
+            peak_hz = freqs[np.abs(np.fft.rfft(seg)).argmax()]
+            assert abs(peak_hz - 400 * ratios[i]) < 25, (peak_hz, ratios[i])
+            assert not out[i, n:].any()
+
+    def test_masked_noise_mix_matches_unpadded(self, noise_bank):
+        """Mixing into a padded row with lengths == audio.snr_mixer on the
+        unpadded slice with the same noise clip and SNR (reference MS-SNSD
+        numerics, lidbox/features/audio.py:124-148)."""
+        bank, bl = noise_bank
+        sig = testutil.noisy_sinewave(220, RATE, 0.05, 1.0, seed=4)
+        T = sig.size + 5000
+        padded = np.zeros((1, T), np.float32)
+        padded[0, :sig.size] = sig
+        key = jax.random.PRNGKey(9)
+        mixed_pad = np.asarray(on_device.mix_noise_from_bank(
+            key, jnp.asarray(padded), bank, bl, (5.0, 15.0),
+            lengths=jnp.asarray([sig.size], jnp.int32)))
+        # reproduce the function's draws to build the per-utterance oracle
+        k_idx, k_snr, k_off = jax.random.split(key, 3)
+        idx = int(jax.random.randint(k_idx, (1,), 0, bank.shape[0])[0])
+        snr = float(jax.random.uniform(k_snr, (1,), minval=5.0,
+                                       maxval=15.0)[0])
+        off = int(jax.random.randint(k_off, (1,), 0,
+                                     bank.shape[1] - T + 1)[0])
+        noise = np.asarray(bank)[idx, off:off + T][:sig.size]
+        _, _, oracle = audio.snr_mixer(jnp.asarray(sig), jnp.asarray(noise),
+                                       jnp.float32(snr))
+        np.testing.assert_allclose(mixed_pad[0, :sig.size],
+                                   np.asarray(oracle), atol=5e-5)
+        assert not mixed_pad[0, sig.size:].any()
+
+    def test_full_config5_chain_trains_one_program(self, noise_bank):
+        """BASELINE config 5: waveform -> VAD -> noise + resample +
+        SpecAugment -> log-Mel -> train, as ONE jit program with a frame
+        mask threaded to the model."""
+        bank, bl = noise_bank
+        frames = 1 + (RATE - 400) // 160
+        model = models.create("xvector", (frames, 24), 3)
+        trainer = Trainer(model, optax.adam(1e-3), nll_loss)
+        trainer.create_state()
+        feature_fn = on_device.make_augmented_feature_fn(
+            RATE, {"type": "logmelspectrogram",
+                   "melspectrogram": {"num_mel_bins": 24}},
+            on_device.AugmentConfig(snr_range=(10.0, 20.0), fir_coefs=5,
+                                    speed_range=(0.9, 1.1), vad=True,
+                                    vad_min_non_speech_ms=0,
+                                    specaug_time_masks=1,
+                                    specaug_freq_masks=1),
+            noise_bank=bank, noise_lengths=bl)
+        feats, mask = feature_fn(jax.random.PRNGKey(0),
+                                 jnp.asarray(np.zeros((2, RATE), np.float32)
+                                             + 0.01))
+        assert feats.shape[:2] == mask.shape
+        step = on_device.make_fused_train_step(trainer, feature_fn)
+        rng = np.random.default_rng(0)
+        signals = jnp.asarray(np.stack(
+            [testutil.noisy_sinewave(150 * (i % 3 + 1), RATE, 0.05, 1.0,
+                                     seed=i) for i in range(8)]))
+        targets = jnp.asarray((np.arange(8) % 3).astype(np.int32))
+        state = trainer.state
+        losses = []
+        for i in range(6):
+            state, loss = step(state, signals, targets, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert int(jax.device_get(state.step)) == 6

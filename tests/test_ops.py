@@ -75,3 +75,68 @@ class TestFusedLogmelPipelined:
                                                     frames_per_tile=tile))
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedLogmelPacked:
+    """The packed kernel (default TPU path): single large-K DFT matmul,
+    80-sample segment streams, Nyquist bin dropped (zero mel weight)."""
+
+    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32), (1.0, 64)])
+    def test_matches_reference(self, seconds, tile):
+        from lidbox_tpu.ops import fused_logmel_packed
+        x = _signals(2, seconds)
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fused_logmel_packed(x, RATE, frames_per_tile=tile))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mel,fmin,fmax", [(40, 20.0, 7000.0),
+                                               (80, 0.0, 8000.0)])
+    def test_mel_options(self, mel, fmin, fmax):
+        from lidbox_tpu.ops import fused_logmel_packed
+        x = _signals(1, 1.0)
+        ref = np.asarray(logmel_reference(x, RATE, num_mel_bins=mel,
+                                          fmin=fmin, fmax=fmax))
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fused_logmel_packed(x, RATE, num_mel_bins=mel,
+                                                 fmin=fmin, fmax=fmax))
+        assert out.shape == ref.shape == (1, 98, mel)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_extract_features_pallas_dispatch(self):
+        """stft_method="pallas" routes through the fused kernel under
+        interpret mode and falls back to matmul on plain CPU, bit-exact
+        frame counts either way."""
+        import lidbox_tpu.features as F
+        x = _signals(2, 1.5)
+        kwargs = dict(feature_type="logmelspectrogram",
+                      melspectrogram={"num_mel_bins": 40})
+        ref = np.asarray(F.extract_features(x, RATE, stft_method="matmul",
+                                            **kwargs))
+        fallback = np.asarray(F.extract_features(x, RATE,
+                                                 stft_method="pallas",
+                                                 **kwargs))
+        np.testing.assert_allclose(fallback, ref, atol=0)  # CPU: same path
+        with pltpu.force_tpu_interpret_mode():
+            fused = np.asarray(F.extract_features(x, RATE,
+                                                  stft_method="pallas",
+                                                  **kwargs))
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+
+    def test_unsupported_config_falls_back(self):
+        """Magnitude spectrograms (power=1) can't use the fused power-path
+        kernel; the dispatcher must fall back rather than mis-compute."""
+        import lidbox_tpu.features as F
+        x = _signals(1, 1.0)
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(F.extract_features(
+                x, RATE, feature_type="logmelspectrogram",
+                spectrogram={"power": 1.0},
+                melspectrogram={"num_mel_bins": 40}, stft_method="pallas"))
+        ref = np.asarray(F.extract_features(
+            x, RATE, feature_type="logmelspectrogram",
+            spectrogram={"power": 1.0},
+            melspectrogram={"num_mel_bins": 40}, stft_method="matmul"))
+        np.testing.assert_allclose(out, ref, atol=0)
