@@ -181,6 +181,81 @@ def main():
     log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s (noise+FIR+SpecAugment fused)")
 
+    # --- host loader: wav-decode throughput + fed train step --------------
+    # SURVEY §7 "feature extraction never bottlenecks training": decode
+    # utt/s (native C++ vs pure Python, 1..4 threads) and a decode->
+    # featurize->stage->train loop compared against the device-resident
+    # train step. NOTE: host->device transfers here ride the axon tunnel
+    # (30-300 ms RTT); on a real TPU host the fed gap would be smaller.
+    try:
+        import os
+        import tempfile
+        import wave
+        from concurrent.futures import ThreadPoolExecutor
+        from lidbox_tpu.data.device_pipeline import DeviceFeatureExtractor
+        from lidbox_tpu.features import io as audio_io
+
+        corpus = tempfile.mkdtemp(prefix="lidbox_bench_")
+        n_files = 64
+        paths = []
+        for i in range(n_files):
+            sig = rng.normal(0, 0.1, samples).astype(np.float32)
+            p = os.path.join(corpus, f"u{i}.wav")
+            audio_io.write_mono_wav(p, sig, SAMPLE_RATE)
+            paths.append(p)
+
+        def py_read(path):  # pure-Python baseline decoder
+            with wave.open(str(path), "rb") as f:
+                rate = f.getframerate()
+                raw = f.readframes(f.getnframes())
+            return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0, rate
+
+        def decode_rate(read_fn, workers, reps=6):
+            with ThreadPoolExecutor(workers) as pool:
+                list(pool.map(read_fn, paths))  # warm the page cache
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    list(pool.map(read_fn, paths))
+                return n_files * reps / (time.perf_counter() - t0)
+
+        for name, fn in (("native", audio_io.read_wav), ("python", py_read)):
+            rates = {w: decode_rate(fn, w) for w in (1, 2, 4)}
+            log(f"  loader decode[{name}]: "
+                + "  ".join(f"{w}thr {r:,.0f} utt/s" for w, r in rates.items()))
+
+        extractor = DeviceFeatureExtractor(
+            {"type": "logmelspectrogram",
+             "melspectrogram": {"num_mel_bins": NUM_MEL},
+             "stft_method": best_method})
+        decode_pool = ThreadPoolExecutor(4)
+
+        def fed_batches(num_batches):
+            for b0 in range(num_batches):
+                batch_paths = [paths[(b0 * MODEL_BATCH + j) % n_files]
+                               for j in range(MODEL_BATCH)]
+                sigs = [s for s, _ in decode_pool.map(audio_io.read_wav,
+                                                      batch_paths)]
+                feats = extractor(np.stack(sigs), SAMPLE_RATE)
+                yield {"input": feats, "target": np.asarray(targets)}
+
+        state3 = trainer.state
+        loss3 = None
+        num_batches = 24
+        list(fed_batches(2))  # warm compile path
+        t0 = time.perf_counter()
+        for _, batch in trainer._staged(fed_batches(num_batches)):
+            state3, loss3 = trainer._jit_train_step(state3, batch, trainer.rng)
+        np.asarray(jax.device_get(loss3))
+        fed_rate = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
+        device_rate = MODEL_BATCH / dt_train
+        log(f"  fed-train-step[b{MODEL_BATCH}]: {fed_rate:,.1f} utt/s "
+            f"(decode->featurize->stage->train) vs {device_rate:,.1f} utt/s "
+            f"device-resident -> loader at {100 * fed_rate / device_rate:.0f}%"
+            f" (axon-tunnel transfer in the loop)")
+        decode_pool.shutdown()
+    except Exception as e:
+        log(f"  host-loader section failed: {type(e).__name__}: {e}")
+
     # --- long-audio memory profile: Pallas fused kernel vs XLA gather path.
     # The XLA lowering materializes a [B, frames, 400] f32 frame tensor in
     # HBM (gather), the fused kernel streams signal rows through VMEM.

@@ -200,12 +200,19 @@ class Dataset:
                 loaded.set()
         return Dataset(gen)
 
-    def cache_to_file(self, path):
+    def cache_to_file(self, path, batch_size=64):
         """Pickle-shard disk cache; first pass writes, later passes read
-        (the analogue of tf.data's .cache(filename),
-        reference: lidbox/data/steps.py:371-392)."""
+        (the analogue of tf.data's batched .cache(filename),
+        reference: lidbox/data/steps.py:371-392).
+
+        Elements are pickled in records of ``batch_size`` (one dump per
+        record), matching the reference's batch-before-cache layout —
+        per-element dumps are dominated by pickle call overhead on small
+        elements. Old per-element cache files remain readable (a record is
+        either a list of elements or a single element dict)."""
         import os
         path = str(path)
+        batch_size = max(int(batch_size), 1)
 
         def gen():
             done_marker = path + ".done"
@@ -213,14 +220,25 @@ class Dataset:
                 with open(path, "rb") as f:
                     while True:
                         try:
-                            yield pickle.load(f)
+                            record = pickle.load(f)
                         except EOFError:
                             return
+                        if isinstance(record, list):
+                            yield from record
+                        else:
+                            yield record
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "wb") as f:
+                record = []
                 for x in self._gen_factory():
-                    pickle.dump(x, f, protocol=pickle.HIGHEST_PROTOCOL)
+                    record.append(x)
+                    if len(record) == batch_size:
+                        pickle.dump(record, f,
+                                    protocol=pickle.HIGHEST_PROTOCOL)
+                        record = []
                     yield x
+                if record:
+                    pickle.dump(record, f, protocol=pickle.HIGHEST_PROTOCOL)
             with open(done_marker, "w") as f:
                 f.write("ok")
         return Dataset(gen)

@@ -508,16 +508,17 @@ def write_to_kaldi_files(ds, output_dir, element_key="input"):
 # Caching, shuffling, key surgery
 # ---------------------------------------------------------------------------
 
-def cache(ds, directory=None, batch_size=1, cache_key=None):
-    """Cache elements to disk (or memory when no directory)
-    (reference: lidbox/data/steps.py:371-392)."""
+def cache(ds, directory=None, batch_size=64, cache_key=None):
+    """Cache elements to disk in ``batch_size`` pickle records (or to
+    memory when no directory) (reference: lidbox/data/steps.py:371-392)."""
     if directory is None:
         logger.warning("Caching dataset into memory")
         return ds.cache_to_memory()
     if cache_key is None:
         cache_key = str(int(time.time()))
     os.makedirs(directory, exist_ok=True)
-    return ds.cache_to_file(os.path.join(directory, cache_key + ".cache"))
+    return ds.cache_to_file(os.path.join(directory, cache_key + ".cache"),
+                            batch_size=batch_size)
 
 
 def validate_cache(dataframe, path, cache_key):

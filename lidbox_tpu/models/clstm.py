@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from .layers import (FrameLayer, FrequencyAttention, GaussianNoise,
-                     GlobalMeanStddevPooling1D, LSTMLayer, batch_norm)
+                     GlobalMeanStddevPooling1D, LSTMLayer, batch_norm,
+                     subsample_frame_mask)
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -54,7 +55,7 @@ class CLSTM(nn.Module):
         if self.use_attention:
             x = FrequencyAttention(d_f=60, name="freq_attention")(x)
         if mask is not None:
-            mask = mask[:, ::6][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 6, x.shape[1])
         x = GlobalMeanStddevPooling1D(name="stats_pooling")(x, mask=mask)
         x = nn.Dense(512, name="segment1")(x)
         if output == "embedding":

@@ -8,7 +8,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import SpatialDropout1D, global_avg_pool_1d
+from .layers import SpatialDropout1D, global_avg_pool_1d, subsample_frame_mask
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -29,7 +29,7 @@ class CNN(nn.Module):
         x = nn.relu(nn.Conv(500, (1,), (1,), padding=self.padding, name="conv_3")(x))
         x = nn.relu(nn.Conv(3000, (1,), (1,), padding=self.padding, name="conv_4")(x))
         if mask is not None:
-            mask = mask[:, ::2][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 2, x.shape[1])
         x = global_avg_pool_1d(x, mask=mask)
         # Embedding = fc_1 pre-activation (reference cnn.py:19-22).
         x = nn.Dense(1500, name="fc_1")(x)

@@ -12,7 +12,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import FrameLayer, GlobalMeanStddevPooling1D, SpatialDropout1D
+from .layers import FrameLayer, GlobalMeanStddevPooling1D, SpatialDropout1D, subsample_frame_mask
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -35,7 +35,7 @@ class XVector(nn.Module):
         if mask is not None:
             # Strided convs shrink the time axis; subsample the frame mask
             # to match (ceil semantics of causal/stride convs).
-            mask = mask[:, ::6][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 6, x.shape[1])
         x = GlobalMeanStddevPooling1D(name="stats_pooling")(x, mask=mask)
         # Embedding = segment1 pre-activation (reference xvector.py:70-73).
         x = nn.Dense(512, name="segment1")(x)

@@ -7,7 +7,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 
-from .layers import FrameLayer, GlobalMeanStddevPooling1D, batch_norm
+from .layers import FrameLayer, GlobalMeanStddevPooling1D, batch_norm, subsample_frame_mask
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -49,7 +49,7 @@ class XVector2D(nn.Module):
         x = FrameLayer(512, 1, 1, name="frame4")(x)
         x = FrameLayer(1500, 1, 1, name="frame5")(x)
         if mask is not None:
-            mask = mask[:, ::6][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 6, x.shape[1])
         x = GlobalMeanStddevPooling1D(name="stats_pooling")(x, mask=mask)
         x = nn.Dense(512, name="segment1")(x)
         if output == "embedding":

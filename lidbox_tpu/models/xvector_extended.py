@@ -7,7 +7,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import FrameLayer, GlobalMeanStddevPooling1D
+from .layers import FrameLayer, GlobalMeanStddevPooling1D, subsample_frame_mask
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -30,7 +30,7 @@ class XVectorExtended(nn.Module):
         x = FrameLayer(512, 1, 1, name="frame9")(x)
         x = FrameLayer(1500, 1, 1, name="frame10")(x)
         if mask is not None:
-            mask = mask[:, ::24][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 24, x.shape[1])
         x = GlobalMeanStddevPooling1D(name="stats_pooling")(x, mask=mask)
         x = nn.Dense(512, name="segment1")(x)
         if output == "embedding":

@@ -7,7 +7,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import FrameLayer, FrequencyAttention, GlobalMeanStddevPooling1D
+from .layers import FrameLayer, FrequencyAttention, GlobalMeanStddevPooling1D, subsample_frame_mask
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -27,7 +27,7 @@ class XVectorFreqAttention(nn.Module):
         x = FrequencyAttention(d_f=self.freq_attention_bins,
                                name="freq_attention")(x)
         if mask is not None:
-            mask = mask[:, ::6][:, :x.shape[1]]
+            mask = subsample_frame_mask(mask, 6, x.shape[1])
         x = GlobalMeanStddevPooling1D(name="stats_pooling")(x, mask=mask)
         x = nn.Dense(512, name="segment1")(x)
         if output == "embedding":

@@ -33,7 +33,8 @@ _build_failed = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+           "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
     logger.info("Building native audio library: %s", " ".join(cmd))
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 

@@ -97,10 +97,15 @@ long decode_to_mono(const uint8_t* raw, long bytes, const WavFmt& fmt,
     const float inv_ch = 1.0f / (float)ch;
     if (fmt.format == 1 && fmt.bits == 16) {
         const int16_t* s = (const int16_t*)raw;
-        for (long i = 0; i < frames; ++i) {
-            float acc = 0.0f;
-            for (int c = 0; c < ch; ++c) acc += (float)s[i * ch + c];
-            out[i] = acc * inv_ch * (1.0f / 32768.0f);
+        if (ch == 1) {  // hot path: mono, trivially vectorizable
+            constexpr float k = 1.0f / 32768.0f;
+            for (long i = 0; i < frames; ++i) out[i] = (float)s[i] * k;
+        } else {
+            for (long i = 0; i < frames; ++i) {
+                float acc = 0.0f;
+                for (int c = 0; c < ch; ++c) acc += (float)s[i * ch + c];
+                out[i] = acc * inv_ch * (1.0f / 32768.0f);
+            }
         }
     } else if (fmt.format == 1 && fmt.bits == 32) {
         const int32_t* s = (const int32_t*)raw;

@@ -21,14 +21,48 @@ DATA_AXIS = "data"
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
-                           process_id=None):
-    """Multi-host initialization over DCN (jax.distributed). Safe no-op for
-    single-process runs."""
+                           process_id=None, local_device_ids=None):
+    """Multi-host initialization over DCN (jax.distributed).
+
+    Arguments default to the standard launcher env vars
+    ``COORDINATOR_ADDRESS`` / ``NUM_PROCESSES`` / ``PROCESS_ID``; with no
+    coordinator configured this is a safe no-op for single-process runs.
+    Returns True when a distributed runtime was initialized.
+
+    After initialization, ``jax.devices()`` spans every host's chips: build
+    the mesh over all of them (get_mesh), keep params replicated, and feed
+    each process's local slice of the global batch through
+    ``global_batch_from_local`` — the same pjit program then runs on every
+    host with gradient all-reduce over ICI+DCN. Tested with 2 CPU processes
+    in tests/test_multihost.py.
+    """
+    import os
     if coordinator_address is None:
-        return
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+    return True
+
+
+def global_batch_from_local(local_batch, mesh, axis_name=DATA_AXIS):
+    """Assemble a globally batch-sharded jax.Array from each process's
+    LOCAL slice (multi-host data loading): every host decodes and feeds
+    only its own shard of the global batch; the returned arrays have global
+    shape [num_processes * local_batch, ...] sharded over the mesh without
+    any cross-host data movement."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        local_batch)
 
 
 def get_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):

@@ -206,3 +206,31 @@ def test_remat_training_matches_plain():
         _, l = trainer._jit_train_step(trainer.state, batch, trainer.rng)
         losses[remat] = float(l)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+@pytest.mark.parametrize("key,max_t,feat", [("xvector", 37, 12),
+                                            ("cnn", 25, 12),
+                                            ("xvector_extended", 52, 12)])
+def test_mask_subsampling_exhaustive_lengths(key, max_t, feat):
+    """Proof by exhaustion of the derived strided-conv mask mapping
+    (layers.subsample_frame_mask, VERDICT r1 weak #6): for EVERY valid
+    length n in 1..max_t, the padded forward with a prefix mask equals the
+    unpadded forward on the first n frames. One jitted padded program is
+    reused across lengths (mask is data, not shape)."""
+    import jax
+    model = models.create(key, (max_t, feat), NUM_OUTPUTS).init()
+    rng = np.random.default_rng(42)
+    x_full = rng.normal(0, 1, (1, max_t, feat)).astype(np.float32)
+
+    padded_fwd = jax.jit(lambda v, xp, m: model.module.apply(
+        v, xp, train=False, mask=m))
+    for n in range(1, max_t + 1):
+        trimmed = np.asarray(model.apply(
+            model.variables, jnp.asarray(x_full[:, :n]), train=False))
+        xp = np.zeros_like(x_full)
+        xp[:, :n] = x_full[:, :n]
+        mask = jnp.arange(max_t)[None, :] < n
+        out = np.asarray(padded_fwd(model.variables, jnp.asarray(xp), mask))
+        np.testing.assert_allclose(
+            out, trimmed, rtol=1e-4, atol=1e-5,
+            err_msg=f"{key}: masked-vs-trimmed mismatch at length {n}")

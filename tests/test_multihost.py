@@ -1,0 +1,131 @@
+"""
+Multi-host (2-process) distributed test over jax.distributed + CPU
+(VERDICT r1 missing #2 / next-step #6).
+
+Two subprocesses, each exposing 2 virtual CPU devices, initialize a
+distributed runtime via the standard env vars, build one global 4-device
+mesh, feed their LOCAL slices of a global batch through
+parallel.global_batch_from_local, and run a jitted global reduction plus a
+replicated-parameter gradient step. Both processes must agree with each
+other and with the analytic single-process result.
+
+SURVEY §5: "multi-host slices extend the same program via jax.distributed".
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import lidbox_tpu.parallel as parallel
+
+assert parallel.initialize_distributed(), "env-var initialization failed"
+pid = jax.process_index()
+assert pid == int(os.environ["PROCESS_ID"])
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4, jax.devices()       # 2 local x 2 processes
+assert len(jax.local_devices()) == 2
+
+import jax.numpy as jnp
+
+mesh = parallel.get_mesh()                          # all 4 global devices
+
+# Global batch of 8 rows: process p holds rows [4p, 4p+4).
+local = {"x": (np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+               + 100.0 * pid),
+         "y": np.full(4, pid, np.float32)}
+gbatch = parallel.global_batch_from_local(local, mesh)
+assert gbatch["x"].shape == (8, 3)
+
+total = jax.jit(lambda b: jnp.sum(b["x"]) + jnp.sum(b["y"]),
+                out_shardings=parallel.replicated(mesh))(gbatch)
+print("TOTAL", float(jax.device_get(total)))
+
+# Replicated params, gradient over the globally sharded batch: both
+# processes must compute the identical update.
+params = jax.device_put(jnp.ones((3,), jnp.float32),
+                        parallel.replicated(mesh))
+
+def loss_fn(w, b):
+    return jnp.mean((b["x"] @ w - b["y"]) ** 2)
+
+grads = jax.jit(jax.grad(loss_fn),
+                out_shardings=parallel.replicated(mesh))(params, gbatch)
+new_params = params - 0.1 * grads
+print("PARAMS", " ".join(f"{v:.6f}" for v in jax.device_get(new_params)))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training_step(tmp_path):
+    port = _free_port()
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["NUM_PROCESSES"] = "2"
+        env["PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = REPO
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed child timed out")
+        if p.returncode != 0 and ("UNAVAILABLE" in err or "DEADLINE" in err):
+            pytest.skip(f"jax.distributed unavailable here: {err[-300:]}")
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    def parse(out):
+        vals = {}
+        for line in out.splitlines():
+            if line.startswith("TOTAL"):
+                vals["total"] = float(line.split()[1])
+            if line.startswith("PARAMS"):
+                vals["params"] = [float(v) for v in line.split()[1:]]
+        return vals
+
+    a, b = parse(outs[0]), parse(outs[1])
+    assert a and b, outs
+    # analytic: sum over both processes' x blocks + y
+    x0 = np.arange(12, dtype=np.float32).reshape(4, 3)
+    expected_total = float(x0.sum() + (x0 + 100.0).sum() + 4 * 1.0)
+    assert a["total"] == b["total"] == expected_total
+    # both processes computed the identical replicated update
+    np.testing.assert_array_equal(a["params"], b["params"])
+    # and it matches the single-process computation on the full batch
+    X = np.concatenate([x0, x0 + 100.0])
+    y = np.concatenate([np.zeros(4), np.ones(4)]).astype(np.float32)
+    w = np.ones(3, np.float32)
+    grads = 2.0 / 8.0 * X.T @ (X @ w - y)
+    np.testing.assert_allclose(a["params"], w - 0.1 * grads, rtol=1e-5)
