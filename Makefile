@@ -1,5 +1,8 @@
 # Developer entry points (reference analogue: Makefile at repo root)
-.PHONY: test test-fast bench example native clean
+.PHONY: test test-fast bench example native docs clean
+
+docs:
+	python tools/gen_api_index.py > docs/api.md
 
 test:
 	python -m pytest tests/ -q

@@ -32,16 +32,19 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _time(step_fn, carry0, n1=5, n2=25):
+def _time(step_fn, carry0, n1=5, n2=25, reps=5):
     """Per-call seconds of ``carry = step_fn(carry)``.
 
     Measurement notes for the axon-tunneled TPU: dispatch is fully async
     and ``block_until_ready`` returns before remote execution completes, so
     (a) each call is chained through a scalar carry to force sequential
     execution on device, (b) completion is observed by reading one scalar
-    back to the host, and (c) the tunnel round-trip (30-300 ms) is
-    cancelled by delta timing two runs of different lengths:
-    per-call = (T(n2) - T(n1)) / (n2 - n1).
+    back to the host, (c) the tunnel round-trip (30-300 ms) is cancelled by
+    delta timing two runs of different lengths:
+    per-call = (T(n2) - T(n1)) / (n2 - n1), and (d) because individual
+    deltas occasionally come out wildly low/high when a tunnel stall lands
+    inside the short run, the reported value is the MEDIAN of ``reps``
+    independent deltas.
     """
     import numpy as np
 
@@ -54,9 +57,12 @@ def _time(step_fn, carry0, n1=5, n2=25):
         return time.perf_counter() - t0
 
     run(2)  # warmup / compile
-    t1 = run(n1)
-    t2 = run(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    deltas = []
+    for _ in range(reps):
+        t1 = run(n1)
+        t2 = run(n2)
+        deltas.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    return float(np.median(deltas))
 
 
 def main():
@@ -156,6 +162,22 @@ def main():
     dt_train = _time(step_with_state, jnp.float32(0.0))
     log(f"  train-step[b{MODEL_BATCH}]: {dt_train * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_train:,.1f} utt/s trained")
+    # Non-movable yardstick: model FLOP utilization of the full train step
+    # (features + fwd + bwd + adam) against the v5e bf16 peak. XLA counts
+    # logical flops, so f32-HIGHEST matmuls (6 bf16 passes each) understate
+    # hardware utilization — this is the conservative standard MFU.
+    try:
+        compiled = train_step.lower(state, jnp.float32(0.0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        peak = 197e12  # TPU v5e bf16 peak FLOP/s
+        if flops > 0:
+            log(f"  train-step MFU: {100 * flops / dt_train / peak:.1f}% "
+                f"({flops / 1e9:.2f} GFLOP/step vs {peak / 1e12:.0f} "
+                f"TFLOP/s bf16 peak)")
+    except Exception as e:
+        log(f"  MFU estimate unavailable: {type(e).__name__}: {e}")
 
     # --- BASELINE config 5: augmented train step (VAD-free path:
     # noise bank mix + FIR + SpecAugment + log-Mel + xvector fwd/bwd) -----
