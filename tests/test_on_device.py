@@ -199,6 +199,39 @@ class TestVadAndResample:
             assert abs(peak_hz - 400 * ratios[i]) < 25, (peak_hz, ratios[i])
             assert not out[i, n:].any()
 
+    def test_speed_change_matches_naive_gather_formula(self):
+        """The windowed row-gather + one-hot einsum resampler must equal
+        the naive per-sample take_along_axis formulation on every valid
+        output sample (it's an exactness refactor, not an approximation)."""
+        rng = np.random.default_rng(7)
+        B, T = 4, 2000
+        signals = jnp.asarray(rng.normal(0, 1, (B, T)).astype(np.float32))
+        lengths = jnp.asarray([T, T, 1500, 700], jnp.int32)
+        key = jax.random.PRNGKey(11)
+        speed_range = (0.85, 1.3)
+        out, new_lengths = on_device.random_speed_change_batch(
+            key, signals, lengths, speed_range)
+        # naive oracle with identical draws
+        ratio = np.asarray(jax.random.uniform(
+            key, (B,), minval=speed_range[0], maxval=speed_range[1]))
+        pos = np.arange(T)[None, :] * ratio[:, None]
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, T - 1)
+        hi = np.clip(lo + 1, 0, T - 1)
+        f = (pos - lo).astype(np.float32)
+        s = np.asarray(signals)
+        oracle = (np.take_along_axis(s, lo, 1) * (1 - f)
+                  + np.take_along_axis(s, hi, 1) * f)
+        out, new_lengths = np.asarray(out), np.asarray(new_lengths)
+        # The kernel computes interpolation positions in float32; the f64
+        # numpy oracle's positions differ by <= eps*position (~3e-4 of a
+        # sample), which bounds the output difference by that fraction of
+        # the local signal slope — atol 5e-3 catches any structural error
+        # (off-by-row/window bugs are O(1)).
+        for b in range(B):
+            n = int(new_lengths[b])
+            np.testing.assert_allclose(out[b, :n], oracle[b, :n], atol=5e-3)
+            assert not out[b, n:].any()
+
     def test_masked_noise_mix_matches_unpadded(self, noise_bank):
         """Mixing into a padded row with lengths == audio.snr_mixer on the
         unpadded slice with the same noise clip and SNR (reference MS-SNSD
