@@ -203,6 +203,31 @@ def main():
     log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s (noise+FIR+SpecAugment fused)")
 
+    # Full BASELINE config-5 chain: waveform -> energy VAD -> noise +
+    # random resampling + SpecAugment -> log-Mel -> train, ONE XLA program
+    # with the frame mask threaded into the model.
+    feature_fn5 = on_device.make_augmented_feature_fn(
+        SAMPLE_RATE, {"type": "logmelspectrogram",
+                      "melspectrogram": {"num_mel_bins": NUM_MEL},
+                      "stft_method": best_method},
+        on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
+                                speed_range=(0.9, 1.1), vad=True,
+                                vad_min_non_speech_ms=0,
+                                specaug_time_masks=2, specaug_freq_masks=2),
+        noise_bank=bank, noise_lengths=bank_len)
+    fused5 = on_device.make_fused_train_step(trainer, feature_fn5)
+    state5 = trainer.state
+
+    def fused5_with_state(carry):
+        nonlocal state5
+        state5, loss = fused5(state5, model_signals + carry * 1e-20, targets,
+                              jax.random.PRNGKey(0))
+        return loss
+    dt5 = _time(fused5_with_state, jnp.float32(0.0))
+    log(f"  config5-train-step[b{MODEL_BATCH}]: {dt5 * 1e3:.3f} ms "
+        f"-> {MODEL_BATCH / dt5:,.1f} utt/s "
+        f"(VAD+noise+resample+FIR+SpecAugment+mask fused)")
+
     # --- host loader: wav-decode throughput + fed train step --------------
     # SURVEY §7 "feature extraction never bottlenecks training": decode
     # utt/s (native C++ vs pure Python, 1..4 threads) and a decode->
