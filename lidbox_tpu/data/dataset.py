@@ -56,15 +56,45 @@ class Dataset:
 
     # -- transformations ----------------------------------------------------
 
-    def map(self, fn, num_parallel_calls=None):
+    def map(self, fn, num_parallel_calls=None, deterministic=True):
         """Element-wise transform; with ``num_parallel_calls`` the function
-        runs on a thread pool with ordered results (the host analogue of
-        tf.data's parallel map)."""
+        runs on a thread pool (the host analogue of tf.data's parallel map).
+
+        ``deterministic=True`` (default) preserves element order by blocking
+        on the oldest in-flight future — one straggler can idle the pool
+        once the 2x window drains. ``deterministic=False`` yields results
+        as they complete (tf.data's ``deterministic=False``), removing the
+        head-of-line blocking for decode-heavy pipelines whose downstream
+        shuffles anyway."""
         if num_parallel_calls in (None, 0, 1):
             def gen():
                 for x in self._gen_factory():
                     yield fn(x)
             return Dataset(gen)
+
+        if not deterministic:
+            def gen_unordered():
+                from concurrent.futures import FIRST_COMPLETED, wait
+                with ThreadPoolExecutor(max_workers=num_parallel_calls) as pool:
+                    it = self._gen_factory()
+                    pending = set()
+                    try:
+                        for x in itertools.islice(it, 2 * num_parallel_calls):
+                            pending.add(pool.submit(fn, x))
+                        while pending:
+                            done, pending = wait(pending,
+                                                 return_when=FIRST_COMPLETED)
+                            for fut in done:
+                                yield fut.result()
+                                try:
+                                    nxt = next(it)
+                                except StopIteration:
+                                    continue
+                                pending.add(pool.submit(fn, nxt))
+                    finally:
+                        for f in pending:
+                            f.cancel()
+            return Dataset(gen_unordered)
 
         def gen_parallel():
             with ThreadPoolExecutor(max_workers=num_parallel_calls) as pool:
