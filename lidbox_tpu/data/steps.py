@@ -69,12 +69,19 @@ def from_steps(steps):
     return ds
 
 
-def pre_initialize(meta, labels, shuffle_utterances=False):
-    """Drop utterances with labels outside ``labels`` and optionally shuffle
-    the id order before the pipeline is built
-    (reference: lidbox/data/steps.py:61-91)."""
-    known = set(labels)
-    meta = meta[meta["label"].isin(known)]
+def pre_initialize(meta, labels, shuffle_utterances=False,
+                   allow_unknown_labels=False):
+    """Drop utterances with labels outside ``labels`` (unless
+    ``allow_unknown_labels``) and optionally shuffle the id order before
+    the pipeline is built (reference: lidbox/data/steps.py:61-91)."""
+    if not allow_unknown_labels:
+        known = set(labels)
+        invalid = meta[~meta["label"].isin(known)]
+        if len(invalid):
+            logger.warning("Dropping %d utterances with unknown labels: %s",
+                           len(invalid),
+                           dict(invalid["label"].value_counts()))
+        meta = meta[meta["label"].isin(known)]
     if shuffle_utterances:
         meta = meta.sample(frac=1.0, random_state=RANDOM_SEED)
     return meta

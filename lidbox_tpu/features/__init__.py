@@ -170,6 +170,30 @@ def window_normalization_masked(X, frame_lengths, axis=1, window_len=-1,
     return jnp.where(mask3, out, 0.0)
 
 
+def window_normalization_numpy(X, window_len=-1, normalize_variance=True):
+    """Host-side sliding-window CMVN WITHOUT boundary padding: windows are
+    clipped at the edges instead of reflected (reference:
+    lidbox/features/__init__.py:89-110, kept for parity; the padded jit
+    version above is the pipeline default)."""
+    X = np.asarray(X, np.float32)
+    T = X.shape[1]
+    if window_len == -1 or T <= window_len:
+        centered = X - np.mean(X, axis=1, keepdims=True)
+        if normalize_variance:
+            centered = centered / np.std(X, axis=1, keepdims=True)
+        return centered
+    begin = np.clip(np.arange(T) - window_len // 2, 0, T)
+    end = np.clip(begin + window_len, 0, T)
+    result = np.zeros_like(X)
+    for i, (b, e) in enumerate(zip(begin, end)):
+        window = X[:, b:e]
+        centered = X[:, i] - np.mean(window, axis=1)
+        if normalize_variance:
+            centered = centered / np.std(window, axis=1)
+        result[:, i] = centered
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Feature-type dispatcher
 # ---------------------------------------------------------------------------

@@ -64,6 +64,21 @@ def get_total_duration_sec(paths):
     return total
 
 
+def get_total_duration(paths):
+    """Total duration as (hours, mins, secs)
+    (reference: lidbox/system.py:71-75)."""
+    secs = round(get_total_duration_sec(paths))
+    mins, secs = secs // 60, secs % 60
+    hours, mins = mins // 60, mins % 60
+    return hours, mins, secs
+
+
+def format_duration(duration):
+    """(hours, mins, secs) -> '01h 02min 03sec'
+    (reference: lidbox/system.py:77-78)."""
+    return "{:02d}h {:02d}min {:02d}sec".format(*duration)
+
+
 def get_audio_type(path):
     """Audio container type from the file header."""
     with open(path, "rb") as f:
@@ -75,7 +90,8 @@ def get_audio_type(path):
     return "unknown"
 
 
-def read_arff_features(path, include_keys=None, exclude_keys=("frameTime",)):
+def read_arff_features(path, include_keys=None, exclude_keys=("frameTime",),
+                       types=("numeric",)):
     """Numeric feature matrix from an openSMILE ARFF file via scipy
     (reference: lidbox/system.py:24-38). Returns (data [T, F], keys)."""
     import numpy as np
@@ -84,7 +100,7 @@ def read_arff_features(path, include_keys=None, exclude_keys=("frameTime",)):
     keys = [k for k in meta_info.names()
             if (include_keys is None or k in include_keys)
             and k not in (exclude_keys or ())
-            and meta_info[k][0] == "numeric"]
+            and meta_info[k][0] in types]
     mat = np.stack([np.asarray(data[k], np.float32) for k in keys], axis=-1)
     return mat, keys
 

@@ -445,3 +445,16 @@ class TestEdgeCases:
         assert empty.batch(4).collect() == []
         assert empty.shuffle(10).collect() == []
         assert steps_mod.drop_empty(empty).collect() == []
+
+
+def test_pre_initialize_allow_unknown_labels():
+    import pandas as pd
+    from lidbox_tpu.data import steps as steps_mod
+    meta = pd.DataFrame({"id": ["a", "b", "c"],
+                         "label": ["xx", "yy", "zz"],
+                         "path": ["p1", "p2", "p3"]})
+    dropped = steps_mod.pre_initialize(meta, ["xx", "yy"])
+    assert sorted(dropped["label"]) == ["xx", "yy"]
+    kept = steps_mod.pre_initialize(meta, ["xx", "yy"],
+                                    allow_unknown_labels=True)
+    assert len(kept) == 3  # reference's allow_unknown_labels passthrough

@@ -217,3 +217,19 @@ class TestMaskedStatsParity:
             ref = ex(s[None], RATE)[0]
             assert got.shape == ref.shape
             np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestWindowNormalizationNumpy:
+    def test_interior_matches_jit_version_and_fallback(self):
+        X = _features(batch=2, t=40, f=6)
+        w = 8
+        host = F.window_normalization_numpy(X, window_len=w)
+        dev = np.asarray(F.window_normalization(jnp.asarray(X), window_len=w))
+        # interior frames (full windows, no boundary handling difference)
+        np.testing.assert_allclose(host[:, w:-w], dev[:, w:-w], rtol=1e-3,
+                                   atol=1e-4)
+        assert np.all(np.isfinite(host))
+        # whole-tensor fallback == cmvn
+        np.testing.assert_allclose(
+            F.window_normalization_numpy(X, window_len=100),
+            np.asarray(F.cmvn(jnp.asarray(X))), rtol=1e-4, atol=1e-4)

@@ -248,3 +248,18 @@ class TestCLI:
         data = np.load(out)
         assert data["embeddings"].shape == (2, 512)
         assert len(data["ids"]) == 2
+
+
+def test_get_total_duration_and_format(tmp_path):
+    """reference: lidbox/system.py:71-78."""
+    from lidbox_tpu import system, testutil
+    from lidbox_tpu.features import io as audio_io
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"d{i}.wav"
+        audio_io.write_mono_wav(p, testutil.sinewave(100, 16000, 2.0), 16000)
+        paths.append(str(p))
+    assert system.get_total_duration(paths) == (0, 0, 6)
+    assert system.format_duration((1, 2, 3)) == "01h 02min 03sec"
+    assert system.format_duration(system.get_total_duration(paths)) == \
+        "00h 00min 06sec"
