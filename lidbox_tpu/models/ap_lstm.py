@@ -28,8 +28,12 @@ class APLSTM(nn.Module):
         if self.channel_dropout_rate > 0:
             x = SpatialDropout1D(self.channel_dropout_rate,
                                  name="channel_dropout")(x, train=train)
-        blstm_1 = BidirectionalRNN(self.num_lstm_units, name="blstm_1")(x)
-        blstm_2 = BidirectionalRNN(self.num_lstm_units, name="blstm_2")(blstm_1)
+        from .layers import mask_to_lengths
+        lengths = mask_to_lengths(mask)
+        blstm_1 = BidirectionalRNN(self.num_lstm_units,
+                                   name="blstm_1")(x, lengths=lengths)
+        blstm_2 = BidirectionalRNN(self.num_lstm_units,
+                                   name="blstm_2")(blstm_1, lengths=lengths)
         concat = jnp.concatenate([self.alpha1 * blstm_1,
                                   self.alpha2 * blstm_2], axis=-1)
         avg = global_avg_pool_1d(concat, mask=mask)

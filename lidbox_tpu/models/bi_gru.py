@@ -8,7 +8,8 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import BidirectionalRNN, SpatialDropout1D, batch_norm
+from .layers import (BidirectionalRNN, SpatialDropout1D, batch_norm,
+                     mask_to_lengths)
 from .model_api import Model, as_embedding_extractor  # noqa: F401
 
 
@@ -23,9 +24,10 @@ class BiGRU(nn.Module):
         if self.channel_dropout_rate > 0:
             x = SpatialDropout1D(self.channel_dropout_rate,
                                  name="channel_dropout")(x, train=train)
-        x = BidirectionalRNN(512, cell="gru", name="BGRU_1")(x)
+        lengths = mask_to_lengths(mask)
+        x = BidirectionalRNN(512, cell="gru", name="BGRU_1")(x, lengths=lengths)
         x = BidirectionalRNN(512, cell="gru", return_sequences=False,
-                             name="BGRU_2")(x)
+                             name="BGRU_2")(x, lengths=lengths)
         x = batch_norm(train, name="BGRU_2_bn")(x)
         # Embedding = fc_relu_1 pre-activation (reference bi_gru.py:20-24).
         x = nn.Dense(1024, name="fc_relu_1")(x)

@@ -9,8 +9,9 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
-from .layers import BidirectionalRNN, batch_norm
+from .layers import BidirectionalRNN, batch_norm, mask_to_lengths
 from .model_api import Model
 
 
@@ -27,14 +28,29 @@ class CRNN(nn.Module):
                  output: str = "logits"):
         # [B, T, F] -> image [B, F, T, 1] (freq bins first, reference crnn.py:27-29)
         img = x.transpose(0, 2, 1)[..., None]
+        # Valid time-column count per stage: SAME convs keep it, VALID 2x2
+        # pools halve it. Zeroing the invalid columns before every conv
+        # makes each stage see exactly what a trimmed input's SAME zero
+        # padding would provide, so valid outputs reproduce trimmed
+        # numerics (eval mode; train-mode batch-norm stats still see the
+        # zeroed columns, like the reference's padded batches would).
+        lengths = mask_to_lengths(mask)
         for i, (f, k) in enumerate(zip((16, 32, 64, 128, 256), (7, 5, 3, 3, 3)), start=1):
+            if lengths is not None:
+                tmask = jnp.arange(img.shape[2])[None, :] < lengths[:, None]
+                img = img * tmask[:, None, :, None].astype(img.dtype)
             img = nn.relu(nn.Conv(f, (k, k), padding="SAME", name=f"conv_{i}")(img))
             img = batch_norm(train, name=f"conv_{i}_bn")(img)
             img = nn.max_pool(img, (2, 2), strides=(2, 2))
+            if lengths is not None:
+                lengths = lengths // 2
         # [B, F', T', C] -> timesteps first, flatten channels (crnn.py:43-46)
         b, fr, t, c = img.shape
         seq = img.transpose(0, 2, 1, 3).reshape(b, t, fr * c)
-        x = BidirectionalRNN(256, return_sequences=False, name="blstm")(seq)
+        if lengths is not None:
+            lengths = jnp.maximum(lengths, 1)
+        x = BidirectionalRNN(256, return_sequences=False,
+                             name="blstm")(seq, lengths=lengths)
         if output == "embedding":
             return x
         x = nn.Dense(self.num_outputs, name="output")(x)

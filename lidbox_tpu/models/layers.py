@@ -156,37 +156,66 @@ def l2_normalize(x, axis=-1, epsilon=1e-12):
 RNN_UNROLL = 4
 
 
+def _final_step(y, lengths):
+    """Output at each row's last valid step (y[:, n-1])."""
+    idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, y.shape[1] - 1)
+    return jnp.take_along_axis(y, idx[:, None, None], axis=1)[:, 0]
+
+
+def mask_to_lengths(mask):
+    """Prefix-contiguous frame mask [B, T] -> valid lengths [B] (None
+    passthrough)."""
+    if mask is None:
+        return None
+    return jnp.sum(mask.astype(jnp.int32), axis=1)
+
+
 class LSTMLayer(nn.Module):
-    """Unidirectional LSTM over [B, T, F] via nn.RNN (lax.scan under jit)."""
+    """Unidirectional LSTM over [B, T, F] via nn.RNN (lax.scan under jit).
+
+    With ``lengths``, return_sequences=False selects each row's last VALID
+    step (padding never reaches the returned state); sequence outputs past
+    a row's length are garbage and must be masked downstream.
+    """
     units: int
     return_sequences: bool = True
     unroll: int = RNN_UNROLL
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths: Optional[jax.Array] = None):
         y = nn.RNN(nn.OptimizedLSTMCell(self.units), unroll=self.unroll,
-                   name="rnn")(x)
-        return y if self.return_sequences else y[:, -1]
+                   name="rnn")(x, seq_lengths=lengths)
+        if self.return_sequences:
+            return y
+        return y[:, -1] if lengths is None else _final_step(y, lengths)
 
 
 class BidirectionalRNN(nn.Module):
-    """Bidirectional LSTM/GRU with concat merge (Keras Bidirectional)."""
+    """Bidirectional LSTM/GRU with concat merge (Keras Bidirectional).
+
+    With ``lengths``, the backward pass flips only each row's valid prefix
+    (flax seq_lengths), so padded buckets reproduce trimmed numerics at
+    every valid step — without it, the backward RNN would start from the
+    padding and contaminate all positions.
+    """
     units: int
     cell: str = "lstm"                 # "lstm" | "gru"
     return_sequences: bool = True
     unroll: int = RNN_UNROLL
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths: Optional[jax.Array] = None):
         cell_cls = nn.OptimizedLSTMCell if self.cell == "lstm" else nn.GRUCell
-        yf = nn.RNN(cell_cls(self.units), unroll=self.unroll, name="forward")(x)
+        yf = nn.RNN(cell_cls(self.units), unroll=self.unroll,
+                    name="forward")(x, seq_lengths=lengths)
         yb = nn.RNN(cell_cls(self.units), reverse=True, keep_order=True,
-                    unroll=self.unroll, name="backward")(x)
+                    unroll=self.unroll, name="backward")(x, seq_lengths=lengths)
         if self.return_sequences:
             return jnp.concatenate([yf, yb], axis=-1)
-        # Keras Bidirectional(return_sequences=False): forward final step
-        # concat backward final step (which sits at index 0 with keep_order).
-        return jnp.concatenate([yf[:, -1], yb[:, 0]], axis=-1)
+        # Keras Bidirectional(return_sequences=False): forward final valid
+        # step concat backward final step (index 0 with keep_order).
+        yf_final = yf[:, -1] if lengths is None else _final_step(yf, lengths)
+        return jnp.concatenate([yf_final, yb[:, 0]], axis=-1)
 
 
 class DenseBlock(nn.Module):

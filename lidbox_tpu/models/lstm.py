@@ -6,7 +6,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
-from .layers import LSTMLayer
+from .layers import LSTMLayer, mask_to_lengths
 from .model_api import Model
 
 
@@ -18,7 +18,8 @@ class LSTM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,
                  output: str = "logits"):
-        x = LSTMLayer(self.num_units, return_sequences=False, name="lstm")(x)
+        x = LSTMLayer(self.num_units, return_sequences=False,
+                      name="lstm")(x, lengths=mask_to_lengths(mask))
         if output == "embedding":
             return x
         x = nn.Dense(self.num_outputs, name="output")(x)

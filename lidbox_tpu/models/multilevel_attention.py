@@ -20,10 +20,14 @@ class Attention(nn.Module):
     num_units: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask: Optional[jax.Array] = None):
         x = nn.Dense(self.num_units, name="fc")(x)
         query = nn.softmax(x, axis=-1)
         query = jnp.clip(query, 1e-7, 1.0 - 1e-7)
+        if mask is not None:
+            # zero padded frames BEFORE the over-time renormalization, so
+            # padded buckets reproduce trimmed numerics exactly
+            query = query * mask[..., None].astype(query.dtype)
         query = query / jnp.sum(query, axis=1, keepdims=True)
         value = nn.sigmoid(x)
         return jnp.sum(query * value, axis=1)
@@ -42,7 +46,7 @@ class MultilevelAttention(nn.Module):
         for level in range(1, self.L + 1):
             x = DenseBlock(self.H, 0.4, name=f"dense_block{level}")(x, train=train)
             attention_outputs.append(
-                Attention(self.num_outputs, name=f"attention{level}")(x))
+                Attention(self.num_outputs, name=f"attention{level}")(x, mask=mask))
         concat = jnp.concatenate(attention_outputs, axis=-1)
         if output == "embedding":
             return concat

@@ -21,9 +21,11 @@ class SphereSpeaker(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,
                  output: str = "logits"):
-        blstm_1 = BidirectionalRNN(250, name="blstm_1")(x)
-        blstm_2 = BidirectionalRNN(250, name="blstm_2")(blstm_1)
-        blstm_3 = BidirectionalRNN(250, name="blstm_3")(blstm_2)
+        from .layers import mask_to_lengths
+        lengths = mask_to_lengths(mask)
+        blstm_1 = BidirectionalRNN(250, name="blstm_1")(x, lengths=lengths)
+        blstm_2 = BidirectionalRNN(250, name="blstm_2")(blstm_1, lengths=lengths)
+        blstm_3 = BidirectionalRNN(250, name="blstm_3")(blstm_2, lengths=lengths)
         x = jnp.concatenate([blstm_1, blstm_2, blstm_3], axis=-1)
         x = batch_norm(train, name="blstm_bn")(x)
         x = nn.relu(nn.Dense(self.embedding_dim, name="fc_relu")(x))

@@ -234,3 +234,33 @@ def test_mask_subsampling_exhaustive_lengths(key, max_t, feat):
         np.testing.assert_allclose(
             out, trimmed, rtol=1e-4, atol=1e-5,
             err_msg=f"{key}: masked-vs-trimmed mismatch at length {n}")
+
+
+@pytest.mark.parametrize("key,T,F", [
+    ("xvector", 60, 30), ("xvector_extended", 60, 30), ("xvector_2d", 48, 30),
+    ("xvector_freq_attention", 48, 30), ("clstm", 48, 30), ("cnn", 40, 20),
+    ("dnn", 30, 12), ("lstm", 30, 12), ("bi_gru", 30, 12),
+    ("spherespeaker", 30, 12), ("ap_lstm", 30, 12),
+    ("multilevel_attention", 30, 12), ("crnn", 96, 64),
+])
+def test_zoo_masked_forward_matches_trimmed(key, T, F):
+    """Every maskable model must reproduce the unpadded (trimmed) forward
+    exactly under a prefix frame mask — including bidirectional RNNs
+    (seq_lengths flips only the valid prefix), last-valid-step selection,
+    masked attention renormalization, and the CRNN image stack's
+    per-stage zeroing (round-2 fix: bi_gru/lstm/ap_lstm/crnn/
+    multilevel_attention previously diverged by 1e-2..2e-1)."""
+    import jax.numpy as jnp
+    model = models.create(key, (T, F), NUM_OUTPUTS).init()
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, T, F)).astype(np.float32)
+    for n in (T - 7, T // 2 + 1):
+        trimmed = np.asarray(model.apply(model.variables,
+                                         jnp.asarray(x[:, :n]), train=False))
+        xp = np.zeros_like(x)
+        xp[:, :n] = x[:, :n]
+        mask = jnp.arange(T)[None, :] < n
+        out = np.asarray(model.apply(model.variables, jnp.asarray(xp),
+                                     train=False, mask=mask))
+        np.testing.assert_allclose(out, trimmed, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{key} at length {n}")
