@@ -122,6 +122,27 @@ class TestDataParallel:
         np.testing.assert_allclose(h_mesh[-1]["loss"], h_single[-1]["loss"],
                                    rtol=1e-3)
 
+    def test_checkpoint_restore_into_mesh_trainer(self, tmp_path):
+        """A checkpoint written by a single-device run restores into a
+        mesh-sharded trainer (replicated placement) and training continues."""
+        ckpt_dir = str(tmp_path / "ckpts")
+        single = make_trainer(callbacks=[ModelCheckpoint(ckpt_dir)])
+        batches = toy_batches()
+        single.fit(lambda: batches, lambda: toy_batches(2, seed=9), epochs=2)
+
+        mesh = parallel.get_mesh()
+        resumed = make_trainer(mesh=mesh)
+        resumed.create_state()
+        latest = get_best_checkpoint_path(ckpt_dir)
+        resumed.restore(latest)
+        assert resumed.initial_epoch == 2
+        p1 = jax.device_get(single.state.params)
+        p2 = jax.device_get(resumed.state.params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+        history = resumed.fit(lambda: batches, epochs=4)
+        assert len(history) == 2  # epochs 3 and 4
+        assert np.isfinite(history[-1]["loss"])
+
     def test_mesh_eval_metric_state(self):
         mesh = parallel.get_mesh()
         metrics = {"C_avg": SparseAverageDetectionCost(
