@@ -97,3 +97,73 @@ class Classifier:
         for i, lab in enumerate(self.labels):
             out[f"score_{lab}"] = scores[:, i]
         return out
+
+
+class StreamingClassifier:
+    """Online LId over an incrementally-fed audio stream.
+
+    Fixed-size analysis chunks with a fixed hop keep every forward pass a
+    single compiled XLA program regardless of stream length; per-chunk
+    scores are merged by running mean — the same utterance-level semantics
+    as the offline chunk merge (reference: lidbox/util.py:41-57), so a
+    stream scored online equals the same audio scored offline with
+    identical chunking.
+
+    Usage::
+
+        sc = StreamingClassifier(model, labels)
+        for block in audio_blocks:          # arbitrary block sizes
+            scores = sc.feed(block)          # updated after each new chunk
+        final = sc.scores()
+    """
+
+    def __init__(self, model, labels, feature_config=None, sample_rate=16000,
+                 chunk_seconds=2.0, hop_seconds=1.0):
+        if model.variables is None:
+            model.init()
+        self.model = model
+        self.labels = list(labels)
+        self.sample_rate = int(sample_rate)
+        self.chunk_len = int(chunk_seconds * sample_rate)
+        self.hop = int(hop_seconds * sample_rate)
+        assert 0 < self.hop <= self.chunk_len
+        self.extractor = DeviceFeatureExtractor(dict(feature_config or {
+            "type": "logmelspectrogram",
+            "melspectrogram": {"num_mel_bins": 64}}))
+        self._apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        self.reset()
+
+    def reset(self):
+        self._buffer = np.zeros(0, np.float32)
+        self._score_sum = None
+        self._num_chunks = 0
+
+    def feed(self, samples):
+        """Append audio samples (any length); runs the model on every
+        completed chunk. Returns the current running score vector, or None
+        if no chunk has completed yet."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(samples, np.float32).ravel()])
+        chunks = []
+        while self._buffer.size >= self.chunk_len:
+            chunks.append(self._buffer[:self.chunk_len])
+            self._buffer = self._buffer[self.hop:]
+        if chunks:
+            feats = self.extractor(np.stack(chunks), self.sample_rate)
+            out = np.asarray(jax.device_get(
+                self._apply(self.model.variables, feats)))
+            s = out.sum(axis=0)
+            self._score_sum = s if self._score_sum is None else self._score_sum + s
+            self._num_chunks += len(chunks)
+        return self.scores()
+
+    def scores(self):
+        """Running mean of per-chunk score vectors (None before the first
+        completed chunk)."""
+        if self._num_chunks == 0:
+            return None
+        return self._score_sum / self._num_chunks
+
+    def label(self):
+        s = self.scores()
+        return None if s is None else self.labels[int(np.argmax(s))]

@@ -48,3 +48,49 @@ def test_classify_with_chunking_merges_to_utterances(tmp_path):
     out = clf.scores(paths, ids=["a", "b", "c"])
     assert list(out.index) == ["a", "b", "c"]  # chunks merged back
     assert out.prediction.iloc[0].shape == (len(LABELS),)
+
+
+class TestStreamingClassifier:
+    def _model(self, chunk_seconds=1.0):
+        frames = 1 + (int(chunk_seconds * RATE) - 400) // 160
+        return models.create("dnn", (frames, 24), len(LABELS)).init()
+
+    def _config(self):
+        return {"type": "logmelspectrogram",
+                "melspectrogram": {"num_mel_bins": 24}}
+
+    def test_streaming_equals_offline_chunking(self):
+        """Feeding arbitrary block sizes must give exactly the mean of the
+        per-chunk scores computed offline on the same chunk grid."""
+        model = self._model()
+        sc = serve.StreamingClassifier(model, LABELS,
+                                       feature_config=self._config(),
+                                       chunk_seconds=1.0, hop_seconds=0.5)
+        sig = testutil.noisy_sinewave(300, RATE, 0.1, 3.3, seed=7)
+        # ragged feed: prime-ish block sizes
+        pos, blocks = 0, (1234, 7000, 333, 20000, 12345, 60000)
+        for b in blocks:
+            sc.feed(sig[pos:pos + b])
+            pos += b
+        got = sc.scores()
+        # offline oracle: same chunk grid, batch forward, mean
+        chunk, hop = RATE, RATE // 2
+        chunks = [sig[i:i + chunk] for i in range(0, sig.size - chunk + 1, hop)]
+        feats = sc.extractor(np.stack(chunks), RATE)
+        import jax
+        ref = np.asarray(jax.device_get(model.apply(
+            model.variables, feats, train=False))).mean(axis=0)
+        assert sc._num_chunks == len(chunks)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        assert sc.label() in LABELS
+
+    def test_no_scores_before_first_chunk_and_reset(self):
+        sc = serve.StreamingClassifier(self._model(), LABELS,
+                                       feature_config=self._config(),
+                                       chunk_seconds=1.0, hop_seconds=1.0)
+        assert sc.feed(np.zeros(RATE // 2, np.float32)) is None
+        assert sc.label() is None
+        out = sc.feed(np.zeros(RATE, np.float32))
+        assert out is not None and out.shape == (len(LABELS),)
+        sc.reset()
+        assert sc.scores() is None and sc._buffer.size == 0
