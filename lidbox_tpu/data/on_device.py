@@ -156,9 +156,12 @@ def random_speed_change_batch(key, signals, lengths, speed_range):
     B, T = signals.shape
     ratio = jax.random.uniform(key, (B,), minval=speed_range[0],
                                maxval=speed_range[1])
-    RW = 128
+    # Row width trades gather lane padding against selection-tensor work;
+    # 64 measured 3.3x faster than 128 on v5e (0.65 vs 2.17 ms, b32 x 3 s).
+    RW = 64
     R = -(-T // RW)                          # output rows
-    # window rows per output row: covers 128*frac(j*r) + 127*r + 1 samples
+    # window rows per output row: in-window positions reach
+    # RW*frac(j*r) + (RW-1)*r + 1 < RW*(2 + floor(r_max))
     n_win = 2 + int(np.floor(float(speed_range[1])))
     pad_to = (R + n_win) * RW
     s = jnp.pad(signals, ((0, 0), (0, pad_to - T)))
