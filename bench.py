@@ -32,7 +32,7 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _time(step_fn, carry0, n1=5, n2=25, reps=5):
+def _time(step_fn, carry0, n1=10, n2=60, reps=7):
     """Per-call seconds of ``carry = step_fn(carry)``.
 
     Measurement notes for the axon-tunneled TPU: dispatch is fully async
@@ -41,10 +41,12 @@ def _time(step_fn, carry0, n1=5, n2=25, reps=5):
     execution on device, (b) completion is observed by reading one scalar
     back to the host, (c) the tunnel round-trip (30-300 ms) is cancelled by
     delta timing two runs of different lengths:
-    per-call = (T(n2) - T(n1)) / (n2 - n1), and (d) because individual
-    deltas occasionally come out wildly low/high when a tunnel stall lands
-    inside the short run, the reported value is the MEDIAN of ``reps``
-    independent deltas.
+    per-call = (T(n2) - T(n1)) / (n2 - n1), and (d) tunnel stalls and
+    chip contention only ever ADD time, so each leg's stall-free time is
+    estimated as the MINIMUM over ``reps`` independent runs — min-per-leg
+    delta timing. (Pairing each t1 with its own t2 and taking the median
+    was measurably worse: a stall landing in a short run inflates t1 and
+    produces impossibly low, even negative, deltas.)
     """
     import numpy as np
 
@@ -57,16 +59,22 @@ def _time(step_fn, carry0, n1=5, n2=25, reps=5):
         return time.perf_counter() - t0
 
     run(2)  # warmup / compile
-    deltas = []
-    for _ in range(reps):
-        t1 = run(n1)
-        t2 = run(n2)
-        deltas.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return float(np.median(deltas))
+    t1s = [run(n1) for _ in range(reps)]
+    t2s = [run(n2) for _ in range(reps)]
+    return max((min(t2s) - min(t1s)) / (n2 - n1), 1e-9)
 
 
 def main():
+    import os
     import jax
+    try:  # persistent compile cache: re-runs skip the ~20-40 s compiles
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {type(e).__name__}: {e}")
     import jax.numpy as jnp
     import lidbox_tpu.features as F
     import lidbox_tpu.models as models
