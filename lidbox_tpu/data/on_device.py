@@ -146,23 +146,32 @@ def random_speed_change_batch(key, signals, lengths, speed_range):
 
     TPU formulation: a flat ``take_along_axis`` over the sample axis is a
     minor-dim gather and measures ~30 ms for [32, 48000] on v5e. Instead,
-    outputs are produced a 128-sample row at a time: output row j reads a
+    outputs are produced a 64-sample row at a time: output row j reads a
     small contiguous window of input rows starting at floor(j*ratio) (a
     fast sublane row-gather), and the within-window 2-tap interpolation is
-    an einsum against a one-hot selection tensor that XLA fuses into the
-    contraction without materializing it — ~2.4 ms, 13x faster, exact
-    (same lo/hi/frac arithmetic) on every valid output sample.
+    an einsum against a hat-function selection tensor
+    max(0, 1 - |s - o|) — algebraically identical to the one-hot
+    (1-f)/f pair — that XLA fuses into the contraction. The window is
+    clipped to the positions the interpolation can actually reach
+    (RW + (RW-1)*r_max + 2 instead of n_win*RW lanes), and the selection
+    tensor keeps the window axis minor. Interleaved A/B on v5e
+    (b32 x 3 s): 0.62 ms vs 0.90 ms for the full-width one-hot layout and
+    ~30 ms for the flat gather; exact (same lo/hi/frac arithmetic) on
+    every valid output sample.
     """
     B, T = signals.shape
     ratio = jax.random.uniform(key, (B,), minval=speed_range[0],
                                maxval=speed_range[1])
     # Row width trades gather lane padding against selection-tensor work;
-    # 64 measured 3.3x faster than 128 on v5e (0.65 vs 2.17 ms, b32 x 3 s).
+    # 64 measured fastest among {32, 64, 128} on v5e.
     RW = 64
     R = -(-T // RW)                          # output rows
     # window rows per output row: in-window positions reach
     # RW*frac(j*r) + (RW-1)*r + 1 < RW*(2 + floor(r_max))
     n_win = 2 + int(np.floor(float(speed_range[1])))
+    # ... but the reachable prefix is much narrower than n_win*RW:
+    width = RW + int(np.ceil((RW - 1) * float(speed_range[1]))) + 2
+    width = min(-(-width // 8) * 8, n_win * RW)
     pad_to = (R + n_win) * RW
     s = jnp.pad(signals, ((0, 0), (0, pad_to - T)))
     rows = s.reshape(B, R + n_win, RW)
@@ -174,20 +183,16 @@ def random_speed_change_batch(key, signals, lengths, speed_range):
         [jnp.take_along_axis(rows,
                              jnp.clip(base + d, 0, R + n_win - 1)[:, :, None],
                              axis=1)
-         for d in range(n_win)], axis=2)     # [B, R, n_win*RW]
+         for d in range(n_win)], axis=2)[:, :, :width]   # [B, R, width]
 
     k = jnp.arange(RW)
     q = (j[None, :, None] * RW + k[None, None, :]) * ratio[:, None, None]
     o = q - (base * RW)[:, :, None]          # in-window position [B, R, RW]
-    lo = jnp.clip(jnp.floor(o).astype(jnp.int32), 0, n_win * RW - 1)
-    hi = jnp.clip(lo + 1, 0, n_win * RW - 1)
-    f = (o - jnp.floor(o)).astype(signals.dtype)
-    sidx = jnp.arange(n_win * RW)
-    sel = ((sidx[None, None, :, None] == lo[:, :, None, :])
-           * (1.0 - f)[:, :, None, :]
-           + (sidx[None, None, :, None] == hi[:, :, None, :])
-           * f[:, :, None, :])
-    out = jnp.einsum("brs,brsk->brk", window, sel).reshape(B, R * RW)[:, :T]
+    o = jnp.clip(o, 0.0, width - 1.0)
+    sidx = jnp.arange(width)
+    sel = jnp.maximum(0.0, 1.0 - jnp.abs(
+        sidx[None, None, None, :] - o[:, :, :, None]))   # [B, R, RW, width]
+    out = jnp.einsum("brs,brks->brk", window, sel).reshape(B, R * RW)[:, :T]
 
     # valid output positions: q <= lengths - 1
     new_lengths = jnp.minimum(
