@@ -165,7 +165,10 @@ def _windowed_dft_basis(frame_length, fft_length):
     n = np.arange(frame_length, dtype=np.float64)[:, None]
     k = np.arange(fft_length // 2 + 1, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n * k / fft_length
-    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / frame_length)  # periodic Hann
+    # periodic Hann with tf.signal's raised-cosine denominator (length for
+    # even windows, length - 1 for odd — see hann_window)
+    denom = frame_length + (1 - frame_length % 2) - 1
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
     return (np.asarray(w * np.cos(ang), np.float32),
             np.asarray(w * np.sin(ang), np.float32))
 

@@ -90,6 +90,44 @@ class TestSpectrograms:
         mm = np.asarray(audio.spectrograms(jnp.asarray(x), RATE, method="matmul"))
         np.testing.assert_allclose(mm, fft, rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("frame_length,frame_step,fft_length,T", [
+        (400, 160, 512, 48000),   # 25/10 ms @16k: 3 segments (160/160/80)
+        (400, 160, 512, 48001),   # non-multiple tail
+        (400, 160, 512, 439),     # single frame
+        (512, 128, 512, 8192),    # 4 full segments, step-aligned length
+        (256, 256, 512, 4096),    # no overlap: 1 segment
+        (200, 80, 256, 5000),     # 2.5 segments at other geometry
+        (240, 100, 256, 7013),    # step not dividing length
+        (64, 400, 512, 9000),     # step > length (gaps between frames)
+        (331, 97, 512, 6100),     # coprime geometry
+    ])
+    def test_segment_dft_matches_tf_all_geometries(self, frame_length,
+                                                   frame_step, fft_length, T):
+        """The gather-free segment-matmul STFT must reproduce tf.signal.stft
+        for arbitrary frame geometries (segment split points, partial last
+        segments, step>length gaps, non-multiple tails), and across batch
+        sizes on both sides of the large-batch gather heuristic."""
+        rng = np.random.default_rng(hash((frame_length, frame_step, T)) % 2**31)
+        for B in (3, 129):  # segment path and gather path (batch >= 128)
+            x = rng.normal(0, 1, (B, T)).astype(np.float32)
+            real, imag = audio.stft(jnp.asarray(x), frame_length, frame_step,
+                                    fft_length=fft_length, method="matmul")
+            ref = tf.signal.stft(x, frame_length, frame_step,
+                                 fft_length=fft_length).numpy()
+            assert real.shape == ref.shape, (real.shape, ref.shape)
+            scale = max(1.0, float(np.abs(ref).max(initial=0.0)))
+            np.testing.assert_allclose(np.asarray(real) / scale,
+                                       ref.real / scale, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(imag) / scale,
+                                       ref.imag / scale, atol=2e-5)
+
+    def test_segment_dft_zero_frames(self):
+        """Signals shorter than one frame produce an empty frame axis
+        (tf.signal.stft itself errors on this input)."""
+        x = jnp.zeros((3, 399), jnp.float32)
+        real, imag = audio.stft(x, 400, 160, fft_length=512, method="matmul")
+        assert real.shape == (3, 0, 257) and imag.shape == (3, 0, 257)
+
     def test_mel_weight_matrix_matches_reference(self):
         """Golden parity with the reference's vendored mel construction
         (loaded directly from /root/reference/lidbox/features/mel_ops.py)."""
