@@ -25,7 +25,8 @@ class Classifier:
     """End-to-end LId classifier over audio files."""
 
     def __init__(self, model, labels, feature_config=None, chunk_length_ms=None,
-                 chunk_step_ms=None, batch_size=32, compute_dtype=None):
+                 chunk_step_ms=None, batch_size=32, compute_dtype=None,
+                 mesh=None):
         """Args:
             model: an initialized lidbox_tpu Model (e.g. restored via
                 export.load_model or ModelWrapper).
@@ -35,6 +36,10 @@ class Classifier:
             chunk_length_ms/chunk_step_ms: optional utterance chunking;
                 chunk scores are averaged back per utterance
                 (reference merge semantics, util.py:41-57).
+            mesh: optional jax.sharding.Mesh — model forwards then run
+                data-parallel over its devices (params replicated, batches
+                sharded over the batch axis; batch_size must divide over
+                the mesh).
         """
         if model.variables is None:
             model.init()
@@ -46,12 +51,9 @@ class Classifier:
         self.chunk_length_ms = chunk_length_ms
         self.chunk_step_ms = chunk_step_ms
         self.batch_size = batch_size
-        self._apply = jax.jit(
-            lambda v, x: model.apply(v, x, train=False,
-                                     compute_dtype=compute_dtype))
-        self._apply_masked = jax.jit(
-            lambda v, x, m: model.apply(v, x, train=False, mask=m,
-                                        compute_dtype=compute_dtype))
+        self._predict_fn = util.make_batch_predict_fn(
+            model, batch_size=batch_size, mesh=mesh,
+            compute_dtype=compute_dtype)
 
     def _dataset(self, paths, ids=None):
         ids = ids or [str(p) for p in paths]
@@ -75,15 +77,9 @@ class Classifier:
         """id-indexed DataFrame of per-utterance score vectors (chunk
         scores averaged)."""
         ds = self._dataset(paths, ids)
-
-        def predict_fn(x, mask=None):
-            if mask is None:
-                out = self._apply(self.model.variables, x)
-            else:
-                out = self._apply_masked(self.model.variables, x, mask)
-            return np.asarray(jax.device_get(out))
         chunk_scores = util.predict_with_model(
-            self.model, ds, predict_fn=predict_fn, batch_size=self.batch_size)
+            self.model, ds, predict_fn=self._predict_fn,
+            batch_size=self.batch_size)
         if self.chunk_length_ms:
             return util.merge_chunk_predictions(chunk_scores)
         return chunk_scores

@@ -29,12 +29,62 @@ def predictions_to_dataframe(ids, predictions):
         pd.DataFrame.from_dict({"id": ids, "prediction": predictions})).sort_index()
 
 
+def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None):
+    """Jitted ``(inputs [B, T, F], frame_mask) -> scores [B, N]`` forward.
+
+    With a ``mesh``, inference runs data-parallel: parameters are
+    replicated across the mesh once, every batch is zero-padded to
+    ``batch_size`` (one compiled program, no retraces on ragged tails) and
+    sharded over the batch axis, and only the valid rows are returned —
+    multi-chip serving from the same API as single-chip
+    (no reference analogue: its device placement was a per-step tf.device
+    string, lidbox/data/steps.py:115-122).
+    """
+    apply_jit = jax.jit(
+        lambda variables, x: model.apply(variables, x, train=False,
+                                         compute_dtype=compute_dtype))
+    apply_jit_masked = jax.jit(
+        lambda variables, x, m: model.apply(variables, x, train=False, mask=m,
+                                            compute_dtype=compute_dtype))
+    if mesh is None:
+        def predict_fn(inputs, mask=None):
+            if mask is None:
+                out = apply_jit(model.variables, inputs)
+            else:
+                out = apply_jit_masked(model.variables, inputs, mask)
+            return np.asarray(jax.device_get(out))
+        return predict_fn
+
+    from lidbox_tpu import parallel
+    assert batch_size % mesh.size == 0, (
+        f"batch_size {batch_size} must divide over the {mesh.size}-device mesh")
+    variables = jax.device_put(model.variables, parallel.replicated(mesh))
+
+    def predict_fn(inputs, mask=None):
+        n = inputs.shape[0]
+        pad = batch_size - n
+        inputs = np.pad(np.asarray(inputs), [(0, pad)] + [(0, 0)] * (inputs.ndim - 1))
+        x = jax.device_put(inputs, parallel.batch_sharding(mesh))
+        if mask is None:
+            out = apply_jit(variables, x)
+        else:
+            # pad rows get an all-True mask: their (discarded) forwards
+            # stay finite instead of pooling over zero valid frames
+            mask = np.pad(np.asarray(mask), [(0, pad), (0, 0)],
+                          constant_values=True)
+            m = jax.device_put(mask, parallel.batch_sharding(mesh))
+            out = apply_jit_masked(variables, x, m)
+        return np.asarray(jax.device_get(out))[:n]
+    return predict_fn
+
+
 def predict_with_model(model, ds, predict_fn=None, batch_size=32,
-                       pad_buckets=None):
+                       pad_buckets=None, mesh=None):
     """Map a model over all elements of ds (dict elements with ``input``),
     returning an id-indexed prediction DataFrame
     (reference: util.py:23-38, which mapped over GPU-placed batches; here
-    the forward is one jit program per shape bucket on the default device).
+    the forward is one jit program per shape bucket on the default device,
+    or a batch-sharded program over ``mesh`` when given).
 
     ``model`` is a lidbox_tpu Model (or any callable taking [B, T, F]).
     A custom ``predict_fn`` must accept ``(inputs, frame_mask)`` — the mask
@@ -42,18 +92,8 @@ def predict_with_model(model, ds, predict_fn=None, batch_size=32,
     exclude padding frames (masked numerics == unpadded numerics).
     """
     if predict_fn is None:
-        apply_jit = jax.jit(
-            lambda variables, x: model.apply(variables, x, train=False))
-        apply_jit_masked = jax.jit(
-            lambda variables, x, m: model.apply(variables, x, train=False,
-                                                mask=m))
-
-        def predict_fn(inputs, mask=None):
-            if mask is None:
-                out = apply_jit(model.variables, inputs)
-            else:
-                out = apply_jit_masked(model.variables, inputs, mask)
-            return np.asarray(jax.device_get(out))
+        predict_fn = make_batch_predict_fn(model, batch_size=batch_size,
+                                           mesh=mesh)
 
     ids, predictions = [], []
     pending = []

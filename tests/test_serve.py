@@ -37,6 +37,27 @@ def test_classify_whole_utterances(tmp_path):
     np.testing.assert_allclose(np.exp(scores).sum(axis=1), 1.0, rtol=1e-4)
 
 
+def test_classify_on_mesh_matches_single_device(tmp_path):
+    """Classifier(mesh=...) serves batch-sharded over the device mesh and
+    must produce the single-device scores."""
+    from lidbox_tpu import parallel
+    frames = 1 + (2 * RATE - 400) // 160
+    model = models.create("xvector", (frames, 24), len(LABELS)).init()
+    feature_config = {"type": "logmelspectrogram",
+                      "melspectrogram": {"num_mel_bins": 24}}
+    paths = _wavs(tmp_path, n=6)
+    ids = [f"u{i}" for i in range(6)]
+    single = serve.Classifier(model, LABELS, feature_config=feature_config,
+                              batch_size=8).scores(paths, ids=ids)
+    mesh = parallel.get_mesh()
+    sharded = serve.Classifier(model, LABELS, feature_config=feature_config,
+                               batch_size=8, mesh=mesh).scores(paths, ids=ids)
+    for pid in ids:
+        np.testing.assert_allclose(np.asarray(sharded.loc[pid].prediction),
+                                   np.asarray(single.loc[pid].prediction),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_classify_with_chunking_merges_to_utterances(tmp_path):
     frames = 1 + (RATE - 400) // 160
     model = models.create("dnn", (frames, 24), len(LABELS)).init()

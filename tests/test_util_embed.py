@@ -189,6 +189,28 @@ class TestUtil:
                                      batch_size=4)
         assert len(df) == 4
 
+    def test_predict_with_model_mesh_matches_single_device(self):
+        """Mesh-sharded inference (params replicated, batch sharded,
+        ragged tail zero-padded to one compiled shape) must reproduce the
+        single-device predictions, including masked ragged batches."""
+        from lidbox_tpu import parallel
+        rng = np.random.default_rng(5)
+        mesh = parallel.get_mesh()
+        model = models.create("xvector", (None, 8), N).init()
+        elems = [{"id": f"u{i:02d}",
+                  "input": rng.normal(0, 1, (20 + 7 * (i % 3), 8)
+                                      ).astype(np.float32)}
+                 for i in range(11)]  # 11 rows: ragged + partial last batch
+        ds = Dataset.from_elements(elems)
+        df_single = util.predict_with_model(ds=ds, model=model, batch_size=8)
+        df_mesh = util.predict_with_model(ds=ds, model=model, batch_size=8,
+                                          mesh=mesh)
+        assert list(df_single.index) == list(df_mesh.index)
+        for pid in df_single.index:
+            np.testing.assert_allclose(df_mesh.loc[pid].prediction,
+                                       df_single.loc[pid].prediction,
+                                       rtol=1e-4, atol=1e-5)
+
     def test_predict_ragged_masked_matches_per_utterance(self):
         """Padded ragged prediction must equal each utterance predicted
         alone — the mask keeps stats pooling off padding frames (ADVICE r1)."""
