@@ -592,10 +592,15 @@ def extract_embeddings(ds, config):
     """Extract embeddings to ``embedding`` from ``input`` with trained
     extractors restored from checkpoints
     (reference: lidbox/data/steps.py:674-705); embeddings from multiple
-    extractors are concatenated."""
+    extractors are concatenated. An optional ``mesh`` config entry (a
+    jax.sharding.Mesh) runs every extractor data-parallel over its
+    devices — replacing the reference's per-extractor tf.device strings
+    (lidbox/data/steps.py:680,691-692)."""
     from lidbox_tpu.models.model_utils import ModelWrapper
 
-    extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(e)
+    mesh = config.get("mesh")
+    extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(
+                      e, mesh=e.get("mesh", mesh))
                   for e in config["extractors"]]
     batch_size = config.get("batch_size", 32)
 

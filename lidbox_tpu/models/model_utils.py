@@ -169,9 +169,15 @@ class ModelWrapper:
         return cls(model, model_key, trainer)
 
     @classmethod
-    def from_config_as_embedding_extractor_fn(cls, config):
+    def from_config_as_embedding_extractor_fn(cls, config, mesh=None):
         """Restore the best checkpoint, freeze, and return a jitted
-        input -> embedding function (reference: keras_utils.py:151-174)."""
+        input -> embedding function (reference: keras_utils.py:151-174).
+
+        With ``mesh``, extraction runs data-parallel over its devices:
+        parameters replicated, batches sharded over the batch axis (ragged
+        tails zero-padded to the next mesh multiple and sliced back) — the
+        TPU-native analogue of the reference's per-extractor tf.device
+        strings (lidbox/data/steps.py:680,691-692)."""
         cache_dir = experiment_cache_from_config({"experiment": {
             "cache_directory": config["cache_directory"],
             "model": config["model"],
@@ -200,10 +206,29 @@ class ModelWrapper:
         extractor = model_registry.as_embedding_extractor(model_key,
                                                           model.with_variables(variables))
 
-        @jax.jit
+        if mesh is None:
+            @jax.jit
+            def extractor_fn(x):
+                return extractor.apply(extractor.variables, x, train=False,
+                                       output="embedding")
+            return extractor_fn
+
+        from lidbox_tpu import parallel
+        variables = jax.device_put(extractor.variables,
+                                   parallel.replicated(mesh))
+        apply_jit = jax.jit(
+            lambda v, x: extractor.apply(v, x, train=False,
+                                         output="embedding"))
+
         def extractor_fn(x):
-            return extractor.apply(extractor.variables, x, train=False,
-                                   output="embedding")
+            x = np.asarray(x)
+            n = x.shape[0]
+            padded = -(-n // mesh.size) * mesh.size
+            if padded != n:
+                x = np.pad(x, [(0, padded - n)] + [(0, 0)] * (x.ndim - 1))
+            out = apply_jit(variables,
+                            jax.device_put(x, parallel.batch_sharding(mesh)))
+            return np.asarray(jax.device_get(out))[:n]
         return extractor_fn
 
     def fit(self, train_batches, validation_batches, **kwargs):

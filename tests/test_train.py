@@ -143,6 +143,32 @@ class TestDataParallel:
         assert len(history) == 2  # epochs 3 and 4
         assert np.isfinite(history[-1]["loss"])
 
+    def test_mesh_embedding_extractor_matches_single_device(self, tmp_path):
+        """from_config_as_embedding_extractor_fn(mesh=...) shards batches
+        over the mesh (ragged tail padded to the next mesh multiple) and
+        must reproduce the single-device embeddings."""
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        from lidbox_tpu.train.checkpoint import save_checkpoint
+
+        cache = tmp_path / "cache" / "xvector" / "exp"
+        model = models.create("xvector", (T, F), N_CLASSES).init()
+        save_checkpoint(str(cache / "checkpoints"),
+                        {"params": jax.device_get(model.variables["params"])},
+                        epoch=1, val_loss=0.5)
+        config = {"cache_directory": str(tmp_path / "cache"),
+                  "model": {"key": "xvector"}, "experiment_name": "exp",
+                  "input_shape": [T, F], "output_shape": [N_CLASSES],
+                  "best_checkpoint": {"monitor": "val_loss", "mode": "min"}}
+        fn_single = ModelWrapper.from_config_as_embedding_extractor_fn(config)
+        fn_mesh = ModelWrapper.from_config_as_embedding_extractor_fn(
+            config, mesh=parallel.get_mesh())
+        rng = np.random.default_rng(2)
+        for batch in (16, 11):  # mesh-multiple and ragged tail
+            x = rng.normal(0, 1, (batch, T, F)).astype(np.float32)
+            np.testing.assert_allclose(np.asarray(fn_mesh(x)),
+                                       np.asarray(fn_single(x)),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_mesh_eval_metric_state(self):
         mesh = parallel.get_mesh()
         metrics = {"C_avg": SparseAverageDetectionCost(
