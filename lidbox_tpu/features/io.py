@@ -56,10 +56,19 @@ def read_wav(path):
 
 
 def read_mp3(path):
-    """Decode an mp3 to (mono float32 signal, sample_rate) via miniaudio
-    (reference: lidbox/features/audio.py:26-34). Requires miniaudio."""
+    """Decode an mp3 to (mono float32 signal, sample_rate)
+    (reference: lidbox/features/audio.py:26-34, which used miniaudio).
+
+    Prefers the native decoder (system libmpg123 through
+    lidbox_tpu.native — GIL-free, thread-pool friendly); falls back to
+    miniaudio when present."""
+    from lidbox_tpu import native
+    if native.available() and native.mp3_supported():
+        return native.read_mp3(path)
     if _miniaudio is None:
-        raise ImportError("miniaudio is required for mp3 decoding but is not installed")
+        raise ImportError(
+            "mp3 decoding needs the native libmpg123 decoder or miniaudio; "
+            "neither is available")
     audio = _miniaudio.mp3_read_file_f32(str(path))
     data = np.array(audio.samples, np.float32).reshape(-1, audio.nchannels)
     return data.mean(axis=1), audio.sample_rate

@@ -78,6 +78,12 @@ def load_library():
             ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float)]
         lib.la_rms_frames.restype = ctypes.c_long
+        lib.la_read_mp3.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
+        lib.la_read_mp3.restype = ctypes.c_int
+        lib.la_mp3_supported.argtypes = []
+        lib.la_mp3_supported.restype = ctypes.c_int
         lib.la_free.argtypes = [ctypes.c_void_p]
         lib.la_free.restype = None
         _lib = lib
@@ -102,6 +108,33 @@ def read_wav(path):
                           ctypes.byref(n), ctypes.byref(rate))
     if err != 0:
         raise ValueError(f"native wav decode failed ({err}) for {path}")
+    try:
+        data = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    finally:
+        lib.la_free(out)
+    return data, rate.value
+
+
+def mp3_supported():
+    """True when the native mp3 decoder (system libmpg123) is usable."""
+    lib = load_library()
+    return lib is not None and bool(lib.la_mp3_supported())
+
+
+def read_mp3(path):
+    """Decode an mp3 to (mono float32, sample_rate) via the system
+    libmpg123 (channel-mean mono, like the reference's read_mp3,
+    lidbox/features/audio.py:26-34); raises on failure."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    rate = ctypes.c_int()
+    err = lib.la_read_mp3(str(path).encode(), ctypes.byref(out),
+                          ctypes.byref(n), ctypes.byref(rate))
+    if err != 0:
+        raise ValueError(f"native mp3 decode failed ({err}) for {path}")
     try:
         data = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
     finally:

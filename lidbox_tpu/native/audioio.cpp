@@ -10,6 +10,8 @@
 //   la_read_wav            decode a PCM/float WAV to mono float32
 //   la_read_wav_into       decode into a caller buffer (no allocation)
 //   la_wav_header_is_valid RIFF + chunk-size validation
+//   la_read_mp3            decode an mp3 to mono float32 (system libmpg123)
+//   la_mp3_supported       1 when libmpg123 is loadable
 //   la_resample_linear     linear resampler
 //   la_rms_frames          framewise RMS (energy VAD front half)
 //   la_free                free buffers allocated by this library
@@ -236,6 +238,153 @@ long la_rms_frames(const float* in, long n, long step, float* out) {
         out[f] = (float)std::sqrt(acc / (double)step);
     }
     return frames;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MP3 decode via the system libmpg123, resolved with dlopen at first use.
+// The mpg123 C ABI has been stable for its whole 1.x lifetime, so the
+// minimal prototypes are declared here instead of requiring the dev header
+// at build time. Replaces the reference's miniaudio mp3 path
+// (lidbox/features/audio.py:26-34) with a native, GIL-free decoder.
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+
+namespace {
+
+struct Mpg123Api {
+    using handle = void;
+    int (*init)(void) = nullptr;
+    handle* (*make)(const char*, int*) = nullptr;
+    int (*open)(handle*, const char*) = nullptr;
+    int (*getformat)(handle*, long*, int*, int*) = nullptr;
+    int (*format_none)(handle*) = nullptr;
+    int (*format)(handle*, long, int, int) = nullptr;
+    void (*rates)(const long**, size_t*) = nullptr;
+    int (*read)(handle*, unsigned char*, size_t, size_t*) = nullptr;
+    int (*close)(handle*) = nullptr;
+    void (*destroy)(handle*) = nullptr;
+    bool ok = false;
+};
+
+const int kMpg123Ok = 0;
+const int kMpg123Done = -12;
+const int kMpg123NewFormat = -11;
+const int kEncFloat32 = 0x200;
+
+const Mpg123Api& mpg123_api() {
+    static Mpg123Api api = [] {
+        Mpg123Api a;
+        void* lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!lib) lib = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+        if (!lib) return a;
+        a.init = (int (*)(void))dlsym(lib, "mpg123_init");
+        a.make = (Mpg123Api::handle * (*)(const char*, int*))
+            dlsym(lib, "mpg123_new");
+        a.open = (int (*)(void*, const char*))dlsym(lib, "mpg123_open");
+        a.getformat = (int (*)(void*, long*, int*, int*))
+            dlsym(lib, "mpg123_getformat");
+        a.format_none = (int (*)(void*))dlsym(lib, "mpg123_format_none");
+        a.format = (int (*)(void*, long, int, int))dlsym(lib, "mpg123_format");
+        a.rates = (void (*)(const long**, size_t*))dlsym(lib, "mpg123_rates");
+        a.read = (int (*)(void*, unsigned char*, size_t, size_t*))
+            dlsym(lib, "mpg123_read");
+        a.close = (int (*)(void*))dlsym(lib, "mpg123_close");
+        a.destroy = (void (*)(void*))dlsym(lib, "mpg123_delete");
+        a.ok = a.init && a.make && a.open && a.getformat && a.format_none &&
+               a.format && a.rates && a.read && a.close && a.destroy &&
+               a.init() == kMpg123Ok;
+        return a;
+    }();
+    return api;
+}
+
+}  // namespace
+
+extern "C" {
+
+// 1 when libmpg123 is loadable (mp3 decode supported).
+int la_mp3_supported(void) { return mpg123_api().ok ? 1 : 0; }
+
+// Decode an mp3 file to mono float32 (channel mean, like the reference's
+// read_mp3). Returns 0 on success; caller frees *out with la_free.
+// Errors: -1 unsupported (no libmpg123), -2 open/format failure,
+// -3 allocation failure, -4 decode error.
+int la_read_mp3(const char* path, float** out, long* n, int* rate) {
+    const Mpg123Api& api = mpg123_api();
+    if (!api.ok) return -1;
+    int err = 0;
+    void* h = api.make(nullptr, &err);
+    if (!h) return -2;
+    struct Guard {
+        const Mpg123Api& api; void* h; bool opened = false;
+        ~Guard() { if (opened) api.close(h); api.destroy(h); }
+    } guard{api, h};
+    // Accept ONLY float32 output (mono or stereo, any rate) — configured
+    // before open so the decoder negotiates float from the first frame.
+    if (api.format_none(h) != kMpg123Ok) return -2;
+    const long* rate_list = nullptr;
+    size_t num_rates = 0;
+    api.rates(&rate_list, &num_rates);
+    if (!rate_list || num_rates == 0) return -2;
+    const int kMonoOrStereo = 0x1 | 0x2;  // MPG123_MONO | MPG123_STEREO
+    for (size_t i = 0; i < num_rates; ++i)
+        if (api.format(h, rate_list[i], kMonoOrStereo, kEncFloat32)
+            != kMpg123Ok)
+            return -2;
+    if (api.open(h, path) != kMpg123Ok) return -2;
+    guard.opened = true;
+    long in_rate = 0;
+    int channels = 0, enc = 0;
+    if (api.getformat(h, &in_rate, &channels, &enc) != kMpg123Ok) return -2;
+    if (in_rate <= 0 || channels <= 0 || enc != kEncFloat32) return -2;
+
+    size_t cap = 1 << 20, used = 0;  // floats (all channels interleaved)
+    float* buf = (float*)std::malloc(cap * sizeof(float));
+    if (!buf) return -3;
+    unsigned char chunk[65536];
+    for (;;) {
+        size_t done = 0;
+        int rc = api.read(h, chunk, sizeof(chunk), &done);
+        size_t got = done / sizeof(float);
+        if (used + got > cap) {
+            while (used + got > cap) cap *= 2;
+            float* nb = (float*)std::realloc(buf, cap * sizeof(float));
+            if (!nb) { std::free(buf); return -3; }
+            buf = nb;
+        }
+        std::memcpy(buf + used, chunk, got * sizeof(float));
+        used += got;
+        if (rc == kMpg123Done) break;
+        if (rc == kMpg123NewFormat) {
+            long r2 = 0; int c2 = 0, e2 = 0;
+            if (api.getformat(h, &r2, &c2, &e2) != kMpg123Ok ||
+                r2 != in_rate || c2 != channels) {
+                std::free(buf);
+                return -4;  // mid-stream format change unsupported
+            }
+            continue;
+        }
+        if (rc != kMpg123Ok) { std::free(buf); return -4; }
+    }
+
+    long frames = (long)(used / (size_t)channels);
+    float* mono = (float*)std::malloc(sizeof(float) * (size_t)(frames > 0 ? frames : 1));
+    if (!mono) { std::free(buf); return -3; }
+    const float inv = 1.0f / (float)channels;
+    for (long i = 0; i < frames; ++i) {
+        float acc = 0.0f;
+        const float* p = buf + (size_t)i * channels;
+        for (int c = 0; c < channels; ++c) acc += p[c];
+        mono[i] = acc * inv;
+    }
+    std::free(buf);
+    *out = mono;
+    *n = frames;
+    *rate = (int)in_rate;
+    return 0;
 }
 
 }  // extern "C"

@@ -20,6 +20,79 @@ def _write(tmp_path, sig, name="x.wav"):
     return p
 
 
+REF_AUDIO = "/root/reference/tests/audio"
+
+
+class TestNativeMp3:
+    """Native mp3 decode (system libmpg123) against the reference
+    toolkit's own bundled wav/mp3 fixture pairs."""
+
+    pytestmark = pytest.mark.skipif(
+        not (native.available() and native.mp3_supported()),
+        reason="libmpg123 unavailable")
+
+    # min_corr: mp3 is lossy — pure tones survive nearly perfectly, white
+    # noise is the codec's worst case (~0.75 against the lossless wav,
+    # a codec property, not a decoder bug)
+    @pytest.mark.parametrize("stem,min_corr", [("noisy_100hz_sine", 0.99),
+                                               ("noisy_400hz_sine", 0.99),
+                                               ("noise", 0.6)])
+    def test_decodes_reference_fixtures(self, stem, min_corr):
+        import os
+        mp3 = os.path.join(REF_AUDIO, f"{stem}.mp3")
+        wav = os.path.join(REF_AUDIO, f"{stem}.wav")
+        if not os.path.exists(mp3):
+            pytest.skip("reference fixtures unavailable")
+        sig, rate = native.read_mp3(mp3)
+        ref, ref_rate = audio_io.read_wav(wav)
+        assert rate == ref_rate
+        assert np.all(np.isfinite(sig))
+        # lossy codec prepends encoder delay (LAME: 1105 samples); find the
+        # exact lag by cross-correlation, then require agreement with the
+        # lossless original
+        nseg = min(32000, len(ref))
+        best = max(range(0, 3000),
+                   key=lambda lag: float(np.dot(sig[lag:lag + nseg],
+                                                ref[:nseg])))
+        corr = np.corrcoef(sig[best:best + nseg], ref[:nseg])[0, 1]
+        assert corr > min_corr, (stem, best, corr)
+
+    def test_io_read_mp3_prefers_native(self):
+        import os
+        mp3 = os.path.join(REF_AUDIO, "noisy_200hz_sine.mp3")
+        if not os.path.exists(mp3):
+            pytest.skip("reference fixtures unavailable")
+        sig, rate = audio_io.read_mp3(mp3)          # io-layer dispatch
+        sig2, rate2 = audio_io.read_audio(mp3)      # suffix dispatch
+        assert rate == rate2 == 16000
+        np.testing.assert_array_equal(sig, sig2)
+        # tone content survives: spectral peak at 200 Hz
+        seg = np.asarray(sig[2000:18000])
+        freqs = np.fft.rfftfreq(seg.size, 1.0 / rate)
+        peak = freqs[np.abs(np.fft.rfft(seg)).argmax()]
+        assert abs(peak - 200.0) < 5.0, peak
+
+    def test_invalid_mp3_raises_cleanly(self, tmp_path):
+        p = tmp_path / "junk.mp3"
+        p.write_bytes(b"\x00" * 64)
+        with pytest.raises(ValueError):
+            native.read_mp3(p)
+
+    def test_parallel_mp3_decode(self):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        paths = [os.path.join(REF_AUDIO, f"{s}.mp3")
+                 for s in ("noise", "noisy_100hz_sine", "noisy_200hz_sine",
+                           "noisy_300hz_sine", "noisy_400hz_sine")]
+        if not all(os.path.exists(p) for p in paths):
+            pytest.skip("reference fixtures unavailable")
+        with ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(native.read_mp3, paths * 4))
+        assert len(outs) == 20
+        for sig, rate in outs:
+            assert rate == 16000 and np.all(np.isfinite(sig))
+
+
 class TestNativeDecode:
     def test_matches_python_decoder(self, tmp_path):
         sig = testutil.noisy_sinewave(220, RATE, 0.1, 0.7)
