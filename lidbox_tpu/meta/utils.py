@@ -52,11 +52,21 @@ def _wav_duration(path):
         return f.getnframes() / f.getframerate()
 
 
-def read_audio_durations(meta, max_threads=None, duration_fn=_wav_duration):
+def _audio_duration(path):
+    """Duration in seconds by suffix: wav header inspection, or an mpg123
+    frame scan for mp3 (no decode)."""
+    if str(path).lower().endswith(".mp3"):
+        from lidbox_tpu import native
+        n, rate = native.mp3_info(path)
+        return n / rate
+    return _wav_duration(path)
+
+
+def read_audio_durations(meta, max_threads=None, duration_fn=_audio_duration):
     """Duration in seconds for each row's audio file, threaded; order follows
     the metadata index (reference: lidbox/meta/utils.py:53-67, which used
     miniaudio.get_file_info — here any ``duration_fn(path)`` can be plugged,
-    defaulting to wav header inspection)."""
+    defaulting to header inspection (wav) / frame scan (mp3))."""
     paths = list(meta.path)
     if max_threads is None or max_threads > 0:
         with ThreadPoolExecutor(max_workers=max_threads) as pool:

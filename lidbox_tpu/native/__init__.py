@@ -84,6 +84,10 @@ def load_library():
         lib.la_read_mp3.restype = ctypes.c_int
         lib.la_mp3_supported.argtypes = []
         lib.la_mp3_supported.restype = ctypes.c_int
+        lib.la_mp3_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.la_mp3_info.restype = ctypes.c_int
         lib.la_free.argtypes = [ctypes.c_void_p]
         lib.la_free.restype = None
         _lib = lib
@@ -140,6 +144,22 @@ def read_mp3(path):
     finally:
         lib.la_free(out)
     return data, rate.value
+
+
+def mp3_info(path):
+    """(sample_count, sample_rate) of an mp3 via an mpg123 frame scan —
+    no decode (duration back-end for metadata preparation,
+    reference analogue: miniaudio.get_file_info in lidbox/meta/utils.py:53-67)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = ctypes.c_long()
+    rate = ctypes.c_int()
+    err = lib.la_mp3_info(str(path).encode(), ctypes.byref(n),
+                          ctypes.byref(rate))
+    if err != 0:
+        raise ValueError(f"native mp3 scan failed ({err}) for {path}")
+    return n.value, rate.value
 
 
 def wav_header_is_valid(path):

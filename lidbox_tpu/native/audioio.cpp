@@ -266,6 +266,8 @@ struct Mpg123Api {
     int (*read)(handle*, unsigned char*, size_t, size_t*) = nullptr;
     int (*close)(handle*) = nullptr;
     void (*destroy)(handle*) = nullptr;
+    int (*scan)(handle*) = nullptr;
+    int64_t (*length64)(handle*) = nullptr;
     bool ok = false;
 };
 
@@ -293,9 +295,15 @@ const Mpg123Api& mpg123_api() {
             dlsym(lib, "mpg123_read");
         a.close = (int (*)(void*))dlsym(lib, "mpg123_close");
         a.destroy = (void (*)(void*))dlsym(lib, "mpg123_delete");
+        a.scan = (int (*)(void*))dlsym(lib, "mpg123_scan");
+        // prefer the explicit 64-bit length; fall back to the off_t export
+        // (same ABI on this platform: off_t is 64-bit)
+        a.length64 = (int64_t (*)(void*))dlsym(lib, "mpg123_length_64");
+        if (!a.length64)
+            a.length64 = (int64_t (*)(void*))dlsym(lib, "mpg123_length");
         a.ok = a.init && a.make && a.open && a.getformat && a.format_none &&
                a.format && a.rates && a.read && a.close && a.destroy &&
-               a.init() == kMpg123Ok;
+               a.scan && a.length64 && a.init() == kMpg123Ok;
         return a;
     }();
     return api;
@@ -307,6 +315,31 @@ extern "C" {
 
 // 1 when libmpg123 is loadable (mp3 decode supported).
 int la_mp3_supported(void) { return mpg123_api().ok ? 1 : 0; }
+
+// Sample count and rate of an mp3 without decoding (mpg123 frame scan) —
+// the duration back-end for metadata preparation. Returns 0 on success.
+int la_mp3_info(const char* path, long* n_samples, int* rate) {
+    const Mpg123Api& api = mpg123_api();
+    if (!api.ok) return -1;
+    int err = 0;
+    void* h = api.make(nullptr, &err);
+    if (!h) return -2;
+    struct Guard {
+        const Mpg123Api& api; void* h; bool opened = false;
+        ~Guard() { if (opened) api.close(h); api.destroy(h); }
+    } guard{api, h};
+    if (api.open(h, path) != kMpg123Ok) return -2;
+    guard.opened = true;
+    long in_rate = 0;
+    int channels = 0, enc = 0;
+    if (api.getformat(h, &in_rate, &channels, &enc) != kMpg123Ok) return -2;
+    if (api.scan(h) != kMpg123Ok) return -4;
+    int64_t len = api.length64(h);
+    if (len < 0 || in_rate <= 0) return -4;
+    *n_samples = (long)len;
+    *rate = (int)in_rate;
+    return 0;
+}
 
 // Decode an mp3 file to mono float32 (channel mean, like the reference's
 // read_mp3). Returns 0 on success; caller frees *out with la_free.

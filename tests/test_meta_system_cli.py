@@ -151,6 +151,59 @@ class TestCommonVoice:
         assert all(meta.path.str.endswith(".mp3"))
         assert meta.index[0].startswith("fi_")
 
+    def test_mp3_corpus_journey(self, tmp_path):
+        """The real Common Voice shape: an mp3-clip corpus loads through
+        meta -> durations -> pipeline -> features (native libmpg123
+        decode), the journey the reference ran on miniaudio."""
+        import os
+        import shutil
+        from lidbox_tpu import native
+        from lidbox_tpu.meta import common_voice, read_audio_durations
+        from lidbox_tpu.data import from_steps
+        from lidbox_tpu.data.pipelines import create_dataset
+
+        ref_audio = "/root/reference/tests/audio"
+        if not (native.available() and native.mp3_supported()
+                and os.path.isdir(ref_audio)):
+            pytest.skip("native mp3 decode or reference fixtures unavailable")
+        fixtures = ["noisy_100hz_sine.mp3", "noisy_200hz_sine.mp3",
+                    "noisy_300hz_sine.mp3", "noisy_400hz_sine.mp3"]
+        for li, lang in enumerate(("aa", "bb")):
+            clips = tmp_path / lang / "clips"
+            clips.mkdir(parents=True)
+            rows = []
+            for i, fx in enumerate(fixtures):
+                name = f"{lang}_clip_{i}.mp3"
+                shutil.copy(os.path.join(ref_audio, fx), clips / name)
+                rows.append(f"spk{lang}{i}\t{name}\thello")
+            header = "client_id\tpath\tsentence"
+            (tmp_path / lang / "train.tsv").write_text(
+                "\n".join([header] + rows[:3]) + "\n")
+            (tmp_path / lang / "dev.tsv").write_text(
+                "\n".join([header, rows[3]]) + "\n")
+            (tmp_path / lang / "test.tsv").write_text(header + "\n")
+        meta = common_voice.load_all(str(tmp_path), ["aa", "bb"])
+        meta["label"] = [i.split("_")[0] for i in meta.index]
+        assert len(meta) == 8
+        durations = read_audio_durations(meta)
+        np.testing.assert_allclose(durations, 3.0, atol=0.2)  # 3 s fixtures
+
+        train = meta[meta.split == "train"]
+        steps = create_dataset(
+            "train", ["aa", "bb"],
+            {"id": list(train.index), "path": list(train.path),
+             "label": list(train.label)},
+            {"features": {"type": "logmelspectrogram",
+                          "melspectrogram": {"num_mel_bins": 24},
+                          "batch_size": 4}})
+        elems = from_steps(steps).collect()
+        assert len(elems) == 6
+        for e in elems:
+            assert e["input"].shape[1] == 24
+            assert e["input"].shape[0] > 250  # ~3 s of 10 ms frames
+            assert np.all(np.isfinite(e["input"]))
+            assert e["target"] in (0, 1)
+
     def test_load_all_validated(self, tmp_path):
         from lidbox_tpu.meta import common_voice
         corpus = self._make_corpus(tmp_path)
