@@ -170,6 +170,28 @@ def main():
     dt_train = _time(step_with_state, jnp.float32(0.0))
     log(f"  train-step[b{MODEL_BATCH}]: {dt_train * 1e3:.3f} ms "
         f"-> {MODEL_BATCH / dt_train:,.1f} utt/s trained")
+
+    # saturation-scale training throughput (full b256 feature batch)
+    targets256 = jnp.asarray(rng.integers(0, NUM_LANGS, BATCH).astype(np.int32))
+
+    @jax.jit
+    def train_step256(state, carry):
+        feats = F.extract_features(signals + carry * 1e-20, SAMPLE_RATE,
+                                   feature_type="logmelspectrogram",
+                                   melspectrogram={"num_mel_bins": NUM_MEL},
+                                   stft_method=best_method)
+        return trainer._train_step(
+            state, {"input": feats, "target": targets256}, trainer.rng)
+
+    state256 = trainer.state
+
+    def step256_with_state(carry):
+        nonlocal state256
+        state256, loss = train_step256(state256, carry)
+        return loss
+    dt256 = _time(step256_with_state, jnp.float32(0.0), n1=5, n2=25)
+    log(f"  train-step[b{BATCH}]: {dt256 * 1e3:.3f} ms "
+        f"-> {BATCH / dt256:,.1f} utt/s trained")
     # Non-movable yardstick: model FLOP utilization of the full train step
     # (features + fwd + bwd + adam) against the v5e bf16 peak. XLA counts
     # logical flops, so f32-HIGHEST matmuls (6 bf16 passes each) understate

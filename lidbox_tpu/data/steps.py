@@ -489,11 +489,12 @@ def normalize(ds, config):
 
 def load_kaldi_data(ds, shape):
     """Load per-element matrices from Kaldi archives into ``input``
-    (reference: lidbox/data/steps.py:1002-1018). Requires kaldiio."""
-    import kaldiio
+    (reference: lidbox/data/steps.py:1002-1018). Uses kaldiio when
+    installed; otherwise the built-in binary ark reader."""
+    from lidbox_tpu.features import load_tensor_from_kaldi_archive
 
     def _load(x):
-        data = kaldiio.load_mat(str(x["kaldi_ark_key"])).astype(np.float32)
+        data = load_tensor_from_kaldi_archive(str(x["kaldi_ark_key"]))
         out = dict(x, input=data)
         out.pop("kaldi_ark_key", None)
         return out
@@ -501,11 +502,12 @@ def load_kaldi_data(ds, shape):
 
 
 def write_to_kaldi_files(ds, output_dir, element_key="input"):
-    """Dump features to Kaldi ark+scp (reference: lidbox/data/steps.py:1058-1074)."""
-    from kaldiio import WriteHelper
+    """Dump features to Kaldi ark+scp (reference: lidbox/data/steps.py:
+    1058-1074); built-in binary matrix writer, no kaldiio needed."""
+    from lidbox_tpu.features.kaldi_io import MatrixWriter
     os.makedirs(output_dir, exist_ok=True)
     spec = "ark,scp:{0}.ark,{0}.scp".format(os.path.join(output_dir, "utt2feat"))
-    with WriteHelper(spec) as writer:
+    with MatrixWriter(spec) as writer:
         for x in ds:
             writer(str(x["id"]), np.asarray(x[element_key]))
     return ds

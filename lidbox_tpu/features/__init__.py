@@ -339,7 +339,12 @@ def num_non_finite(X):
 
 def load_tensor_from_kaldi_archive(ark_key):
     """Load a float32 matrix from a Kaldi archive key
-    (reference: lidbox/features/__init__.py:113-118). Requires the optional
-    kaldiio package."""
-    import kaldiio
-    return np.asarray(kaldiio.load_mat(str(ark_key)), np.float32)
+    (reference: lidbox/features/__init__.py:113-118). Uses kaldiio when
+    installed (covers compressed matrices); otherwise the built-in binary
+    ark reader (features.kaldi_io)."""
+    try:
+        import kaldiio
+        return np.asarray(kaldiio.load_mat(str(ark_key)), np.float32)
+    except ImportError:
+        from lidbox_tpu.features import kaldi_io
+        return np.asarray(kaldi_io.read_mat(str(ark_key)), np.float32)
