@@ -74,6 +74,55 @@ def get_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+MODEL_AXIS = "model"
+
+
+def get_mesh_2d(data_size=None, model_size=1, devices=None):
+    """2-D (data, model) mesh for combined data + tensor parallelism.
+
+    Batches shard over ``data``; parameters tagged by a sharding rule
+    (column_parallel_rule) shard over ``model`` with XLA GSPMD inserting
+    the collectives. The reference had neither (SURVEY.md §2.8); for this
+    model family TP is optional capability, not a memory necessity."""
+    if devices is None:
+        devices = jax.devices()
+    if data_size is None:
+        data_size = len(devices) // model_size
+    devices = np.asarray(devices[:data_size * model_size]).reshape(
+        data_size, model_size)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def column_parallel_rule(mesh, min_last_dim=64):
+    """(path, leaf) -> NamedSharding: shard the last (output-feature) axis
+    of rank>=2 kernels over the ``model`` axis — column-parallel Dense /
+    Conv; everything else (biases, scales, scalars) replicated.
+
+    Only kernels whose last dim divides the model-axis size and is at
+    least ``min_last_dim`` are sharded (tiny heads stay replicated)."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        MODEL_AXIS, 1)
+
+    def rule(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        if (model_size > 1 and len(shape) >= 2
+                and shape[-1] % model_size == 0
+                and shape[-1] >= min_last_dim):
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, PartitionSpec(*spec))
+        return NamedSharding(mesh, PartitionSpec())
+    return rule
+
+
+def shard_params(params, mesh, rule=None):
+    """device_put a parameter pytree with a per-leaf sharding rule
+    (defaults to column_parallel_rule over ``mesh``)."""
+    if rule is None:
+        rule = column_parallel_rule(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, rule(path, leaf)), params)
+
+
 def batch_sharding(mesh, axis_name=DATA_AXIS):
     """Shard the leading (batch) axis over the mesh."""
     return NamedSharding(mesh, PartitionSpec(axis_name))

@@ -129,7 +129,8 @@ class Trainer:
 
     def __init__(self, model, optimizer, loss_fn, metrics=None, mesh=None,
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
-                 log_dir=None, rng=None, compute_dtype=None):
+                 log_dir=None, rng=None, compute_dtype=None,
+                 param_sharding=None):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
@@ -144,6 +145,12 @@ class Trainer:
         self.remat = False
         self.metrics = dict(metrics or {})
         self.mesh = mesh
+        # Optional tensor parallelism: (path, leaf) -> Sharding applied to
+        # every parameter at create_state (e.g.
+        # parallel.column_parallel_rule over a parallel.get_mesh_2d mesh).
+        # GSPMD then inserts the model-axis collectives; batches still
+        # shard over the data axis only.
+        self.param_sharding = param_sharding
         self.callbacks = list(callbacks)
         self.lr_schedule = lr_schedule
         self.stop_training = False
@@ -164,13 +171,27 @@ class Trainer:
         variables = self.model.variables
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None and self.param_sharding is not None:
+            # tensor-parallel placement first: the optimizer moments then
+            # inherit each param's sharding via zeros_like
+            params = parallel.shard_params(params, self.mesh,
+                                           self.param_sharding)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=self.optimizer.init(params))
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, parallel.replicated(self.mesh))
+            if self.param_sharding is None:
+                self.state = jax.device_put(self.state,
+                                            parallel.replicated(self.mesh))
+            else:
+                repl = parallel.replicated(self.mesh)
+                self.state = TrainState(
+                    step=jax.device_put(self.state.step, repl),
+                    params=self.state.params,
+                    batch_stats=jax.device_put(self.state.batch_stats, repl),
+                    opt_state=self.state.opt_state)
         return self.state
 
     def restore(self, checkpoint_path):

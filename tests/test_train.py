@@ -143,6 +143,40 @@ class TestDataParallel:
         assert len(history) == 2  # epochs 3 and 4
         assert np.isfinite(history[-1]["loss"])
 
+    def test_tensor_parallel_matches_single_device(self):
+        """dp+tp on a 2-D (data=4, model=2) mesh: kernels column-sharded
+        over the model axis (GSPMD inserts the collectives), training
+        matches the single-device trajectory."""
+        from jax.sharding import PartitionSpec
+        mesh2d = parallel.get_mesh_2d(data_size=4, model_size=2)
+        assert mesh2d.devices.shape == (4, 2)
+        batches = toy_batches()
+        t_single = make_trainer()
+        h_single = t_single.fit(lambda: batches, epochs=2)
+
+        model = models.create("dnn", (T, F), N_CLASSES)
+        t_tp = Trainer(model, optax.adam(5e-3), nll_loss,
+                       mesh=mesh2d,
+                       param_sharding=parallel.column_parallel_rule(mesh2d))
+        t_tp.create_state()
+        # at least the wide Dense kernels must actually be model-sharded
+        specs = [leaf.sharding.spec
+                 for leaf in jax.tree_util.tree_leaves(t_tp.state.params)
+                 if hasattr(leaf, "sharding") and leaf.ndim >= 2]
+        assert any(spec == PartitionSpec(None, parallel.MODEL_AXIS)
+                   for spec in specs), specs
+        h_tp = t_tp.fit(lambda: batches, epochs=2)
+        np.testing.assert_allclose(h_tp[0]["loss"], h_single[0]["loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(h_tp[-1]["loss"], h_single[-1]["loss"],
+                                   rtol=1e-3)
+        # params stay sharded after updates (no silent re-replication)
+        specs_after = [leaf.sharding.spec
+                       for leaf in jax.tree_util.tree_leaves(t_tp.state.params)
+                       if hasattr(leaf, "sharding") and leaf.ndim >= 2]
+        assert any(spec == PartitionSpec(None, parallel.MODEL_AXIS)
+                   for spec in specs_after), specs_after
+
     def test_mesh_embedding_extractor_matches_single_device(self, tmp_path):
         """from_config_as_embedding_extractor_fn(mesh=...) shards batches
         over the mesh (ragged tail padded to the next mesh multiple) and
