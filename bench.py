@@ -59,8 +59,10 @@ def _time(step_fn, carry0, n1=10, n2=60, reps=7):
         return time.perf_counter() - t0
 
     run(2)  # warmup / compile
-    t1s = [run(n1) for _ in range(reps)]
-    t2s = [run(n2) for _ in range(reps)]
+    t1s, t2s = [], []
+    for _ in range(reps):  # interleave legs so load drift hits both equally
+        t1s.append(run(n1))
+        t2s.append(run(n2))
     return max((min(t2s) - min(t1s)) / (n2 - n1), 1e-9)
 
 

@@ -601,8 +601,10 @@ def extract_embeddings(ds, config):
     from lidbox_tpu.models.model_utils import ModelWrapper
 
     mesh = config.get("mesh")
+    batch_size_cfg = config.get("batch_size", 32)
     extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(
-                      e, mesh=e.get("mesh", mesh))
+                      dict(e, batch_size=e.get("batch_size", batch_size_cfg)),
+                      mesh=e.get("mesh", mesh))
                   for e in config["extractors"]]
     batch_size = config.get("batch_size", 32)
 

@@ -169,8 +169,14 @@ def _windowed_dft_basis(frame_length, fft_length):
     # even windows, length - 1 for odd — see hann_window)
     denom = frame_length + (1 - frame_length % 2) - 1
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
-    return (np.asarray(w * np.cos(ang), np.float32),
-            np.asarray(w * np.sin(ang), np.float32))
+    cos_b = np.asarray(w * np.cos(ang), np.float32)
+    sin_b = np.asarray(w * np.sin(ang), np.float32)
+    if fft_length < frame_length:
+        # tf.signal.stft rffts only the first fft_length samples of each
+        # windowed frame; zeroed basis rows reproduce that truncation
+        cos_b[fft_length:] = 0.0
+        sin_b[fft_length:] = 0.0
+    return cos_b, sin_b
 
 
 @functools.lru_cache(maxsize=16)
@@ -228,7 +234,13 @@ def _segment_dft(signals, frame_length, frame_step, fft_length, prec):
         widths = [(0, 0)] * (signals.ndim - 1) + [(0, pad)]
         signals = jnp.pad(signals, widths)
     rows = signals.reshape(signals.shape[:-1] + (num_rows, frame_step))
-    basis = _packed_dft_basis(frame_length, fft_length)      # [L, N]
+    if fft_length % 2 == 0:
+        # lane-packed basis: valid only for even N (sin is identically
+        # zero at k=0 AND k=N/2); imag[0]=imag[N/2]=0 are implicit
+        basis = _packed_dft_basis(frame_length, fft_length)  # [L, N]
+    else:
+        cos_b, sin_b = _windowed_dft_basis(frame_length, fft_length)
+        basis = np.concatenate([cos_b, sin_b[:, 1:]], axis=1)
     acc = None
     for i in range(n_seg):
         width = min(frame_step, frame_length - i * frame_step)
@@ -258,6 +270,7 @@ def stft(signals, frame_length, frame_step, fft_length=512, method="fft",
         T = signals.shape[-1]
         num_frames = max(0, 1 + (T - frame_length) // frame_step)
         batch = int(np.prod(signals.shape[:-1], dtype=np.int64))
+        num_zero_sin = 2 if fft_length % 2 == 0 else 1  # k=0 (+ Nyquist)
         # Formulation choice, measured on v5e (min-per-leg delta timing,
         # interleaved): the gathered-frame single matmul wins only for
         # LARGE batches of SHORT clips (b128-b512 x 3 s: 5-26% faster);
@@ -274,7 +287,8 @@ def stft(signals, frame_length, frame_step, fft_length=512, method="fft",
         real, imag_mid = _segment_dft(signals, frame_length, frame_step,
                                       fft_length, prec)
         zeros = jnp.zeros(real.shape[:-1] + (1,), real.dtype)
-        return real, jnp.concatenate([zeros, imag_mid, zeros], axis=-1)
+        parts = [zeros, imag_mid] + [zeros] * (num_zero_sin - 1)
+        return real, jnp.concatenate(parts, axis=-1)
     frames = frame(signals, frame_length, frame_step, axis=-1)
     window = hann_window(frame_length)
     frames = frames * window

@@ -64,7 +64,13 @@ def read_mp3(path):
     miniaudio when present."""
     from lidbox_tpu import native
     if native.available() and native.mp3_supported():
-        return native.read_mp3(path)
+        try:
+            return native.read_mp3(path)
+        except ValueError:
+            if _miniaudio is None:
+                raise
+            # exotic stream the strict native decoder rejects (e.g. a
+            # mid-stream format change): let miniaudio try
     if _miniaudio is None:
         raise ImportError(
             "mp3 decoding needs the native libmpg123 decoder or miniaudio; "

@@ -57,7 +57,8 @@ def _read_matrix(f):
     rows = _read_int32(f)
     cols = _read_int32(f)
     data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype)
-    return data.reshape(rows, cols)
+    # .copy(): frombuffer views are read-only; callers own a writable array
+    return data.reshape(rows, cols).copy()
 
 
 def read_mat(rxspecifier):

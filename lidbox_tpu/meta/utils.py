@@ -54,11 +54,19 @@ def _wav_duration(path):
 
 def _audio_duration(path):
     """Duration in seconds by suffix: wav header inspection, or an mpg123
-    frame scan for mp3 (no decode)."""
+    frame scan for mp3 (no decode; falls back to a full decode through
+    whatever mp3 decoder features.io has when libmpg123 is unavailable)."""
     if str(path).lower().endswith(".mp3"):
         from lidbox_tpu import native
-        n, rate = native.mp3_info(path)
-        return n / rate
+        if native.available() and native.mp3_supported():
+            try:
+                n, rate = native.mp3_info(path)
+                return n / rate
+            except ValueError:
+                pass  # scan-rejected stream: fall through to a full decode
+        from lidbox_tpu.features import io as audio_io
+        sig, rate = audio_io.read_mp3(path)
+        return len(sig) / rate
     return _wav_duration(path)
 
 

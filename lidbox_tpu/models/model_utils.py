@@ -213,23 +213,13 @@ class ModelWrapper:
                                        output="embedding")
             return extractor_fn
 
-        from lidbox_tpu import parallel
-        variables = jax.device_put(extractor.variables,
-                                   parallel.replicated(mesh))
-        apply_jit = jax.jit(
-            lambda v, x: extractor.apply(v, x, train=False,
-                                         output="embedding"))
-
-        def extractor_fn(x):
-            x = np.asarray(x)
-            n = x.shape[0]
-            padded = -(-n // mesh.size) * mesh.size
-            if padded != n:
-                x = np.pad(x, [(0, padded - n)] + [(0, 0)] * (x.ndim - 1))
-            out = apply_jit(variables,
-                            jax.device_put(x, parallel.batch_sharding(mesh)))
-            return np.asarray(jax.device_get(out))[:n]
-        return extractor_fn
+        from lidbox_tpu.util import make_batch_predict_fn
+        batch_size = int(config.get("batch_size", 32))
+        batch_size = -(-batch_size // mesh.size) * mesh.size
+        predict_fn = make_batch_predict_fn(
+            extractor, batch_size=batch_size, mesh=mesh,
+            apply_kwargs={"output": "embedding"})
+        return lambda x: predict_fn(np.asarray(x))
 
     def fit(self, train_batches, validation_batches, **kwargs):
         """(reference: keras_utils.py:191-203)"""

@@ -187,19 +187,43 @@ class Trainer:
                                             parallel.replicated(self.mesh))
             else:
                 repl = parallel.replicated(self.mesh)
+                from jax.sharding import NamedSharding
+
+                def _on_mesh(leaf):
+                    # optimizer moments inherited the params' mesh
+                    # placement via zeros_like; scalars (e.g. adam count)
+                    # did not — replicate them so every state leaf lives
+                    # on the same device set
+                    s = getattr(leaf, "sharding", None)
+                    if isinstance(s, NamedSharding) and s.mesh == self.mesh:
+                        return leaf
+                    return jax.device_put(leaf, repl)
                 self.state = TrainState(
                     step=jax.device_put(self.state.step, repl),
                     params=self.state.params,
                     batch_stats=jax.device_put(self.state.batch_stats, repl),
-                    opt_state=self.state.opt_state)
+                    opt_state=jax.tree_util.tree_map(_on_mesh,
+                                                     self.state.opt_state))
         return self.state
 
     def restore(self, checkpoint_path):
         """Resume from a checkpoint; sets initial_epoch from the filename
-        (reference: keras_utils.py:187-189, 202)."""
+        (reference: keras_utils.py:187-189, 202). Mesh placement (incl.
+        tensor-parallel param shardings) is re-applied leaf by leaf —
+        deserialization returns plain host arrays that would otherwise
+        silently drop the shardings create_state installed."""
         if self.state is None:
             self.create_state()
+        shardings = None
+        if self.mesh is not None:
+            shardings = jax.tree_util.tree_map(
+                lambda leaf: getattr(leaf, "sharding", None), self.state)
         self.state = ckpt_lib.restore_checkpoint(checkpoint_path, self.state)
+        if shardings is not None:
+            self.state = jax.tree_util.tree_map(
+                lambda leaf, s: jax.device_put(leaf, s) if s is not None
+                else leaf,
+                self.state, shardings)
         self.initial_epoch = ckpt_lib.initial_epoch_from_path(checkpoint_path)
         return self.state
 

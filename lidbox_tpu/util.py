@@ -29,23 +29,31 @@ def predictions_to_dataframe(ids, predictions):
         pd.DataFrame.from_dict({"id": ids, "prediction": predictions})).sort_index()
 
 
-def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None):
-    """Jitted ``(inputs [B, T, F], frame_mask) -> scores [B, N]`` forward.
+def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
+                          apply_kwargs=None):
+    """Jitted ``(inputs [B, T, F], frame_mask) -> outputs [B, ...]`` forward
+    (``apply_kwargs`` forwards extra model.apply options, e.g.
+    ``{"output": "embedding"}``).
 
     With a ``mesh``, inference runs data-parallel: parameters are
-    replicated across the mesh once, every batch is zero-padded to
-    ``batch_size`` (one compiled program, no retraces on ragged tails) and
-    sharded over the batch axis, and only the valid rows are returned —
-    multi-chip serving from the same API as single-chip
-    (no reference analogue: its device placement was a per-step tf.device
-    string, lidbox/data/steps.py:115-122).
+    replicated across the mesh, every batch is zero-padded to
+    ``batch_size`` (one compiled program, no retraces on ragged tails;
+    larger inputs are processed in ``batch_size`` chunks) and sharded over
+    the batch axis, and only the valid rows are returned — multi-chip
+    serving from the same API as single-chip (no reference analogue: its
+    device placement was a per-step tf.device string,
+    lidbox/data/steps.py:115-122). ``model.variables`` is read at every
+    call in both modes, so restoring new weights into the model is picked
+    up without rebuilding the function.
     """
+    kwargs = dict(apply_kwargs or {})
+    if compute_dtype is not None:
+        kwargs["compute_dtype"] = compute_dtype
     apply_jit = jax.jit(
-        lambda variables, x: model.apply(variables, x, train=False,
-                                         compute_dtype=compute_dtype))
+        lambda variables, x: model.apply(variables, x, train=False, **kwargs))
     apply_jit_masked = jax.jit(
         lambda variables, x, m: model.apply(variables, x, train=False, mask=m,
-                                            compute_dtype=compute_dtype))
+                                            **kwargs))
     if mesh is None:
         def predict_fn(inputs, mask=None):
             if mask is None:
@@ -58,12 +66,26 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None):
     from lidbox_tpu import parallel
     assert batch_size % mesh.size == 0, (
         f"batch_size {batch_size} must divide over the {mesh.size}-device mesh")
-    variables = jax.device_put(model.variables, parallel.replicated(mesh))
+    repl = parallel.replicated(mesh)
+    cache = {"host": None, "device": None}  # re-put only when weights change
+
+    def _variables():
+        if cache["host"] is not model.variables:
+            cache["host"] = model.variables
+            cache["device"] = jax.device_put(model.variables, repl)
+        return cache["device"]
 
     def predict_fn(inputs, mask=None):
+        inputs = np.asarray(inputs)
         n = inputs.shape[0]
+        if n > batch_size:  # chunk oversized batches through the one program
+            return np.concatenate(
+                [predict_fn(inputs[i:i + batch_size],
+                            None if mask is None else mask[i:i + batch_size])
+                 for i in range(0, n, batch_size)])
+        variables = _variables()
         pad = batch_size - n
-        inputs = np.pad(np.asarray(inputs), [(0, pad)] + [(0, 0)] * (inputs.ndim - 1))
+        inputs = np.pad(inputs, [(0, pad)] + [(0, 0)] * (inputs.ndim - 1))
         x = jax.device_put(inputs, parallel.batch_sharding(mesh))
         if mask is None:
             out = apply_jit(variables, x)

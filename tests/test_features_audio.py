@@ -99,7 +99,9 @@ class TestSpectrograms:
         (200, 80, 256, 5000),     # 2.5 segments at other geometry
         (240, 100, 256, 7013),    # step not dividing length
         (64, 400, 512, 9000),     # step > length (gaps between frames)
-        (331, 97, 512, 6100),     # coprime geometry
+        (331, 97, 512, 6100),     # coprime geometry (odd frame length)
+        (400, 160, 511, 4000),    # odd fft length (no zero Nyquist sin)
+        (400, 160, 257, 4000),    # fft length < frame length (truncation)
     ])
     def test_segment_dft_matches_tf_all_geometries(self, frame_length,
                                                    frame_step, fft_length, T):

@@ -177,6 +177,32 @@ class TestDataParallel:
         assert any(spec == PartitionSpec(None, parallel.MODEL_AXIS)
                    for spec in specs_after), specs_after
 
+    def test_restore_preserves_tensor_parallel_sharding(self, tmp_path):
+        """Checkpoint restore must re-apply the model-axis param shardings
+        (deserialization returns plain host arrays)."""
+        from jax.sharding import PartitionSpec
+        ckpt_dir = str(tmp_path / "ckpts")
+        single = make_trainer(callbacks=[ModelCheckpoint(ckpt_dir)])
+        batches = toy_batches()
+        single.fit(lambda: batches, lambda: toy_batches(2, seed=9), epochs=1)
+
+        mesh2d = parallel.get_mesh_2d(data_size=4, model_size=2)
+        t_tp = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                       optax.adam(5e-3), nll_loss, mesh=mesh2d,
+                       param_sharding=parallel.column_parallel_rule(mesh2d))
+        t_tp.create_state()
+        t_tp.restore(get_best_checkpoint_path(ckpt_dir))
+        specs = [leaf.sharding.spec
+                 for leaf in jax.tree_util.tree_leaves(t_tp.state.params)
+                 if hasattr(leaf, "sharding") and leaf.ndim >= 2]
+        assert any(spec == PartitionSpec(None, parallel.MODEL_AXIS)
+                   for spec in specs), specs
+        p1 = jax.device_get(single.state.params)
+        p2 = jax.device_get(t_tp.state.params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+        history = t_tp.fit(lambda: batches, epochs=2)
+        assert np.isfinite(history[-1]["loss"])
+
     def test_mesh_embedding_extractor_matches_single_device(self, tmp_path):
         """from_config_as_embedding_extractor_fn(mesh=...) shards batches
         over the mesh (ragged tail padded to the next mesh multiple) and
