@@ -81,14 +81,6 @@ class AugmentConfig:
         return self.vad or self.speed_range is not None
 
 
-def _masked_rms(x, lengths):
-    """Per-row RMS over the first ``lengths`` samples of [B, T] rows."""
-    B, T = x.shape
-    valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
-    count = jnp.maximum(lengths.astype(x.dtype), 1.0)
-    return jnp.sqrt(jnp.sum(jnp.square(x) * valid, axis=1) / count)
-
-
 def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range,
                         lengths=None):
     """Per-example random noise clip from the bank mixed at a random SNR
@@ -117,21 +109,13 @@ def mix_noise_from_bank(key, signals, noise_bank, noise_lengths, snr_range,
     if lengths is None:
         _, _, mixed = jax.vmap(audio.snr_mixer)(signals, noise, snr)
         return mixed
-    # Masked reimplementation of audio.snr_mixer (reference
-    # lidbox/features/audio.py:124-148): normalize clean and noise to
-    # -25 dBFS (clean RMS over valid samples), scale noise to the SNR.
-    target = audio.dBFS_to_linear(-25.0)
-    scalarclean = target / jnp.maximum(_masked_rms(signals, lengths), 1e-12)
-    clean_norm = scalarclean[:, None] * signals
-    rmsclean = _masked_rms(clean_norm, lengths)
-    rmsnoise = audio.root_mean_square(noise, axis=1)
-    noise_norm = (target / jnp.maximum(rmsnoise, 1e-12))[:, None] * noise
-    rmsnoise = audio.root_mean_square(noise_norm, axis=1)
-    level = audio.dBFS_to_linear(snr)
-    noisescalar = jnp.sqrt(rmsclean / level / jnp.maximum(rmsnoise, 1e-12))
-    mixed = clean_norm + noisescalar[:, None] * noise_norm
+    # Masked path: audio.snr_mixer_batch masks BOTH clean and noise RMS
+    # over the valid window, reproducing the per-utterance audio.snr_mixer
+    # on the unpadded slice to ~3e-8 (an earlier inline variant left the
+    # noise RMS over the full padded width and drifted past the 1e-4
+    # parity budget).
     valid = jnp.arange(T)[None, :] < lengths[:, None]
-    return jnp.where(valid, mixed, 0.0)
+    return audio.snr_mixer_batch(signals, noise, snr, mask=valid)
 
 
 def random_speed_change_batch(key, signals, lengths, speed_range):
@@ -291,9 +275,6 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
               if k in ("spectrogram", "melspectrogram", "mfcc",
                        "db_spectrogram", "sample_minmax_scaling",
                        "window_normalization")}
-    spec_conf = kwargs.get("spectrogram") or {}
-    frame_len_ms = spec_conf.get("frame_length_ms", 25)
-    frame_step_ms = spec_conf.get("frame_step_ms", 10)
 
     def fn(key, signals, lengths=None):
         with_mask = augment.tracks_lengths or lengths is not None
@@ -321,7 +302,11 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
                                    stft_method=stft_method,
                                    precision=precision,
                                    lengths=lengths if with_mask else None,
+                                   return_mask=with_mask,
                                    **kwargs)
+        frame_mask = None
+        if with_mask:
+            feats, frame_mask = feats  # the mask the features were masked with
         if augment.specaug_time_masks or augment.specaug_freq_masks:
             feats = spec_augment(k_spec, feats,
                                  time_masks=augment.specaug_time_masks,
@@ -329,10 +314,6 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
                                  freq_masks=augment.specaug_freq_masks,
                                  freq_width=augment.specaug_freq_width)
         if with_mask:
-            fl = audio.ms_to_frames(sample_rate, frame_len_ms)
-            fs = audio.ms_to_frames(sample_rate, frame_step_ms)
-            frame_mask = F.frame_mask_from_lengths(lengths, feats.shape[1],
-                                                   fl, fs)
             return feats, frame_mask
         return feats
     return fn

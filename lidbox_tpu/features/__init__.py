@@ -230,7 +230,7 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
                      spectrogram=None, melspectrogram=None, mfcc=None,
                      db_spectrogram=None, sample_minmax_scaling=None,
                      window_normalization=None, stft_method="fft",
-                     lengths=None, precision="highest"):
+                     lengths=None, precision="highest", return_mask=False):
     """Batched waveforms [B, T] -> features [B, frames, channels].
 
     JAX rebuild of the reference feature dispatcher
@@ -317,6 +317,10 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
             X = globals()["window_normalization"](X, **window_normalization)
     if frame_mask is not None:
         X = jnp.where(frame_mask[..., None], X, 0.0)
+    if return_mask:
+        # single source of truth for the mask the features were masked
+        # with (callers must not re-derive it from the config)
+        return X, frame_mask
     return X
 
 

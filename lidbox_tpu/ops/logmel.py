@@ -283,6 +283,13 @@ def fused_logmel_pipelined(signals, sample_rate, frame_length_ms=25,
         frame_length, frame_step, fft_length, num_mel_bins,
         int(sample_rate), float(fmin), float(fmax)))
     n_seg = Wc_seg.shape[0]
+    if n_seg - 1 > 8:
+        # The per-tile tail buffer carries 8 overlap rows; steeper
+        # frame_length/frame_step ratios (e.g. 25 ms / 2 ms) exceed it —
+        # use the always-correct XLA lowering instead of a trace error.
+        return logmel_reference(signals, sample_rate, frame_length_ms,
+                                frame_step_ms, fft_length, num_mel_bins,
+                                fmin, fmax)
     nb_pad, m_pad = M.shape
     step_pad = _round_up(frame_step, LANE)
 
@@ -438,11 +445,16 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
 
     n_streams = -(-frame_step // 128)
     seg = frame_step // n_streams
-    if frame_step % n_streams or seg > 128:
+    n_seg = -(-frame_length // seg)
+    # The in-kernel tail buffer holds 8 extra stream rows, so segment
+    # shifts only reach d <= 8 streams ahead: frame_length/frame_step
+    # ratios beyond that (e.g. 25 ms / 2 ms) fall back to the pipelined
+    # kernel instead of tracing a shape mismatch.
+    if (frame_step % n_streams or seg > 128
+            or (n_seg - 1) // n_streams > 8):
         return fused_logmel_pipelined(
             signals, sample_rate, frame_length_ms, frame_step_ms, fft_length,
             num_mel_bins, fmin, fmax, frames_per_tile)
-    n_seg = -(-frame_length // seg)
 
     exact = _round_up(num_frames, 8)
     if exact <= max(frames_per_tile, 1024):

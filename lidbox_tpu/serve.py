@@ -144,13 +144,18 @@ class StreamingClassifier:
         while self._buffer.size >= self.chunk_len:
             chunks.append(self._buffer[:self.chunk_len])
             self._buffer = self._buffer[self.hop:]
-        if chunks:
-            feats = self.extractor(np.stack(chunks), self.sample_rate)
+        # one chunk per forward: the batch shape stays [1, chunk_len]
+        # whatever the caller's block sizes, so the XLA program compiles
+        # exactly once per stream (variable-count batching retraced on
+        # every new chunk count — seconds per compile on a tunneled chip)
+        for chunk in chunks:
+            feats = self.extractor(chunk[None, :], self.sample_rate)
             out = np.asarray(jax.device_get(
                 self._apply(self.model.variables, feats)))
-            s = out.sum(axis=0)
-            self._score_sum = s if self._score_sum is None else self._score_sum + s
-            self._num_chunks += len(chunks)
+            s = out[0]
+            self._score_sum = (s if self._score_sum is None
+                               else self._score_sum + s)
+            self._num_chunks += 1
         return self.scores()
 
     def scores(self):

@@ -241,23 +241,25 @@ class TestVadAndResample:
         T = sig.size + 5000
         padded = np.zeros((1, T), np.float32)
         padded[0, :sig.size] = sig
-        key = jax.random.PRNGKey(9)
-        mixed_pad = np.asarray(on_device.mix_noise_from_bank(
-            key, jnp.asarray(padded), bank, bl, (5.0, 15.0),
-            lengths=jnp.asarray([sig.size], jnp.int32)))
-        # reproduce the function's draws to build the per-utterance oracle
-        k_idx, k_snr, k_off = jax.random.split(key, 3)
-        idx = int(jax.random.randint(k_idx, (1,), 0, bank.shape[0])[0])
-        snr = float(jax.random.uniform(k_snr, (1,), minval=5.0,
-                                       maxval=15.0)[0])
-        off = int(jax.random.randint(k_off, (1,), 0,
-                                     bank.shape[1] - T + 1)[0])
-        noise = np.asarray(bank)[idx, off:off + T][:sig.size]
-        _, _, oracle = audio.snr_mixer(jnp.asarray(sig), jnp.asarray(noise),
-                                       jnp.float32(snr))
-        np.testing.assert_allclose(mixed_pad[0, :sig.size],
-                                   np.asarray(oracle), atol=5e-5)
-        assert not mixed_pad[0, sig.size:].any()
+        for seed in range(8):  # many draws: parity must hold, not get lucky
+            key = jax.random.PRNGKey(9 + seed)
+            mixed_pad = np.asarray(on_device.mix_noise_from_bank(
+                key, jnp.asarray(padded), bank, bl, (5.0, 15.0),
+                lengths=jnp.asarray([sig.size], jnp.int32)))
+            # reproduce the function's draws for the per-utterance oracle
+            k_idx, k_snr, k_off = jax.random.split(key, 3)
+            idx = int(jax.random.randint(k_idx, (1,), 0, bank.shape[0])[0])
+            snr = float(jax.random.uniform(k_snr, (1,), minval=5.0,
+                                           maxval=15.0)[0])
+            off = int(jax.random.randint(k_off, (1,), 0,
+                                         bank.shape[1] - T + 1)[0])
+            noise = np.asarray(bank)[idx, off:off + T][:sig.size]
+            _, _, oracle = audio.snr_mixer(jnp.asarray(sig),
+                                           jnp.asarray(noise),
+                                           jnp.float32(snr))
+            np.testing.assert_allclose(mixed_pad[0, :sig.size],
+                                       np.asarray(oracle), atol=1e-6)
+            assert not mixed_pad[0, sig.size:].any()
 
     def test_full_config5_chain_trains_one_program(self, noise_bank):
         """BASELINE config 5: waveform -> VAD -> noise + resample +
