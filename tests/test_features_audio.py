@@ -123,6 +123,32 @@ class TestSpectrograms:
             np.testing.assert_allclose(np.asarray(imag) / scale,
                                        ref.imag / scale, atol=2e-5)
 
+    def test_segment_dft_random_geometries_match_frame_oracle(self):
+        """Property sweep: the gather-free segment DFT equals the framed
+        windowed-matmul formulation for random (frame_length, frame_step,
+        fft_length, T) draws — the two share only the basis construction,
+        so agreement pins the segment decomposition itself."""
+        rng = np.random.default_rng(123)
+        for _ in range(25):
+            L = int(rng.integers(16, 600))
+            S = int(rng.integers(8, 500))
+            N = int(rng.integers(max(8, L // 4), 1024))
+            num_frames = int(rng.integers(1, 12))
+            T = L + (num_frames - 1) * S + int(rng.integers(0, S))
+            x = rng.normal(0, 1, (2, T)).astype(np.float32)
+            real, imag = audio.stft(jnp.asarray(x), L, S, fft_length=N,
+                                    method="matmul")
+            frames = audio.frame(jnp.asarray(x), L, S, axis=-1)
+            cos_b, sin_b = audio._windowed_dft_basis(L, N)
+            or_ = np.asarray(jnp.matmul(frames, jnp.asarray(cos_b)))
+            oi_ = np.asarray(jnp.matmul(frames, jnp.asarray(sin_b)))
+            assert real.shape == or_.shape, (L, S, N, T, real.shape, or_.shape)
+            scale = max(1.0, np.abs(or_).max(initial=0.0))
+            np.testing.assert_allclose(np.asarray(real) / scale, or_ / scale,
+                                       atol=3e-6, err_msg=f"{(L, S, N, T)}")
+            np.testing.assert_allclose(np.asarray(imag) / scale, oi_ / scale,
+                                       atol=3e-6, err_msg=f"{(L, S, N, T)}")
+
     def test_segment_dft_zero_frames(self):
         """Signals shorter than one frame produce an empty frame axis
         (tf.signal.stft itself errors on this input)."""
