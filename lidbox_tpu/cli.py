@@ -9,6 +9,7 @@ restores a working CLI over the same config-dict contract:
     python -m lidbox_tpu train config.yaml
     python -m lidbox_tpu evaluate config.yaml
     python -m lidbox_tpu extract-embeddings config.yaml out.npz
+    python -m lidbox_tpu classify config.yaml a.wav b.mp3
     python -m lidbox_tpu utils --validate-config config.yaml
 
 Configs are YAML or JSON. Metadata comes from a ``metadata`` section:
@@ -158,6 +159,44 @@ def cmd_extract_embeddings(args):
     return 0
 
 
+def cmd_classify(args):
+    """Classify audio files from the shell: best checkpoint -> language
+    scores per utterance (CSV on stdout or --output). The reference had no
+    serving path at all — classification lived in notebooks
+    (reference: lidbox/util.py:23-57)."""
+    config = load_config(args.config)
+    _, labels = load_metadata(config)
+    from lidbox_tpu import serve
+    from lidbox_tpu.models.model_utils import (ModelWrapper,
+                                               best_model_checkpoint_from_config)
+
+    wrapper = ModelWrapper.from_config(config)
+    best = best_model_checkpoint_from_config(config)
+    if best:
+        wrapper.trainer.restore(best)
+        wrapper.model.variables = {
+            "params": wrapper.trainer.state.params,
+            **({"batch_stats": wrapper.trainer.state.batch_stats}
+               if wrapper.trainer.state.batch_stats else {})}
+    else:
+        logger.warning("no checkpoint found; classifying with fresh weights")
+    clf = serve.Classifier(
+        wrapper.model, labels,
+        feature_config=config.get("features"),
+        chunk_length_ms=args.chunk_length_ms,
+        chunk_step_ms=args.chunk_step_ms,
+        batch_size=args.batch_size)
+    out = clf.classify(args.audio_files)
+    csv = out.to_csv()
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(csv)
+        logger.info("Wrote %d classifications to %s", len(out), args.output)
+    else:
+        print(csv, end="")
+    return 0
+
+
 def cmd_utils(args):
     if args.validate_config:
         config = load_config(args.validate_config)
@@ -197,6 +236,18 @@ def create_argparser():
     p.add_argument("output")
     p.add_argument("--split", default="test")
     p.set_defaults(fn=cmd_extract_embeddings)
+
+    p = sub.add_parser("classify",
+                       help="classify audio files with the best checkpoint")
+    p.add_argument("config")
+    p.add_argument("audio_files", nargs="+")
+    p.add_argument("--output", default=None,
+                   help="write CSV here instead of stdout")
+    p.add_argument("--chunk-length-ms", type=int, default=None,
+                   help="score fixed chunks and average per utterance")
+    p.add_argument("--chunk-step-ms", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("utils", help="config validation and helpers")
     p.add_argument("--validate-config", metavar="CONFIG")

@@ -302,6 +302,20 @@ class TestCLI:
         assert data["embeddings"].shape == (2, 512)
         assert len(data["ids"]) == 2
 
+        # shell-level serving: classify wav files with the best checkpoint
+        csv_out = tmp_path / "scores.csv"
+        wavs = [p for p in meta.path]
+        assert main(["classify", str(cfg), *wavs[:3],
+                     "--output", str(csv_out)]) == 0
+        import pandas as pd
+        scored = pd.read_csv(csv_out, index_col=0)
+        assert len(scored) == 3
+        assert set(scored.label) <= {"high", "low", "noise"}
+        score_cols = [c for c in scored.columns if c.startswith("score_")]
+        assert len(score_cols) == 3
+        np.testing.assert_allclose(
+            np.exp(scored[score_cols].to_numpy()).sum(axis=1), 1.0, rtol=1e-3)
+
 
 def test_get_total_duration_and_format(tmp_path):
     """reference: lidbox/system.py:71-78."""
