@@ -255,6 +255,59 @@ def spec_augment(key, feats, time_masks=2, time_width=20, freq_masks=2,
     return feats
 
 
+def augment_config_from_dict(d):
+    """Declarative form of AugmentConfig (the ``on_device_augment``
+    features-config subsection)::
+
+        on_device_augment:
+          noise_datadir: /data/musan     # or noise_paths: [...]
+          snr_range: [5, 20]
+          fir_coefs: 10
+          speed_range: [0.9, 1.1]
+          vad: true
+          specaug: {time_masks: 2, time_width: 20, freq_masks: 2, freq_width: 8}
+    """
+    spec = d.get("specaug") or {}
+    return AugmentConfig(
+        snr_range=tuple(d["snr_range"]) if d.get("snr_range") else None,
+        fir_coefs=int(d.get("fir_coefs", 0)),
+        speed_range=(tuple(d["speed_range"]) if d.get("speed_range")
+                     else None),
+        vad=bool(d.get("vad", False)),
+        vad_frame_ms=int(d.get("vad_frame_ms", 10)),
+        vad_min_non_speech_ms=int(d.get("vad_min_non_speech_ms", 300)),
+        vad_strength=float(d.get("vad_strength", 0.1)),
+        specaug_time_masks=int(spec.get("time_masks", 0)),
+        specaug_time_width=int(spec.get("time_width", 20)),
+        specaug_freq_masks=int(spec.get("freq_masks", 0)),
+        specaug_freq_width=int(spec.get("freq_width", 8)))
+
+
+def feature_fn_from_config(sample_rate, features_conf):
+    """Build the fused on-device feature fn straight from a config dict's
+    ``features`` section (with its ``on_device_augment`` subsection) —
+    the declarative route to the BASELINE config-5 chain."""
+    features_conf = dict(features_conf)
+    aug = dict(features_conf.pop("on_device_augment", None) or {})
+    noise_bank = noise_lengths = None
+    paths = aug.pop("noise_paths", None)
+    datadir = aug.pop("noise_datadir", None)
+    max_seconds = float(aug.pop("noise_max_seconds", 10.0))
+    if paths is None and datadir:
+        import glob
+        import os
+        paths = sorted(
+            p for ext in ("wav", "mp3")
+            for p in glob.glob(os.path.join(datadir, "**", f"*.{ext}"),
+                               recursive=True))
+    if paths:
+        noise_bank, noise_lengths = build_noise_bank(paths, sample_rate,
+                                                     max_seconds=max_seconds)
+    return make_augmented_feature_fn(
+        sample_rate, features_conf, augment_config_from_dict(aug),
+        noise_bank=noise_bank, noise_lengths=noise_lengths)
+
+
 def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfig,
                               noise_bank=None, noise_lengths=None):
     """(key, signals [B, T], lengths=None) -> features, with every stage of

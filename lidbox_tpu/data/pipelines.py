@@ -86,6 +86,12 @@ def create_dataset(split, labels, init_data, config):
         if features_conf["type"] == "kaldi":
             steps.append(Step("load_kaldi_data",
                               {"shape": features_conf["kaldi"]["shape"]}))
+        elif "on_device_augment" in features_conf:
+            # fused on-device chain (BASELINE config 5): the pipeline stops
+            # at raw signals; augmentation + features compile into the
+            # training step itself (on_device.feature_fn_from_config,
+            # ModelWrapper.fit_fused)
+            pass
         else:
             steps.append(Step("extract_features", {"config": features_conf}))
 

@@ -123,6 +123,7 @@ class ModelWrapper:
         self.model_key = model_key
         self.trainer = trainer
         self.initial_epoch = 0
+        self.config = None  # set by from_config (fit_fused needs it)
 
     @classmethod
     def from_config(cls, config, mesh=None):
@@ -166,7 +167,9 @@ class ModelWrapper:
                           callbacks=callbacks, lr_schedule=lr_schedule,
                           log_dir=os.path.join(cache_dir, "logs"),
                           compute_dtype=compute_dtype)
-        return cls(model, model_key, trainer)
+        wrapper = cls(model, model_key, trainer)
+        wrapper.config = config
+        return wrapper
 
     @classmethod
     def from_config_as_embedding_extractor_fn(cls, config, mesh=None):
@@ -224,6 +227,24 @@ class ModelWrapper:
     def fit(self, train_batches, validation_batches, **kwargs):
         """(reference: keras_utils.py:191-203)"""
         return self.trainer.fit(train_batches, validation_batches, **kwargs)
+
+    def fit_fused(self, signal_batches, epochs=1, sample_rate=16000,
+                  verbose=True):
+        """Train through the fused on-device augmentation chain declared in
+        the config's ``features.on_device_augment`` section: every step is
+        ONE XLA program (VAD/noise/resample/FIR/SpecAugment -> features ->
+        fwd/bwd -> update) fed raw waveform batches
+        (train.signal_batches_from_dataset). BASELINE config 5, declarative.
+        """
+        from lidbox_tpu.data import on_device
+        features_conf = dict(self.config.get("features") or {})
+        if "on_device_augment" not in features_conf:
+            raise ValueError(
+                "fit_fused needs a features.on_device_augment config section")
+        feature_fn = on_device.feature_fn_from_config(sample_rate,
+                                                      features_conf)
+        return on_device.fit_signals(self.trainer, feature_fn, signal_batches,
+                                     epochs=epochs, verbose=verbose)
 
     def count_params(self):
         return self.model.num_params()

@@ -17,5 +17,6 @@ from .loop import (  # noqa: F401
     Trainer,
     TrainState,
     batches_from_dataset,
+    signal_batches_from_dataset,
 )
 from .optimizers import optimizer_from_config, schedule_from_config  # noqa: F401

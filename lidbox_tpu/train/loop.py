@@ -452,6 +452,34 @@ class Trainer:
         return np.concatenate(outs, axis=0)
 
 
+def signal_batches_from_dataset(ds, batch_size, drop_remainder=False):
+    """Collect element dicts into (signals [B, T], targets [B]) numpy
+    pairs for the fused on-device training path (on_device.fit_signals).
+    Signals must share one length — chunk in pre_process (the fused chain
+    is one statically-shaped XLA program)."""
+    def make():
+        pending = []
+        for x in ds:
+            pending.append(x)
+            if len(pending) == batch_size:
+                yield _finalize(pending)
+                pending = []
+        if pending and not drop_remainder:
+            yield _finalize(pending)
+
+    def _finalize(pending):
+        lengths = {np.shape(p["signal"])[0] for p in pending}
+        if len(lengths) != 1:
+            raise ValueError(
+                f"fused training needs equal-length signals, got {sorted(lengths)}; "
+                "add pre_process chunks (create_signal_chunks) to the config")
+        signals = np.stack([np.asarray(p["signal"], np.float32)
+                            for p in pending])
+        targets = np.asarray([p["target"] for p in pending], np.int32)
+        return signals, targets
+    return make
+
+
 def batches_from_dataset(ds, batch_size, input_key="input", target_key="target",
                          pad_buckets=None, drop_remainder=False,
                          frame_mask=False):

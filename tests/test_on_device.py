@@ -261,6 +261,73 @@ class TestVadAndResample:
                                        np.asarray(oracle), atol=1e-6)
             assert not mixed_pad[0, sig.size:].any()
 
+    def test_declarative_fused_training_from_config(self, tmp_path):
+        """The BASELINE config-5 chain as pure config: a features section
+        with on_device_augment stops the pipeline at raw signals, and
+        ModelWrapper.fit_fused trains through the fused program."""
+        from lidbox_tpu.data import from_steps
+        from lidbox_tpu.data.pipelines import create_dataset
+        from lidbox_tpu.features import io as audio_io
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        from lidbox_tpu.train import signal_batches_from_dataset
+
+        rng = np.random.default_rng(0)
+        noise_path = tmp_path / "noise.wav"
+        audio_io.write_mono_wav(
+            noise_path, rng.normal(0, 0.1, RATE * 2).astype(np.float32), RATE)
+        paths, labels_col = [], []
+        freqs = {"aa": 300.0, "bb": 900.0}
+        for i in range(8):
+            lab = "aa" if i % 2 == 0 else "bb"
+            sig = testutil.sinewave(freqs[lab], RATE, 1.0) \
+                + rng.normal(0, 0.05, RATE).astype(np.float32)
+            p = tmp_path / f"u{i}.wav"
+            audio_io.write_mono_wav(p, sig.astype(np.float32), RATE)
+            paths.append(str(p))
+            labels_col.append(lab)
+
+        config = {
+            "pre_process": {"chunks": {"length_ms": 500, "step_ms": 500}},
+            "features": {
+                "type": "logmelspectrogram",
+                "melspectrogram": {"num_mel_bins": 24},
+                "stft_method": "matmul",
+                "on_device_augment": {
+                    "noise_paths": [str(noise_path)],
+                    "noise_max_seconds": 2.0,
+                    "snr_range": [10, 20],
+                    "fir_coefs": 5,
+                    "speed_range": [0.9, 1.1],
+                    "vad": True,
+                    "vad_min_non_speech_ms": 0,
+                    "specaug": {"time_masks": 1, "freq_masks": 1},
+                },
+            },
+            "experiment": {
+                "cache_directory": str(tmp_path / "cache"), "name": "fused",
+                "input_shape": [None, 24], "output_shape": [2],
+                "model": {"key": "xvector"},
+                "optimizer": {"cls": "Adam",
+                              "kwargs": {"learning_rate": 3e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+            },
+        }
+        steps = create_dataset(
+            "train", ["aa", "bb"],
+            {"id": [f"u{i}" for i in range(8)], "path": paths,
+             "label": labels_col}, config)
+        assert not any(s.key == "extract_features" for s in steps)
+        ds = from_steps(steps).cache_to_memory()
+        first = next(iter(ds))
+        assert "signal" in first and "input" not in first
+
+        wrapper = ModelWrapper.from_config(config)
+        batches = signal_batches_from_dataset(ds, batch_size=8)
+        history = wrapper.fit_fused(batches, epochs=4, sample_rate=RATE,
+                                    verbose=False)
+        assert len(history) == 4
+        assert history[-1] < history[0], history
+
     def test_full_config5_chain_trains_one_program(self, noise_bank):
         """BASELINE config 5: waveform -> VAD -> noise + resample +
         SpecAugment -> log-Mel -> train, as ONE jit program with a frame
