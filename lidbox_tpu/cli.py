@@ -106,10 +106,22 @@ def cmd_train(args):
     logger.info("Training %s (%d params) on split '%s'",
                 wrapper.model_key, wrapper.count_params(), train_split)
     batch_size = data_conf["train"].get("batch_size", 32)
+    epochs = config["experiment"].get("epochs", 1)
+    if "on_device_augment" in config.get("features", {}):
+        # fused config-5 route: the pipeline stopped at raw signals;
+        # augmentation + features compile into the training step
+        from lidbox_tpu.train import signal_batches_from_dataset
+        logger.info("Fused on-device augmentation enabled "
+                    "(features.on_device_augment)")
+        history = wrapper.fit_fused(
+            signal_batches_from_dataset(train_ds, batch_size), epochs=epochs)
+        logger.info("Training done, final fused loss: %s",
+                    history[-1] if history else None)
+        return 0
     history = wrapper.fit(
         batches_from_dataset(train_ds, batch_size),
         batches_from_dataset(val_ds, batch_size),
-        epochs=config["experiment"].get("epochs", 1))
+        epochs=epochs)
     logger.info("Training done, final: %s", history[-1] if history else {})
     return 0
 

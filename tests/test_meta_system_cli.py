@@ -257,6 +257,37 @@ class TestCLI:
         report = json.loads(capsys.readouterr().out)
         assert "accuracy" in report and "avg_detection_cost" in report
 
+    def test_train_fused_on_device_augment(self, tmp_path, audio_fixtures):
+        """CLI train with features.on_device_augment runs the fused
+        config-5 route (pipeline stops at signals, augmentation compiles
+        into the train step)."""
+        from lidbox_tpu.cli import main
+        import yaml
+        meta = _meta(audio_fixtures)
+        csv = tmp_path / "meta.csv"
+        meta.reset_index().to_csv(csv, index=False)
+        config = {
+            "metadata": {"csv": str(csv)},
+            "pre_process": {"chunks": {"length_ms": 500, "step_ms": 500}},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 24},
+                         "stft_method": "matmul",
+                         "on_device_augment": {
+                             "fir_coefs": 5, "speed_range": [0.9, 1.1],
+                             "vad": True, "vad_min_non_speech_ms": 0,
+                             "specaug": {"time_masks": 1, "freq_masks": 1}}},
+            "experiment": {
+                "cache_directory": str(tmp_path / "cache"), "name": "fused",
+                "input_shape": [None, 24], "output_shape": [3],
+                "model": {"key": "xvector"},
+                "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+                "epochs": 1,
+                "data": {"train": {"split": "train", "batch_size": 4}}}}
+        cfg = tmp_path / "config.yaml"
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg)]) == 0
+
     def test_extract_embeddings_command(self, tmp_path, audio_fixtures):
         """Full CLI journey: train -> checkpoints -> extract-embeddings npz."""
         from lidbox_tpu.cli import main
