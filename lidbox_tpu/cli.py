@@ -114,8 +114,9 @@ def cmd_train(args):
         logger.info("Fused on-device augmentation enabled "
                     "(features.on_device_augment)")
         history = wrapper.fit_fused(
-            signal_batches_from_dataset(train_ds, batch_size), epochs=epochs)
-        logger.info("Training done, final fused loss: %s",
+            signal_batches_from_dataset(train_ds, batch_size), epochs=epochs,
+            val_signal_batches=signal_batches_from_dataset(val_ds, batch_size))
+        logger.info("Training done, final fused epoch: %s",
                     history[-1] if history else None)
         return 0
     history = wrapper.fit(

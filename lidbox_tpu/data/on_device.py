@@ -372,19 +372,32 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
     return fn
 
 
-def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True):
+def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
+                val_batches=None, val_feature_fn=None):
     """Train directly from raw waveform batches through the fused on-device
     path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
     update) with no per-step host readbacks.
 
     ``signal_batches``: callable or iterable of (signals [B, T], targets [B])
-    numpy pairs. Returns per-epoch mean losses.
+    numpy pairs. ``val_batches`` (same shape) are evaluated after every
+    epoch through ``val_feature_fn`` (default: ``feature_fn`` — pass a
+    clean, augmentation-free fn for standard validation). Returns per-epoch
+    dicts with ``loss`` (+ ``val_loss``/metrics when validating); plain
+    float losses when no validation, back-compatible.
     """
     step = make_fused_train_step(trainer, feature_fn)
     if trainer.state is None:
         trainer.create_state()
+    val_feats = None
+    if val_batches is not None:
+        vfn = val_feature_fn if val_feature_fn is not None else feature_fn
+        val_feats = jax.jit(lambda key, s: vfn(key, s))
+    for cb in trainer.callbacks:
+        cb.on_train_begin(trainer)
     history = []
     for epoch in range(1, epochs + 1):
+        for cb in trainer.callbacks:
+            cb.on_epoch_begin(trainer, epoch)
         losses = []
         it = signal_batches() if callable(signal_batches) else signal_batches
         for i, (signals, targets) in enumerate(it):
@@ -392,9 +405,37 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True):
                                        jnp.asarray(targets), trainer.rng)
             losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-        history.append(mean_loss)
+        if val_batches is None:
+            history.append(mean_loss)
+            for cb in trainer.callbacks:
+                cb.on_epoch_end(trainer, epoch, {"loss": mean_loss})
+            if verbose:
+                logger.info("fused epoch %d/%d: loss=%.6g", epoch, epochs,
+                            mean_loss)
+            if trainer.stop_training:
+                break
+            continue
+        eval_batches = []
+        vit = val_batches() if callable(val_batches) else val_batches
+        for signals, targets in vit:
+            out = val_feats(jax.random.PRNGKey(0), jnp.asarray(signals))
+            batch = {"target": np.asarray(targets)}
+            if isinstance(out, tuple):
+                batch["input"], batch["input_mask"] = (np.asarray(out[0]),
+                                                       np.asarray(out[1]))
+            else:
+                batch["input"] = np.asarray(out)
+            eval_batches.append(batch)
+        logs = {"loss": mean_loss, **trainer.evaluate(eval_batches)}
+        history.append(logs)
+        for cb in trainer.callbacks:
+            cb.on_epoch_end(trainer, epoch, logs)
         if verbose:
-            logger.info("fused epoch %d/%d: loss=%.6g", epoch, epochs, mean_loss)
+            logger.info("fused epoch %d/%d: %s", epoch, epochs, logs)
+        if trainer.stop_training:
+            break
+    for cb in trainer.callbacks:
+        cb.on_train_end(trainer)
     return history
 
 

@@ -229,12 +229,14 @@ class ModelWrapper:
         return self.trainer.fit(train_batches, validation_batches, **kwargs)
 
     def fit_fused(self, signal_batches, epochs=1, sample_rate=16000,
-                  verbose=True):
+                  verbose=True, val_signal_batches=None):
         """Train through the fused on-device augmentation chain declared in
         the config's ``features.on_device_augment`` section: every step is
         ONE XLA program (VAD/noise/resample/FIR/SpecAugment -> features ->
         fwd/bwd -> update) fed raw waveform batches
         (train.signal_batches_from_dataset). BASELINE config 5, declarative.
+        Validation batches are featurized CLEAN (same features config,
+        augmentation stripped) and evaluated after every epoch.
         """
         from lidbox_tpu.data import on_device
         features_conf = dict(self.config.get("features") or {})
@@ -243,8 +245,16 @@ class ModelWrapper:
                 "fit_fused needs a features.on_device_augment config section")
         feature_fn = on_device.feature_fn_from_config(sample_rate,
                                                       features_conf)
+        val_feature_fn = None
+        if val_signal_batches is not None:
+            clean_conf = {k: v for k, v in features_conf.items()
+                          if k != "on_device_augment"}
+            val_feature_fn = on_device.feature_fn_from_config(sample_rate,
+                                                              clean_conf)
         return on_device.fit_signals(self.trainer, feature_fn, signal_batches,
-                                     epochs=epochs, verbose=verbose)
+                                     epochs=epochs, verbose=verbose,
+                                     val_batches=val_signal_batches,
+                                     val_feature_fn=val_feature_fn)
 
     def count_params(self):
         return self.model.num_params()

@@ -282,11 +282,27 @@ class TestCLI:
                 "model": {"key": "xvector"},
                 "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
                 "loss": {"cls": "SparseCategoricalCrossentropy"},
+                "callbacks": [{"cls": "ModelCheckpoint",
+                               "kwargs": {"monitor": "val_loss",
+                                          "mode": "min"}}],
                 "epochs": 1,
-                "data": {"train": {"split": "train", "batch_size": 4}}}}
+                "data": {"train": {"split": "train", "batch_size": 4},
+                         "test": {"split": "test"}}}}
         cfg = tmp_path / "config.yaml"
         cfg.write_text(yaml.safe_dump(config))
         assert main(["train", str(cfg)]) == 0
+        # fused training wrote metric-named checkpoints via the callbacks...
+        import glob
+        ckpts = glob.glob(str(tmp_path / "cache" / "xvector" / "fused"
+                              / "checkpoints" / "epoch*.ckpt"))
+        assert len(ckpts) == 1, ckpts
+        # ...so shell-level classification serves the fused-trained model
+        csv_out = tmp_path / "fused_scores.csv"
+        wav = str(meta.path.iloc[0])
+        assert main(["classify", str(cfg), wav,
+                     "--output", str(csv_out)]) == 0
+        import pandas as pd
+        assert len(pd.read_csv(csv_out, index_col=0)) == 1
 
     def test_extract_embeddings_command(self, tmp_path, audio_fixtures):
         """Full CLI journey: train -> checkpoints -> extract-embeddings npz."""
