@@ -113,9 +113,18 @@ def cmd_train(args):
         from lidbox_tpu.train import signal_batches_from_dataset
         logger.info("Fused on-device augmentation enabled "
                     "(features.on_device_augment)")
+        # non-train splits featurize CLEAN through the pipeline (augmentation
+        # is train-only), so validation comes as feature batches
+        val_feature_batches = (batches_from_dataset(val_ds, batch_size)
+                               if val_split != train_split else
+                               signal_batches_from_dataset(val_ds, batch_size))
+        kwargs = ({"val_feature_batches": val_feature_batches}
+                  if val_split != train_split else
+                  {"val_signal_batches": val_feature_batches})
         history = wrapper.fit_fused(
             signal_batches_from_dataset(train_ds, batch_size), epochs=epochs,
-            val_signal_batches=signal_batches_from_dataset(val_ds, batch_size))
+            sample_rate=config.get("features", {}).get("sample_rate"),
+            **kwargs)
         logger.info("Training done, final fused epoch: %s",
                     history[-1] if history else None)
         return 0

@@ -373,39 +373,74 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
 
 
 def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
-                val_batches=None, val_feature_fn=None):
+                val_batches=None, val_feature_fn=None,
+                val_feature_batches=None):
     """Train directly from raw waveform batches through the fused on-device
     path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
-    update) with no per-step host readbacks.
+    update) with no per-step host readbacks. With a mesh on the trainer,
+    batches shard over the data axis (ragged tails padded with an
+    example mask, exactly like Trainer.fit).
 
     ``signal_batches``: callable or iterable of (signals [B, T], targets [B])
-    numpy pairs. ``val_batches`` (same shape) are evaluated after every
-    epoch through ``val_feature_fn`` (default: ``feature_fn`` — pass a
-    clean, augmentation-free fn for standard validation). Returns per-epoch
-    dicts with ``loss`` (+ ``val_loss``/metrics when validating); plain
-    float losses when no validation, back-compatible.
+    numpy pairs. Validation after every epoch comes from either
+    ``val_batches`` (same signal-pair shape, featurized through
+    ``val_feature_fn`` — default ``feature_fn``; pass a clean,
+    augmentation-free fn for standard validation) or
+    ``val_feature_batches`` (already-featurized dict batches, e.g. from
+    train.batches_from_dataset over a clean pipeline). Epoch numbering
+    resumes from ``trainer.initial_epoch`` and ``epochs`` is the absolute
+    target, mirroring Trainer.fit. Returns per-epoch dicts with ``loss``
+    (+ ``val_loss``/metrics when validating); plain float losses when no
+    validation, back-compatible.
     """
     step = make_fused_train_step(trainer, feature_fn)
     if trainer.state is None:
         trainer.create_state()
-    val_feats = None
+    validating = val_batches is not None or val_feature_batches is not None
+    eval_cache = None
     if val_batches is not None:
         vfn = val_feature_fn if val_feature_fn is not None else feature_fn
         val_feats = jax.jit(lambda key, s: vfn(key, s))
+        if val_feature_fn is not None:
+            # the clean fn is deterministic: featurize the val set ONCE
+            eval_cache = _featurize_val(val_feats, val_batches)
+
+    def _stage(signals, targets):
+        signals = np.asarray(signals, np.float32)
+        targets = np.asarray(targets, np.int32)
+        mask = None
+        if trainer.mesh is not None:
+            from lidbox_tpu import parallel
+            n = targets.shape[0]
+            n_dev = trainer.mesh.devices.size
+            if n % n_dev:
+                padded, valid = parallel.pad_batch_to(
+                    {"signals": signals, "targets": targets},
+                    -(-n // n_dev) * n_dev)
+                signals, targets = padded["signals"], padded["targets"]
+                mask = valid
+            put = parallel.shard_batch(
+                {"signals": signals, "targets": targets,
+                 **({"mask": mask} if mask is not None else {})},
+                trainer.mesh)
+            return put["signals"], put["targets"], put.get("mask")
+        return signals, targets, mask
+
     for cb in trainer.callbacks:
         cb.on_train_begin(trainer)
     history = []
-    for epoch in range(1, epochs + 1):
+    for epoch in range(trainer.initial_epoch + 1, epochs + 1):
         for cb in trainer.callbacks:
             cb.on_epoch_begin(trainer, epoch)
         losses = []
         it = signal_batches() if callable(signal_batches) else signal_batches
-        for i, (signals, targets) in enumerate(it):
-            trainer.state, loss = step(trainer.state, jnp.asarray(signals),
-                                       jnp.asarray(targets), trainer.rng)
+        for signals, targets in it:
+            signals, targets, mask = _stage(signals, targets)
+            trainer.state, loss = step(trainer.state, signals, targets,
+                                       trainer.rng, mask)
             losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-        if val_batches is None:
+        if not validating:
             history.append(mean_loss)
             for cb in trainer.callbacks:
                 cb.on_epoch_end(trainer, epoch, {"loss": mean_loss})
@@ -415,17 +450,14 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if trainer.stop_training:
                 break
             continue
-        eval_batches = []
-        vit = val_batches() if callable(val_batches) else val_batches
-        for signals, targets in vit:
-            out = val_feats(jax.random.PRNGKey(0), jnp.asarray(signals))
-            batch = {"target": np.asarray(targets)}
-            if isinstance(out, tuple):
-                batch["input"], batch["input_mask"] = (np.asarray(out[0]),
-                                                       np.asarray(out[1]))
-            else:
-                batch["input"] = np.asarray(out)
-            eval_batches.append(batch)
+        if val_feature_batches is not None:
+            eval_batches = list(val_feature_batches()
+                                if callable(val_feature_batches)
+                                else val_feature_batches)
+        elif eval_cache is not None:
+            eval_batches = eval_cache
+        else:
+            eval_batches = _featurize_val(val_feats, val_batches)
         logs = {"loss": mean_loss, **trainer.evaluate(eval_batches)}
         history.append(logs)
         for cb in trainer.callbacks:
@@ -439,15 +471,32 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     return history
 
 
+def _featurize_val(val_feats, val_batches):
+    eval_batches = []
+    vit = val_batches() if callable(val_batches) else val_batches
+    for signals, targets in vit:
+        out = val_feats(jax.random.PRNGKey(0), jnp.asarray(signals))
+        batch = {"target": np.asarray(targets)}
+        if isinstance(out, tuple):
+            batch["input"], batch["input_mask"] = (np.asarray(out[0]),
+                                                   np.asarray(out[1]))
+        else:
+            batch["input"] = np.asarray(out)
+        eval_batches.append(batch)
+    return eval_batches
+
+
 def make_fused_train_step(trainer, feature_fn):
     """One jit program: raw waveforms -> on-device augmentation -> features
     -> model forward/backward -> optax update.
 
-    Returns step(state, signals [B, T], targets [B], rng) ->
-    (new_state, loss). The host loop only supplies waveform batches.
+    Returns step(state, signals [B, T], targets [B], rng,
+    example_mask=None) -> (new_state, loss); ``example_mask`` [B] excludes
+    mesh-padding rows from the loss (fit_signals threads it). The host
+    loop only supplies waveform batches.
     """
     @jax.jit
-    def step(state, signals, targets, rng):
+    def step(state, signals, targets, rng, example_mask=None):
         feat_key = jax.random.fold_in(rng, state.step)
         feats = feature_fn(jax.random.fold_in(feat_key, 7), signals)
         batch = {"target": targets}
@@ -455,5 +504,7 @@ def make_fused_train_step(trainer, feature_fn):
             batch["input"], batch["input_mask"] = feats
         else:
             batch["input"] = feats
+        if example_mask is not None:
+            batch["example_mask"] = example_mask
         return trainer._train_step(state, batch, rng)
     return step

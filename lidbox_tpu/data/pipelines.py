@@ -87,11 +87,18 @@ def create_dataset(split, labels, init_data, config):
             steps.append(Step("load_kaldi_data",
                               {"shape": features_conf["kaldi"]["shape"]}))
         elif "on_device_augment" in features_conf:
-            # fused on-device chain (BASELINE config 5): the pipeline stops
-            # at raw signals; augmentation + features compile into the
-            # training step itself (on_device.feature_fn_from_config,
-            # ModelWrapper.fit_fused)
-            pass
+            # fused on-device chain (BASELINE config 5): the TRAIN pipeline
+            # stops at raw signals — augmentation + features compile into
+            # the training step itself (on_device.feature_fn_from_config,
+            # ModelWrapper.fit_fused). Every other split featurizes CLEAN
+            # (augmentation is train-only), so evaluate / embeddings /
+            # classification work on the same config.
+            train_split = (config.get("experiment", {}).get("data", {})
+                           .get("train", {}).get("split", "train"))
+            if split != train_split:
+                clean = {k: v for k, v in features_conf.items()
+                         if k != "on_device_augment"}
+                steps.append(Step("extract_features", {"config": clean}))
         else:
             steps.append(Step("extract_features", {"config": features_conf}))
 

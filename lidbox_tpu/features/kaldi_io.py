@@ -140,8 +140,13 @@ class MatrixWriter:
             raise ValueError("write specifier needs an ark target")
         self.ark_path = targets["ark"]
         self._ark = open(self.ark_path, "wb")
-        self._scp = (open(targets["scp"], "w", encoding="utf-8")
-                     if "scp" in targets else None)
+        self._scp = None
+        if "scp" in targets:
+            try:
+                self._scp = open(targets["scp"], "w", encoding="utf-8")
+            except OSError:
+                self._ark.close()
+                raise
 
     def __call__(self, key, matrix):
         matrix = np.asarray(matrix)

@@ -228,8 +228,9 @@ class ModelWrapper:
         """(reference: keras_utils.py:191-203)"""
         return self.trainer.fit(train_batches, validation_batches, **kwargs)
 
-    def fit_fused(self, signal_batches, epochs=1, sample_rate=16000,
-                  verbose=True, val_signal_batches=None):
+    def fit_fused(self, signal_batches, epochs=1, sample_rate=None,
+                  verbose=True, val_signal_batches=None,
+                  val_feature_batches=None):
         """Train through the fused on-device augmentation chain declared in
         the config's ``features.on_device_augment`` section: every step is
         ONE XLA program (VAD/noise/resample/FIR/SpecAugment -> features ->
@@ -239,10 +240,12 @@ class ModelWrapper:
         augmentation stripped) and evaluated after every epoch.
         """
         from lidbox_tpu.data import on_device
-        features_conf = dict(self.config.get("features") or {})
+        features_conf = dict((self.config or {}).get("features") or {})
         if "on_device_augment" not in features_conf:
             raise ValueError(
                 "fit_fused needs a features.on_device_augment config section")
+        if sample_rate is None:
+            sample_rate = int(features_conf.get("sample_rate", 16000))
         feature_fn = on_device.feature_fn_from_config(sample_rate,
                                                       features_conf)
         val_feature_fn = None
@@ -254,7 +257,8 @@ class ModelWrapper:
         return on_device.fit_signals(self.trainer, feature_fn, signal_batches,
                                      epochs=epochs, verbose=verbose,
                                      val_batches=val_signal_batches,
-                                     val_feature_fn=val_feature_fn)
+                                     val_feature_fn=val_feature_fn,
+                                     val_feature_batches=val_feature_batches)
 
     def count_params(self):
         return self.model.num_params()

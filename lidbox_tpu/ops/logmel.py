@@ -1,18 +1,18 @@
 """
 Fused waveform -> log-Mel kernels for TPU.
 
-The hot path of the whole framework (reference equivalent:
+Pallas variants of the framework's hot path (reference equivalent:
 tf.signal.stft + mel matmul + log inside the tf.data graph,
-lidbox/data/tf_utils.py:166-195). Measured (v5e, b256 x 3 s, full f32
-parity, same session): fused_logmel_packed 0.69 ms, logmel_reference
-(XLA gather+matmul) 1.98 ms, fused_logmel_pipelined 3.37 ms, fused_logmel
-3.68 ms, logmel_conv 4.93 ms. The packed Pallas kernel is the default TPU
-path (dispatched as stft_method="pallas" in features.extract_features):
-it wins ~2.9x over the XLA lowering by (a) lane-concatenating segment
+lidbox/data/tf_utils.py:166-195). The DEFAULT path is now the XLA
+segment-matmul STFT in features.audio (gather-free, lane-packed basis),
+which matches or beats every kernel here at all measured shapes; these
+kernels remain as the VMEM-streaming alternative
+(stft_method="pallas" dispatches fused_logmel_packed) and as measured
+baselines. fused_logmel_packed principles: (a) lane-concatenated segment
 views into ONE large-K DFT matmul, (b) 80-sample segments (640-wide
-contraction vs 768), (c) dropping the zero-mel-weight Nyquist bin
-(512-wide output vs 514->640 padding), and (d) never materializing the
-[B, frames, 512] frame tensor in HBM.
+contraction vs 768), (c) the zero-mel-weight Nyquist bin dropped
+(512-wide output, no 514->640 padding), (d) no [B, frames, 512] frame
+tensor in HBM.
 
 1. ``fused_logmel`` — a Pallas kernel: each grid cell DMAs a span of raw
    signal HBM->VMEM, builds overlapping frames in VMEM (no [B, frames, 512]
@@ -63,7 +63,11 @@ def _bases(frame_length, fft_length, num_mel_bins, sample_rate, fmin, fmax,
     n = np.arange(frame_length, dtype=np.float64)[:, None]
     k = np.arange(num_bins, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n * k / fft_length
-    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / frame_length)  # periodic Hann
+    # periodic Hann with tf.signal's raised-cosine denominator
+    # (frame_length for even windows, frame_length - 1 for odd —
+    # matches features.audio.hann_window)
+    denom = frame_length + (1 - frame_length % 2) - 1
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
 
     Wc = np.zeros((k_pad, nb_pad), np.float32)
     Ws = np.zeros((k_pad, nb_pad), np.float32)
@@ -358,7 +362,11 @@ def _packed_bases(frame_length, seg, n_seg, fft_length, num_mel_bins,
     n = np.arange(frame_length, dtype=np.float64)[:, None]
     k = np.arange(num_bins, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n * k / fft_length
-    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / frame_length)  # periodic Hann
+    # periodic Hann with tf.signal's raised-cosine denominator
+    # (frame_length for even windows, frame_length - 1 for odd —
+    # matches features.audio.hann_window)
+    denom = frame_length + (1 - frame_length % 2) - 1
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
     Wc = (window * np.cos(ang)).astype(np.float32)
     Ws = (window * np.sin(ang)).astype(np.float32)
 

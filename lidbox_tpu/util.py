@@ -42,9 +42,10 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     the batch axis, and only the valid rows are returned — multi-chip
     serving from the same API as single-chip (no reference analogue: its
     device placement was a per-step tf.device string,
-    lidbox/data/steps.py:115-122). ``model.variables`` is read at every
-    call in both modes, so restoring new weights into the model is picked
-    up without rebuilding the function.
+    lidbox/data/steps.py:115-122). New weights are picked up when
+    ``model.variables`` is REPLACED (as checkpoint restore does); the mesh
+    mode caches the replicated device copy by dict identity, so in-place
+    mutation of the variables dict is not detected.
     """
     kwargs = dict(apply_kwargs or {})
     if compute_dtype is not None:
@@ -213,8 +214,15 @@ def classification_report(true_sparse, pred_dense, label2target,
 
 
 def evaluate_testset_with_model(model, test_ds, test_meta, lang2target):
-    """predict + join on metadata + report (reference: util.py:108-119)."""
+    """predict + join on metadata + report (reference: util.py:108-119).
+    Chunk-level predictions (ids carrying a ``-<chunknum>`` suffix from
+    create_signal_chunks / create_input_chunks) are merged back to
+    utterance level by averaging, the reference's merge semantics
+    (util.py:41-57), before joining on the metadata index."""
     utt2pred = predict_with_model(model, test_ds)
+    if (len(utt2pred) and not utt2pred.index.isin(test_meta.index).all()
+            and utt2pred.index.map(chunk_parent_id).isin(test_meta.index).all()):
+        utt2pred = merge_chunk_predictions(utt2pred)
     test_meta = test_meta.join(utt2pred, how="outer")
     assert not test_meta.isna().any(axis=None), (
         "Failed to join predictions with test_meta: utterance id sets differ")

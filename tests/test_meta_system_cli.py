@@ -291,6 +291,10 @@ class TestCLI:
         cfg = tmp_path / "config.yaml"
         cfg.write_text(yaml.safe_dump(config))
         assert main(["train", str(cfg)]) == 0
+        # non-train splits featurize clean under the same config, so
+        # evaluate works on the fused config too (regression: the fused
+        # skip used to stop EVERY split at raw signals)
+        assert main(["evaluate", str(cfg)]) == 0
         # fused training wrote metric-named checkpoints via the callbacks...
         import glob
         ckpts = glob.glob(str(tmp_path / "cache" / "xvector" / "fused"
