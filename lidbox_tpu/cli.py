@@ -115,7 +115,8 @@ def cmd_train(args):
                     "(features.on_device_augment)")
         # non-train splits featurize CLEAN through the pipeline (augmentation
         # is train-only), so validation comes as feature batches
-        val_feature_batches = (batches_from_dataset(val_ds, batch_size)
+        val_feature_batches = (batches_from_dataset(val_ds, batch_size,
+                                                    frame_mask=True)
                                if val_split != train_split else
                                signal_batches_from_dataset(val_ds, batch_size))
         kwargs = ({"val_feature_batches": val_feature_batches}
