@@ -203,12 +203,16 @@ def cmd_classify(args):
                if wrapper.trainer.state.batch_stats else {})}
     else:
         logger.warning("no checkpoint found; classifying with fresh weights")
+    mesh = None
+    if args.data_parallel:
+        from lidbox_tpu import parallel
+        mesh = parallel.get_mesh()
     clf = serve.Classifier(
         wrapper.model, labels,
         feature_config=config.get("features"),
         chunk_length_ms=args.chunk_length_ms,
         chunk_step_ms=args.chunk_step_ms,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, mesh=mesh)
     out = clf.classify(args.audio_files)
     csv = out.to_csv()
     if args.output:
@@ -270,6 +274,8 @@ def create_argparser():
                    help="score fixed chunks and average per utterance")
     p.add_argument("--chunk-step-ms", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard inference batches over all visible devices")
     p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("utils", help="config validation and helpers")

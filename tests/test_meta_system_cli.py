@@ -361,6 +361,15 @@ class TestCLI:
         import pandas as pd
         scored = pd.read_csv(csv_out, index_col=0)
         assert len(scored) == 3
+        # mesh-sharded classification produces the same scores
+        dp_out = tmp_path / "scores_dp.csv"
+        assert main(["classify", str(cfg), *wavs[:3], "--data-parallel",
+                     "--batch-size", "8", "--output", str(dp_out)]) == 0
+        dp_scored = pd.read_csv(dp_out, index_col=0)
+        score_cols = [c for c in scored.columns if c.startswith("score_")]
+        np.testing.assert_allclose(dp_scored[score_cols].to_numpy(),
+                                   scored[score_cols].to_numpy(),
+                                   rtol=1e-4, atol=1e-5)
         assert set(scored.label) <= {"high", "low", "noise"}
         score_cols = [c for c in scored.columns if c.startswith("score_")]
         assert len(score_cols) == 3
