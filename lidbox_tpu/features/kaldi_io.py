@@ -17,6 +17,7 @@ Format notes (Kaldi src/util/kaldi-io.cc, kaldi-matrix.cc):
   ``\\0B`` binary marker of that entry.
 """
 import os
+from collections.abc import Mapping as _Mapping
 
 import numpy as np
 
@@ -63,10 +64,16 @@ def _read_matrix(f):
 
 def read_mat(rxspecifier):
     """Load one matrix from ``"archive.ark:offset"`` (scp entry form) or
-    from a bare ark path holding a single entry."""
+    from a bare ark path holding a single entry.
+
+    A spec only parses as the offset form when the prefix is an existing
+    file and the spec itself is not — a bare ark named e.g. ``feats:2``
+    opens as a plain path instead of being misread as offset 2 into
+    ``feats``."""
     spec = str(rxspecifier)
     path, sep, offset = spec.rpartition(":")
-    if sep and offset.isdigit():
+    if (sep and offset.isdigit() and not os.path.isfile(spec)
+            and os.path.isfile(path)):
         with open(path, "rb") as f:
             f.seek(int(offset))
             return _read_matrix(f)
@@ -109,15 +116,30 @@ def read_scp(path):
     return out
 
 
-def load_scp(path):
-    """scp file -> {key: matrix} loading lazily on access."""
-    class _Lazy(dict):
-        def __init__(self, entries):
-            super().__init__(entries)
+class _LazyScp(_Mapping):
+    """Mapping resolving rxspecifiers to matrices on EVERY access path —
+    ``[]``, ``.get``, ``.items``, ``.values``, iteration — so no raw
+    specifier strings leak through any part of the mapping API."""
 
-        def __getitem__(self, key):
-            return read_mat(super().__getitem__(key))
-    return _Lazy(read_scp(path))
+    def __init__(self, entries):
+        self._rx = dict(entries)
+
+    def __getitem__(self, key):
+        return read_mat(self._rx[key])
+
+    def __iter__(self):
+        return iter(self._rx)
+
+    def __len__(self):
+        return len(self._rx)
+
+    def __repr__(self):
+        return f"_LazyScp({len(self._rx)} entries)"
+
+
+def load_scp(path):
+    """scp file -> lazy {key: matrix} mapping (matrices load per access)."""
+    return _LazyScp(read_scp(path))
 
 
 class MatrixWriter:

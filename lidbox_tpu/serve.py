@@ -39,7 +39,10 @@ class Classifier:
             mesh: optional jax.sharding.Mesh — model forwards then run
                 data-parallel over its devices (params replicated, batches
                 sharded over the batch axis; batch_size must divide over
-                the mesh).
+                the mesh). Weight updates that REPLACE variable leaves are
+                picked up automatically; after mutating array buffers
+                in place, call ``classifier._predict_fn.refresh()`` to
+                drop the replicated weight cache.
         """
         if model.variables is None:
             model.init()

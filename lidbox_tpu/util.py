@@ -42,10 +42,11 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     the batch axis, and only the valid rows are returned — multi-chip
     serving from the same API as single-chip (no reference analogue: its
     device placement was a per-step tf.device string,
-    lidbox/data/steps.py:115-122). New weights are picked up when
-    ``model.variables`` is REPLACED (as checkpoint restore does); the mesh
-    mode caches the replicated device copy by dict identity, so in-place
-    mutation of the variables dict is not detected.
+    lidbox/data/steps.py:115-122). The mesh mode caches the replicated
+    device copy keyed on the identities of every variable LEAF, so both
+    wholesale replacement (checkpoint restore) and in-place mutation of
+    nested entries are picked up; ``predict_fn.refresh()`` force-drops the
+    cache for callers that mutate array buffers in place.
     """
     kwargs = dict(apply_kwargs or {})
     if compute_dtype is not None:
@@ -62,17 +63,21 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
             else:
                 out = apply_jit_masked(model.variables, inputs, mask)
             return np.asarray(jax.device_get(out))
+        predict_fn.refresh = lambda: None  # no cache in single-device mode
         return predict_fn
 
     from lidbox_tpu import parallel
     assert batch_size % mesh.size == 0, (
         f"batch_size {batch_size} must divide over the {mesh.size}-device mesh")
     repl = parallel.replicated(mesh)
-    cache = {"host": None, "device": None}  # re-put only when weights change
+    cache = {"key": None, "device": None}  # re-put only when weights change
 
     def _variables():
-        if cache["host"] is not model.variables:
-            cache["host"] = model.variables
+        # keyed on every leaf's identity: replacing ANY nested entry (not
+        # just the top-level dict) invalidates the replicated copy
+        key = tuple(map(id, jax.tree_util.tree_leaves(model.variables)))
+        if cache["key"] != key:
+            cache["key"] = key
             cache["device"] = jax.device_put(model.variables, repl)
         return cache["device"]
 
@@ -98,6 +103,10 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
             m = jax.device_put(mask, parallel.batch_sharding(mesh))
             out = apply_jit_masked(variables, x, m)
         return np.asarray(jax.device_get(out))[:n]
+
+    def refresh():
+        cache["key"] = cache["device"] = None
+    predict_fn.refresh = refresh
     return predict_fn
 
 

@@ -55,6 +55,32 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             kaldi_io.read_mat(tmp_path / "one.ark"), m)
 
+    def test_bare_path_with_colon_digits_name(self, tmp_path):
+        # 'feats:2.ark' -> rpartition would see path='feats', offset='2';
+        # a bare ark whose NAME ends in ':<digits>' must still open as a
+        # plain path, not as an offset into a sibling file
+        m = np.full((3, 4), 7.0, np.float32)
+        with kaldi_io.MatrixWriter(f"ark:{tmp_path}/feats:2") as w:
+            w("x", m)
+        np.testing.assert_array_equal(
+            kaldi_io.read_mat(tmp_path / "feats:2"), m)
+
+    def test_lazy_scp_resolves_on_every_access_path(self, tmp_path):
+        mats = _mats(3)
+        with kaldi_io.MatrixWriter(f"ark,scp:{tmp_path}/l.ark,"
+                                   f"{tmp_path}/l.scp") as w:
+            for k, m in mats.items():
+                w(k, m)
+        lazy = kaldi_io.load_scp(tmp_path / "l.scp")
+        assert len(lazy) == 3 and set(lazy) == set(mats)
+        np.testing.assert_array_equal(lazy.get("utt01"), mats["utt01"])
+        assert lazy.get("nope") is None
+        for k, v in lazy.items():
+            np.testing.assert_array_equal(v, mats[k])
+        for v in lazy.values():
+            assert isinstance(v, np.ndarray)
+        assert "utt00" in lazy
+
     def test_rejects_garbage(self, tmp_path):
         p = tmp_path / "bad.ark"
         p.write_bytes(b"utt1 CMgarbage")
