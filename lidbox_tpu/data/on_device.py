@@ -372,6 +372,40 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
     return fn
 
 
+def stage_signals(signals, stage_dtype=None):
+    """Host-side waveform staging compression for the fused path.
+
+    ``stage_dtype="int16"`` quantizes [-1, 1] float waveforms to 16-bit
+    PCM — HALF the bytes over the feed link with the quantization most
+    corpora already carry (wav/mp3 sources are 16-bit; loaders that read
+    raw int16 can pass it straight through and skip the float conversion
+    entirely). ``"bfloat16"`` halves float traffic for synthetic or
+    >16-bit sources. The fused train step upcasts/rescales on device
+    (make_fused_train_step).
+    """
+    signals = np.asarray(signals)
+    if stage_dtype is None:
+        return (signals if signals.dtype in (np.float32, np.int16)
+                else signals.astype(np.float32))
+    dt = np.dtype(jnp.dtype(stage_dtype))
+    if signals.dtype == dt:
+        return signals
+    if dt == np.int16:
+        return np.clip(np.rint(np.asarray(signals, np.float32) * 32768.0),
+                       -32768, 32767).astype(np.int16)
+    return signals.astype(dt)
+
+
+def signals_to_float(signals):
+    """Device-side decompression matching stage_signals: int16 PCM scales
+    by 1/32768, any other dtype upcasts to float32."""
+    if signals.dtype == jnp.int16:
+        return signals.astype(jnp.float32) * (1.0 / 32768.0)
+    if signals.dtype != jnp.float32:
+        return signals.astype(jnp.float32)
+    return signals
+
+
 def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 val_batches=None, val_feature_fn=None,
                 val_feature_batches=None):
@@ -400,13 +434,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     eval_cache = None
     if val_batches is not None:
         vfn = val_feature_fn if val_feature_fn is not None else feature_fn
-        val_feats = jax.jit(lambda key, s: vfn(key, s))
+        val_feats = jax.jit(lambda key, s: vfn(key, signals_to_float(s)))
         if val_feature_fn is not None:
             # the clean fn is deterministic: featurize the val set ONCE
             eval_cache = _featurize_val(val_feats, val_batches)
 
     def _stage(signals, targets):
-        signals = np.asarray(signals, np.float32)
+        signals = stage_signals(signals, trainer.stage_dtype)
         targets = np.asarray(targets, np.int32)
         mask = None
         if trainer.mesh is not None:
@@ -424,7 +458,9 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                  **({"mask": mask} if mask is not None else {})},
                 trainer.mesh)
             return put["signals"], put["targets"], put.get("mask")
-        return signals, targets, mask
+        # start the transfer now, from the staging thread, so it overlaps
+        # the device executing earlier steps (Trainer._put does the same)
+        return (jax.device_put(signals), jax.device_put(targets), mask)
 
     for cb in trainer.callbacks:
         cb.on_train_begin(trainer)
@@ -433,9 +469,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         for cb in trainer.callbacks:
             cb.on_epoch_begin(trainer, epoch)
         losses = []
-        it = signal_batches() if callable(signal_batches) else signal_batches
-        for signals, targets in it:
-            signals, targets, mask = _stage(signals, targets)
+        staged = trainer._staged(
+            signal_batches,
+            count_fn=lambda b: int(np.shape(b[1])[0]),
+            put=lambda b: _stage(*b))
+        for _, (signals, targets, mask) in staged:
             trainer.state, loss = step(trainer.state, signals, targets,
                                        trainer.rng, mask)
             losses.append(loss)
@@ -497,6 +535,7 @@ def make_fused_train_step(trainer, feature_fn):
     """
     @jax.jit
     def step(state, signals, targets, rng, example_mask=None):
+        signals = signals_to_float(signals)  # int16/bf16 staging decompress
         feat_key = jax.random.fold_in(rng, state.step)
         feats = feature_fn(jax.random.fold_in(feat_key, 7), signals)
         batch = {"target": targets}

@@ -130,7 +130,7 @@ class Trainer:
     def __init__(self, model, optimizer, loss_fn, metrics=None, mesh=None,
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
                  log_dir=None, rng=None, compute_dtype=None,
-                 param_sharding=None):
+                 param_sharding=None, prefetch=4, stage_dtype=None):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
@@ -138,6 +138,15 @@ class Trainer:
         # while master params, optimizer state, loss and gradients stay
         # float32 (upcast at the loss boundary).
         self.compute_dtype = compute_dtype
+        # Host->device feed: keep up to ``prefetch`` staged batches in
+        # flight (transfers run in background threads and overlap both the
+        # loader and device compute); ``stage_dtype`` (e.g. "bfloat16")
+        # compresses float inputs on the host before the transfer and
+        # upcasts on device — 2x less feed traffic, which matters whenever
+        # host->device bandwidth (PCIe, or this rig's axon tunnel) is the
+        # training bottleneck rather than the chip.
+        self.prefetch = max(1, int(prefetch))
+        self.stage_dtype = stage_dtype
         # Rematerialization: trade FLOPs for activation memory by
         # recomputing the forward during backprop (jax.checkpoint). Off by
         # default — the LId model family is small; enable for long-sequence
@@ -248,6 +257,9 @@ class Trainer:
                 lambda p: p.astype(self.compute_dtype)
                 if jnp.issubdtype(p.dtype, jnp.floating) else p, variables)
             x = x.astype(self.compute_dtype)
+        elif x.dtype != jnp.float32 and jnp.issubdtype(x.dtype, jnp.floating):
+            # stage_dtype-compressed feed: decompress at the device edge
+            x = x.astype(jnp.float32)
         kwargs = {}
         if "input_mask" in batch:
             kwargs["mask"] = batch["input_mask"]
@@ -317,12 +329,31 @@ class Trainer:
 
     # -- host loop ----------------------------------------------------------
 
-    def _put(self, batch):
-        """Stage a host batch onto the mesh. Batches whose leading dim does
-        not divide the mesh size are right-padded (padded examples carry
-        example_mask=False and contribute nothing to loss or metrics)."""
-        if self.mesh is None:
+    def _compress(self, batch):
+        """Host-side staging compression: float inputs convert to
+        ``stage_dtype`` (e.g. bfloat16 — half the bytes over the feed
+        link); _apply upcasts on device, so numerics differ only by the
+        input rounding."""
+        if self.stage_dtype is None:
             return batch
+        dt = np.dtype(jnp.dtype(self.stage_dtype))
+        x = np.asarray(batch["input"])
+        if x.dtype != dt and np.issubdtype(x.dtype, np.floating):
+            batch = dict(batch)
+            batch["input"] = x.astype(dt)
+        return batch
+
+    def _put(self, batch):
+        """Stage a host batch onto the device/mesh. The transfer is started
+        EXPLICITLY here (device_put) so _staged's background threads overlap
+        it with device compute — leaving numpy batches for jit dispatch to
+        transfer would serialize one feed round-trip per step. Batches whose
+        leading dim does not divide the mesh size are right-padded (padded
+        examples carry example_mask=False and contribute nothing to loss or
+        metrics)."""
+        batch = self._compress(batch)
+        if self.mesh is None:
+            return jax.device_put(batch)
         n_dev = self.mesh.devices.size
         n = np.shape(batch["target"])[0]
         if n % n_dev:
@@ -333,36 +364,74 @@ class Trainer:
                                      else np.logical_and(mask, valid))
         return parallel.shard_batch(batch, self.mesh)
 
-    def _staged(self, batches, buffer_size=2):
-        """Iterate batches with device staging (_put) running in a
-        background thread — host->device transfer and padding overlap with
-        the device executing the previous step (the double-buffered feed
-        the reference delegated to tf.data prefetch)."""
+    def _staged(self, batches, buffer_size=None, count_fn=None, put=None):
+        """Iterate ``batches`` with up to ``buffer_size`` (default
+        ``self.prefetch``) device transfers in flight: a producer thread
+        drains the (possibly slow) batch iterator and submits each batch's
+        ``_put`` to a small thread pool, so padding + host->device
+        transfers overlap BOTH the loader and the device executing earlier
+        steps. This replaces the depth-2 single-threaded feed (and the
+        tf.data prefetch the reference delegated to,
+        reference: lidbox/data/steps.py:803-818); on a high-latency feed
+        link the K-deep pipeline hides up to K round-trips.
+
+        Yields ``(n, staged_batch)`` with ``n`` the true (unpadded) batch
+        size as given by ``count_fn`` (default: len of ``batch["target"]``).
+        """
         import queue
         import threading
-        q = queue.Queue(maxsize=max(1, buffer_size))
+        from concurrent.futures import ThreadPoolExecutor
+        if buffer_size is None:
+            buffer_size = self.prefetch
+        buffer_size = max(1, buffer_size)
+        if count_fn is None:
+            count_fn = lambda b: int(np.shape(b["target"])[0])
+        if put is None:
+            put = self._put
+        # the bounded queue holds futures: the producer races ahead
+        # starting up to buffer_size transfers while the main thread
+        # dispatches steps on already-arrived batches
+        q = queue.Queue(maxsize=buffer_size)
         done = object()
         err = []
+        stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=min(buffer_size, 4),
+                                  thread_name_prefix="lidbox-stage")
 
-        def worker():
+        def _put_or_stop(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
             try:
-                for b in batches:
-                    n = int(np.shape(b["target"])[0])
-                    q.put((n, self._put(b)))
+                it = batches() if callable(batches) else batches
+                for b in it:
+                    if not _put_or_stop((count_fn(b), pool.submit(put, b))):
+                        return  # consumer closed early (e.g. steps_per_epoch)
             except BaseException as e:
                 err.append(e)
             finally:
-                q.put(done)
+                _put_or_stop(done)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    if err:
+                        raise err[0]
+                    return
+                n, fut = item
+                yield n, fut.result()
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
 
     def fit(self, train_batches, validation_batches=None, epochs=1,
             steps_per_epoch=None, verbose=True):
@@ -438,18 +507,18 @@ class Trainer:
         return logs
 
     def predict(self, batches):
-        """Model outputs for every batch, concatenated on the host."""
+        """Model outputs for every batch, concatenated on the host.
+        Transfers pipeline through _staged and the device_get happens once
+        at the end, so dispatch stays fully asynchronous."""
         if self.state is None:
             self.create_state()
         outs = []
-        it = batches() if callable(batches) else batches
-        for batch in it:
-            n = np.shape(batch["target"])[0]
+        for n, batch in self._staged(batches):
             out, _ = self._jit_apply_eval(self.state.params,
-                                          self.state.batch_stats,
-                                          self._put(batch))
-            outs.append(np.asarray(jax.device_get(out))[:n])
-        return np.concatenate(outs, axis=0)
+                                          self.state.batch_stats, batch)
+            outs.append((n, out))
+        return np.concatenate(
+            [np.asarray(jax.device_get(o))[:n] for n, o in outs], axis=0)
 
 
 def signal_batches_from_dataset(ds, batch_size, drop_remainder=False):

@@ -239,6 +239,101 @@ class TestDataParallel:
         assert 0.0 <= logs["val_C_avg"] <= 1.0
 
 
+class TestStagedFeed:
+    """The K-deep host->device feed pipeline: compression + prefetch must
+    leave the training trajectory identical (up to staged-input rounding)."""
+
+    def test_prefetch_depth_preserves_order_and_trajectory(self):
+        batches = toy_batches()
+        hist_ref = make_trainer().fit(lambda: batches, epochs=2)
+        deep = models.create("dnn", (T, F), N_CLASSES)
+        trainer = Trainer(deep, optax.adam(5e-3), nll_loss, prefetch=6)
+        hist_deep = trainer.fit(lambda: batches, epochs=2)
+        for a, b in zip(hist_ref, hist_deep):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_staged_batches_are_device_arrays(self):
+        trainer = make_trainer()
+        (n, staged), = list(trainer._staged(toy_batches(n_batches=1)))
+        assert n == 16
+        assert isinstance(staged["input"], jax.Array)
+
+    def test_stage_dtype_bf16_halves_feed_bytes_and_trains(self):
+        import jax.numpy as jnp
+        batches = toy_batches()
+        model = models.create("dnn", (T, F), N_CLASSES)
+        trainer = Trainer(model, optax.adam(5e-3), nll_loss,
+                          stage_dtype="bfloat16")
+        (_, staged), = list(trainer._staged(batches[:1]))
+        assert staged["input"].dtype == jnp.bfloat16
+        assert staged["input"].nbytes == batches[0]["input"].nbytes // 2
+        history = trainer.fit(lambda: batches, epochs=4)
+        assert history[-1]["loss"] < history[0]["loss"] * 0.8
+        # decompression happens at the device edge: eval sees f32 numerics
+        logs = trainer.evaluate(batches)
+        assert np.isfinite(logs["val_loss"])
+
+    def test_early_break_shuts_down_producer(self):
+        trainer = make_trainer()
+        many = toy_batches(n_batches=12)
+        seen = 0
+        for _, _batch in trainer._staged(lambda: many):
+            seen += 1
+            if seen == 3:
+                break
+        assert seen == 3  # no deadlock, producer unblocks via stop event
+
+    def test_staged_propagates_loader_errors(self):
+        trainer = make_trainer()
+
+        def bad():
+            yield from toy_batches(n_batches=1)
+            raise RuntimeError("decoder exploded")
+        with pytest.raises(RuntimeError, match="decoder exploded"):
+            list(trainer._staged(bad()))
+
+
+class TestSignalStaging:
+    def test_int16_round_trip_matches_f32_within_quantization(self):
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(0)
+        sig = rng.uniform(-0.9, 0.9, (4, 800)).astype(np.float32)
+        staged = on_device.stage_signals(sig, "int16")
+        assert staged.dtype == np.int16
+        back = np.asarray(on_device.signals_to_float(jax.numpy.asarray(staged)))
+        np.testing.assert_allclose(back, sig, atol=1.0 / 32768.0)
+
+    def test_int16_passthrough_no_copy_conversion(self):
+        from lidbox_tpu.data import on_device
+        pcm = np.array([[0, 16384, -32768]], np.int16)
+        staged = on_device.stage_signals(pcm, "int16")
+        assert staged is pcm  # loader-native int16 ships as-is
+        f = np.asarray(on_device.signals_to_float(jax.numpy.asarray(pcm)))
+        np.testing.assert_allclose(f, [[0.0, 0.5, -1.0]])
+
+    def test_fused_fit_with_int16_staging_trains(self):
+        import jax.numpy as jnp
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(1)
+        sr = 16000
+        sigs = rng.uniform(-0.5, 0.5, (16, 8000)).astype(np.float32)
+        targets = rng.integers(0, N_CLASSES, 16).astype(np.int32)
+        # make classes separable by amplitude
+        for i, k in enumerate(targets):
+            sigs[i] *= (0.2 + 0.4 * k)
+        frames = 1 + (8000 - 400) // 160
+        model = models.create("xvector", (frames, 16), N_CLASSES)
+        trainer = Trainer(model, optax.adam(1e-3),
+                          nll_loss, stage_dtype="int16")
+        feature_fn = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+        history = on_device.fit_signals(
+            trainer, feature_fn, lambda: [(sigs, targets)], epochs=2)
+        assert np.isfinite(history).all()
+
+
 class TestBatching:
     def test_batches_from_dataset_with_buckets_and_mask(self):
         from lidbox_tpu.data import Dataset
