@@ -18,6 +18,7 @@ either ``csv: <path>`` (columns: id, path, label, split[, duration]) or
 """
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -103,6 +104,21 @@ def cmd_train(args):
 
     mesh = parallel.get_mesh() if args.data_parallel else None
     wrapper = ModelWrapper.from_config(config, mesh=mesh)
+    if getattr(args, "resume", False):
+        # resume from the LATEST checkpoint (greatest epoch, any backend —
+        # msgpack .ckpt files or orbax directories); epoch numbering
+        # continues from the checkpoint name (reference resume semantics,
+        # keras_utils.py:187-203)
+        from lidbox_tpu.models.model_utils import experiment_cache_from_config
+        from lidbox_tpu.train import get_best_checkpoint_path
+        latest = get_best_checkpoint_path(
+            os.path.join(experiment_cache_from_config(config), "checkpoints"))
+        if latest:
+            wrapper.trainer.restore(latest)
+            logger.info("Resuming from %s (epoch %d)", latest,
+                        wrapper.trainer.initial_epoch)
+        else:
+            logger.warning("--resume: no checkpoints found, starting fresh")
     logger.info("Training %s (%d params) on split '%s'",
                 wrapper.model_key, wrapper.count_params(), train_split)
     batch_size = data_conf["train"].get("batch_size", 32)
@@ -158,7 +174,8 @@ def cmd_evaluate(args):
     meta_with_targets, label2target = generate_label2target(meta)
     test_meta = meta_with_targets[meta_with_targets["split"] == test_split]
     report = util.evaluate_testset_with_model(
-        wrapper.model, test_ds, test_meta[["target"]], label2target)
+        wrapper.model, test_ds, test_meta[["target"]], label2target,
+        score_fn=wrapper.score_fn)
     print(json.dumps({k: (v.tolist() if isinstance(v, np.ndarray) else v)
                       for k, v in report.items()}, indent=2))
     return 0
@@ -168,10 +185,13 @@ def cmd_extract_embeddings(args):
     config = load_config(args.config)
     meta, labels = load_metadata(config)
     split = args.split
-    ds = build_split_dataset(split, meta, labels, config)
     if "embeddings" not in config:
         logger.error("config has no 'embeddings' section")
         return 1
+    if args.data_parallel:
+        # declarative flag — the extract_embeddings step builds the mesh
+        config["embeddings"]["data_parallel"] = True
+    ds = build_split_dataset(split, meta, labels, config)
     ids, embeddings = [], []
     for x in ds:
         ids.append(str(x["id"]))
@@ -212,7 +232,8 @@ def cmd_classify(args):
         feature_config=config.get("features"),
         chunk_length_ms=args.chunk_length_ms,
         chunk_step_ms=args.chunk_step_ms,
-        batch_size=args.batch_size, mesh=mesh)
+        batch_size=args.batch_size, mesh=mesh,
+        score_fn=wrapper.score_fn)
     out = clf.classify(args.audio_files)
     csv = out.to_csv()
     if args.output:
@@ -250,6 +271,9 @@ def create_argparser():
 
     p = sub.add_parser("train", help="train a model from a config file")
     p.add_argument("config")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the "
+                        "experiment cache (msgpack or orbax)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
     p.set_defaults(fn=cmd_train)
@@ -262,6 +286,9 @@ def create_argparser():
     p.add_argument("config")
     p.add_argument("output")
     p.add_argument("--split", default="test")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="extract over a mesh of all visible devices "
+                        "(batches sharded over the data axis)")
     p.set_defaults(fn=cmd_extract_embeddings)
 
     p = sub.add_parser("classify",

@@ -504,6 +504,7 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             logger.info("fused epoch %d/%d: %s", epoch, epochs, logs)
         if trainer.stop_training:
             break
+    trainer.sync_model_variables()
     for cb in trainer.callbacks:
         cb.on_train_end(trainer)
     return history

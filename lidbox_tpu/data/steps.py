@@ -590,21 +590,38 @@ def append_predictions(ds, predictions):
 # Embeddings
 # ---------------------------------------------------------------------------
 
+def _resolve_embedding_mesh(config):
+    """Mesh for data-parallel extraction, expressible from a CONFIG FILE:
+    ``"data_parallel": true`` builds a mesh over all devices, ``"devices":
+    N`` over the first N; a live ``"mesh"`` entry (a jax.sharding.Mesh, for
+    programmatic callers) still wins."""
+    mesh = config.get("mesh")
+    if mesh is not None:
+        return mesh
+    if config.get("data_parallel") or config.get("devices"):
+        from lidbox_tpu import parallel
+        num = config.get("devices")
+        return parallel.get_mesh(num_devices=int(num) if num else None)
+    return None
+
+
 def extract_embeddings(ds, config):
     """Extract embeddings to ``embedding`` from ``input`` with trained
     extractors restored from checkpoints
     (reference: lidbox/data/steps.py:674-705); embeddings from multiple
-    extractors are concatenated. An optional ``mesh`` config entry (a
-    jax.sharding.Mesh) runs every extractor data-parallel over its
-    devices — replacing the reference's per-extractor tf.device strings
-    (lidbox/data/steps.py:680,691-692)."""
+    extractors are concatenated. Data-parallel extraction over a device
+    mesh — replacing the reference's per-extractor tf.device strings
+    (lidbox/data/steps.py:680,691-692) — is declared with
+    ``"data_parallel": true`` or ``"devices": N`` (config-file friendly,
+    per-extractor overrides allowed); programmatic callers may still pass
+    a live ``mesh`` object."""
     from lidbox_tpu.models.model_utils import ModelWrapper
 
-    mesh = config.get("mesh")
+    mesh = _resolve_embedding_mesh(config)
     batch_size_cfg = config.get("batch_size", 32)
     extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(
                       dict(e, batch_size=e.get("batch_size", batch_size_cfg)),
-                      mesh=e.get("mesh", mesh))
+                      mesh=_resolve_embedding_mesh(e) or mesh)
                   for e in config["extractors"]]
     batch_size = config.get("batch_size", 32)
 

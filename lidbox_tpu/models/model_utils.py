@@ -103,7 +103,7 @@ def init_callback_from_config(config, cache_dir):
         kwargs.pop("filepath", None)
         return ModelCheckpoint(**{k: v for k, v in kwargs.items()
                                   if k in ("checkpoints_dir", "monitor", "mode",
-                                           "save_best_only")})
+                                           "save_best_only", "backend")})
     if cls == "EarlyStopping":
         return EarlyStopping(**{k: v for k, v in kwargs.items()
                                 if k in ("monitor", "mode", "patience", "min_delta")})
@@ -124,6 +124,7 @@ class ModelWrapper:
         self.trainer = trainer
         self.initial_epoch = 0
         self.config = None  # set by from_config (fit_fused needs it)
+        self.score_fn = None  # outputs -> [B, N] scores; set by from_config
 
     @classmethod
     def from_config(cls, config, mesh=None):
@@ -163,11 +164,17 @@ class ModelWrapper:
         if isinstance(compute_dtype, str):
             import jax.numpy as jnp
             compute_dtype = getattr(jnp, compute_dtype)
+        # Language-vector losses (AngularProximity) expose ``predict``
+        # mapping [B, D] vectors -> [B, N] class scores (-theta, reference
+        # losses.py:51-52); wiring it as the trainer's score_fn makes
+        # C_avg/EER/reports compose with headless embedding models.
+        score_fn = getattr(loss, "predict", None)
         trainer = Trainer(model, optimizer, loss, metrics=metrics, mesh=mesh,
                           callbacks=callbacks, lr_schedule=lr_schedule,
                           log_dir=os.path.join(cache_dir, "logs"),
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, score_fn=score_fn)
         wrapper = cls(model, model_key, trainer)
+        wrapper.score_fn = score_fn
         wrapper.config = config
         return wrapper
 

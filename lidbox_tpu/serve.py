@@ -26,7 +26,7 @@ class Classifier:
 
     def __init__(self, model, labels, feature_config=None, chunk_length_ms=None,
                  chunk_step_ms=None, batch_size=32, compute_dtype=None,
-                 mesh=None):
+                 mesh=None, score_fn=None):
         """Args:
             model: an initialized lidbox_tpu Model (e.g. restored via
                 export.load_model or ModelWrapper).
@@ -54,9 +54,12 @@ class Classifier:
         self.chunk_length_ms = chunk_length_ms
         self.chunk_step_ms = chunk_step_ms
         self.batch_size = batch_size
+        # score_fn: raw outputs -> [B, len(labels)] scores, for headless
+        # language-vector models (pass AngularProximity.predict); log-prob
+        # heads leave it None
         self._predict_fn = util.make_batch_predict_fn(
             model, batch_size=batch_size, mesh=mesh,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, score_fn=score_fn)
 
     def _dataset(self, paths, ids=None):
         ids = ids or [str(p) for p in paths]
@@ -117,9 +120,10 @@ class StreamingClassifier:
     """
 
     def __init__(self, model, labels, feature_config=None, sample_rate=16000,
-                 chunk_seconds=2.0, hop_seconds=1.0):
+                 chunk_seconds=2.0, hop_seconds=1.0, score_fn=None):
         if model.variables is None:
             model.init()
+        self.score_fn = score_fn  # outputs -> [B, N] (language-vector models)
         self.model = model
         self.labels = list(labels)
         self.sample_rate = int(sample_rate)
@@ -129,7 +133,9 @@ class StreamingClassifier:
         self.extractor = DeviceFeatureExtractor(dict(feature_config or {
             "type": "logmelspectrogram",
             "melspectrogram": {"num_mel_bins": 64}}))
-        self._apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        post = (lambda out: out) if score_fn is None else score_fn
+        self._apply = jax.jit(
+            lambda v, x: post(model.apply(v, x, train=False)))
         self.reset()
 
     def reset(self):

@@ -35,13 +35,17 @@ def parse_checkpoint_value(path, key):
 def get_best_checkpoint_path(checkpoints_dir, key=None, mode=None):
     """Best checkpoint by parsed filename value: greatest epoch when key is
     "epoch"/None, else min/max of the monitored metric
-    (reference: keras_utils.py:102-118)."""
+    (reference: keras_utils.py:102-118). Selects over BOTH msgpack
+    ``.ckpt`` files and Orbax checkpoint directories (``epoch...`` dirs),
+    so configs can switch checkpoint backends without touching the
+    best-checkpoint resolution."""
     if key is None:
         key = "epoch"
     if not os.path.isdir(checkpoints_dir):
         return None
     ckpts = [p.path for p in os.scandir(checkpoints_dir)
-             if p.is_file() and p.name.endswith(CHECKPOINT_SUFFIX)]
+             if (p.is_file() and p.name.endswith(CHECKPOINT_SUFFIX))
+             or (p.is_dir() and p.name.startswith("epoch"))]
     if not ckpts:
         return None
     if key == "epoch":
@@ -73,8 +77,11 @@ def save_checkpoint(checkpoints_dir, state, epoch, val_loss=0.0,
 
 
 def restore_checkpoint(path, target):
-    """Restore a pytree state serialized by save_checkpoint into the
-    structure of ``target``."""
+    """Restore a pytree state into the structure of ``target``. Dispatches
+    on the checkpoint kind: msgpack ``.ckpt`` files (save_checkpoint) or
+    Orbax checkpoint directories (OrbaxCheckpointer.save)."""
+    if os.path.isdir(path):
+        return OrbaxCheckpointer(use_async=False).restore(path, target)
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(target, data)
@@ -106,8 +113,10 @@ class OrbaxCheckpointer:
 
     def restore(self, path, target=None):
         import orbax.checkpoint as ocp
-        args = ocp.args.StandardRestore(target) if target is not None else None
-        return self._ckpt.restore(os.path.abspath(path), args=args)
+        path = os.path.abspath(path)
+        if target is None:  # raw nested-dict restore (no structure given)
+            return self._ckpt.restore(path)
+        return self._ckpt.restore(path, args=ocp.args.StandardRestore(target))
 
     def wait(self):
         if hasattr(self._ckpt, "wait_until_finished"):
@@ -135,7 +144,11 @@ class OrbaxCheckpointer:
 def load_raw_checkpoint(path):
     """Restore a checkpoint as a raw nested dict (no target structure
     needed) — used to pull params/batch_stats out of a full TrainState
-    checkpoint without reconstructing the optimizer state."""
+    checkpoint without reconstructing the optimizer state. Handles both
+    msgpack files and Orbax directories."""
+    if os.path.isdir(path):
+        restored = OrbaxCheckpointer(use_async=False).restore(path)
+        return jax.device_get(restored)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

@@ -59,15 +59,28 @@ class Callback:
 
 class ModelCheckpoint(Callback):
     """Save state each epoch with metric-bearing filenames
-    (reference: keras_utils.py:55-64)."""
+    (reference: keras_utils.py:55-64).
+
+    ``backend="msgpack"`` (default) writes atomic single-file ``.ckpt``
+    checkpoints; ``backend="orbax"`` routes saves through
+    ``OrbaxCheckpointer`` — asynchronous HBM->disk writes (training never
+    blocks on serialization; ``wait()`` runs at train end) with the same
+    metric-named layout, so best-checkpoint selection and resume work
+    identically across backends.
+    """
 
     def __init__(self, checkpoints_dir, monitor="val_loss", mode="min",
-                 save_best_only=False):
+                 save_best_only=False, backend="msgpack"):
         self.checkpoints_dir = checkpoints_dir
         self.monitor = monitor
         self.mode = mode
         self.save_best_only = save_best_only
         self.best = None
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r} "
+                             "(expected 'msgpack' or 'orbax')")
+        self.backend = backend
+        self._orbax = None
 
     def on_epoch_end(self, trainer, epoch, logs):
         value = logs.get(self.monitor, logs.get("val_loss", 0.0))
@@ -76,8 +89,18 @@ class ModelCheckpoint(Callback):
             if not better:
                 return
         self.best = value
+        if self.backend == "orbax":
+            if self._orbax is None:
+                self._orbax = ckpt_lib.OrbaxCheckpointer(use_async=True)
+            self._orbax.save(self.checkpoints_dir, trainer.state,
+                             epoch=epoch, val_loss=logs.get("val_loss", 0.0))
+            return
         ckpt_lib.save_checkpoint(self.checkpoints_dir, trainer.state,
                                  epoch=epoch, val_loss=logs.get("val_loss", 0.0))
+
+    def on_train_end(self, trainer):
+        if self._orbax is not None:
+            self._orbax.wait()  # drain async writes before the process moves on
 
 
 class EarlyStopping(Callback):
@@ -130,7 +153,8 @@ class Trainer:
     def __init__(self, model, optimizer, loss_fn, metrics=None, mesh=None,
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
                  log_dir=None, rng=None, compute_dtype=None,
-                 param_sharding=None, prefetch=4, stage_dtype=None):
+                 param_sharding=None, prefetch=4, stage_dtype=None,
+                 score_fn=None):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
@@ -147,6 +171,12 @@ class Trainer:
         # training bottleneck rather than the chip.
         self.prefetch = max(1, int(prefetch))
         self.stage_dtype = stage_dtype
+        # Maps raw model outputs -> per-class scores [B, N] for metrics.
+        # Log-prob heads need nothing (None = identity); language-vector
+        # models (ap_lstm + AngularProximity) pass the loss's ``predict``
+        # (scores = -theta, reference: lidbox/losses.py:51-52) so C_avg &
+        # co. compose with D-dim embedding outputs.
+        self.score_fn = score_fn
         # Rematerialization: trade FLOPs for activation memory by
         # recomputing the forward during backprop (jax.checkpoint). Off by
         # default — the LId model family is small; enable for long-sequence
@@ -178,8 +208,13 @@ class Trainer:
         if self.model.variables is None:
             self.model.init(self.rng)
         variables = self.model.variables
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        # COPY into the state: the jitted train step donates its state
+        # buffers, so aliasing model.variables here would delete the
+        # model's own arrays on the first step (predict/serve mid-training
+        # would hit "Array has been deleted")
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        batch_stats = jax.tree_util.tree_map(
+            jnp.array, variables.get("batch_stats", {}))
         if self.mesh is not None and self.param_sharding is not None:
             # tensor-parallel placement first: the optimizer moments then
             # inherit each param's sharding via zeros_like
@@ -234,7 +269,20 @@ class Trainer:
                 else leaf,
                 self.state, shardings)
         self.initial_epoch = ckpt_lib.initial_epoch_from_path(checkpoint_path)
+        self.sync_model_variables()
         return self.state
+
+    def sync_model_variables(self):
+        """Point model.variables at the current trained weights as HOST
+        arrays (device_get), so the model object is directly servable after
+        fit/restore and never aliases buffers a later train step would
+        donate-and-delete."""
+        if self.state is None:
+            return
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        self.model.variables = jax.device_get(variables)
 
     def current_learning_rate(self):
         if self.lr_schedule is None:
@@ -321,9 +369,10 @@ class Trainer:
             loss_sum = jnp.sum(losses)
             count = jnp.float32(losses.shape[0])
         weights = batch.get("example_mask")
+        scores = outputs if self.score_fn is None else self.score_fn(outputs)
         new_metric_states = {
             name: metric.update_sparse(metric_states[name], batch["target"],
-                                       outputs, weights=weights)
+                                       scores, weights=weights)
             for name, metric in self.metrics.items()}
         return loss_sum, count, new_metric_states
 
@@ -476,6 +525,7 @@ class Trainer:
                             " ".join(f"{k}={v:.6g}" for k, v in logs.items()))
             for cb in self.callbacks:
                 cb.on_epoch_end(self, epoch, logs)
+        self.sync_model_variables()
         for cb in self.callbacks:
             cb.on_train_end(self)
         return history

@@ -30,10 +30,13 @@ def predictions_to_dataframe(ids, predictions):
 
 
 def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
-                          apply_kwargs=None):
+                          apply_kwargs=None, score_fn=None):
     """Jitted ``(inputs [B, T, F], frame_mask) -> outputs [B, ...]`` forward
     (``apply_kwargs`` forwards extra model.apply options, e.g.
-    ``{"output": "embedding"}``).
+    ``{"output": "embedding"}``). ``score_fn`` post-maps raw outputs to
+    per-class scores inside the same jit program — language-vector models
+    (ap_lstm) pass ``AngularProximity.predict`` so every downstream
+    consumer (C_avg, reports, Classifier) sees [B, N] scores.
 
     With a ``mesh``, inference runs data-parallel: parameters are
     replicated across the mesh, every batch is zero-padded to
@@ -51,11 +54,13 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     kwargs = dict(apply_kwargs or {})
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
+    post = (lambda out: out) if score_fn is None else score_fn
     apply_jit = jax.jit(
-        lambda variables, x: model.apply(variables, x, train=False, **kwargs))
+        lambda variables, x: post(
+            model.apply(variables, x, train=False, **kwargs)))
     apply_jit_masked = jax.jit(
-        lambda variables, x, m: model.apply(variables, x, train=False, mask=m,
-                                            **kwargs))
+        lambda variables, x, m: post(
+            model.apply(variables, x, train=False, mask=m, **kwargs)))
     if mesh is None:
         def predict_fn(inputs, mask=None):
             if mask is None:
@@ -111,7 +116,7 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
 
 
 def predict_with_model(model, ds, predict_fn=None, batch_size=32,
-                       pad_buckets=None, mesh=None):
+                       pad_buckets=None, mesh=None, score_fn=None):
     """Map a model over all elements of ds (dict elements with ``input``),
     returning an id-indexed prediction DataFrame
     (reference: util.py:23-38, which mapped over GPU-placed batches; here
@@ -125,7 +130,11 @@ def predict_with_model(model, ds, predict_fn=None, batch_size=32,
     """
     if predict_fn is None:
         predict_fn = make_batch_predict_fn(model, batch_size=batch_size,
-                                           mesh=mesh)
+                                           mesh=mesh, score_fn=score_fn)
+    elif score_fn is not None:
+        base_fn = predict_fn
+        predict_fn = lambda x, m: np.asarray(
+            jax.device_get(score_fn(base_fn(x, m))))
 
     ids, predictions = [], []
     pending = []
@@ -222,13 +231,17 @@ def classification_report(true_sparse, pred_dense, label2target,
     return report
 
 
-def evaluate_testset_with_model(model, test_ds, test_meta, lang2target):
+def evaluate_testset_with_model(model, test_ds, test_meta, lang2target,
+                                score_fn=None):
     """predict + join on metadata + report (reference: util.py:108-119).
     Chunk-level predictions (ids carrying a ``-<chunknum>`` suffix from
     create_signal_chunks / create_input_chunks) are merged back to
     utterance level by averaging, the reference's merge semantics
-    (util.py:41-57), before joining on the metadata index."""
-    utt2pred = predict_with_model(model, test_ds)
+    (util.py:41-57), before joining on the metadata index. ``score_fn``
+    maps raw model outputs to [B, N] class scores first (required for
+    language-vector models — pass the AngularProximity loss's
+    ``predict``)."""
+    utt2pred = predict_with_model(model, test_ds, score_fn=score_fn)
     if (len(utt2pred) and not utt2pred.index.isin(test_meta.index).all()
             and utt2pred.index.map(chunk_parent_id).isin(test_meta.index).all()):
         utt2pred = merge_chunk_predictions(utt2pred)

@@ -257,6 +257,51 @@ class TestCLI:
         report = json.loads(capsys.readouterr().out)
         assert "accuracy" in report and "avg_detection_cost" in report
 
+    def test_train_orbax_backend_resumes_via_cli(self, tmp_path,
+                                                 audio_fixtures):
+        """CLI journey for the orbax checkpoint backend: train writes orbax
+        checkpoint DIRECTORIES, `train --resume` picks up the latest one
+        and continues epoch numbering, and evaluate restores from it."""
+        from lidbox_tpu.cli import main
+        import yaml
+        meta = _meta(audio_fixtures)
+        csv = tmp_path / "meta.csv"
+        meta.reset_index().to_csv(csv, index=False)
+        config = {
+            "metadata": {"csv": str(csv)},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 24},
+                         "group_by_input_length": {"max_batch_size": 8}},
+            "experiment": {
+                "cache_directory": str(tmp_path / "cache"), "name": "ob",
+                "input_shape": [298, 24], "output_shape": [3],
+                "model": {"key": "dnn"},
+                "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+                "callbacks": [{"cls": "ModelCheckpoint",
+                               "kwargs": {"monitor": "val_loss", "mode": "min",
+                                          "backend": "orbax"}}],
+                "epochs": 2,
+                "data": {"train": {"split": "train", "batch_size": 4},
+                         "test": {"split": "test"}}},
+        }
+        cfg = tmp_path / "config.yaml"
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg)]) == 0
+        ckpt_dir = tmp_path / "cache" / "dnn" / "ob" / "checkpoints"
+        dirs = sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir())
+        assert len(dirs) == 2 and dirs[-1].startswith("epoch000002")
+
+        # resume: absolute epoch target 4 -> exactly two MORE checkpoints
+        config["experiment"]["epochs"] = 4
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg), "--resume"]) == 0
+        dirs = sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir())
+        assert len(dirs) == 4 and dirs[-1].startswith("epoch000004")
+
+        # evaluate restores the best orbax checkpoint
+        assert main(["evaluate", str(cfg)]) == 0
+
     def test_train_fused_on_device_augment(self, tmp_path, audio_fixtures):
         """CLI train with features.on_device_augment runs the fused
         config-5 route (pipeline stops at signals, augmentation compiles
@@ -352,6 +397,16 @@ class TestCLI:
         data = np.load(out)
         assert data["embeddings"].shape == (2, 512)
         assert len(data["ids"]) == 2
+
+        # mesh-sharded extraction is declarative (--data-parallel; no live
+        # Mesh object in any config) and matches single-device numerics
+        dp_npz = tmp_path / "emb_dp.npz"
+        assert main(["extract-embeddings", str(cfg), str(dp_npz),
+                     "--split", "test", "--data-parallel"]) == 0
+        dp_data = np.load(dp_npz)
+        assert list(dp_data["ids"]) == list(data["ids"])
+        np.testing.assert_allclose(dp_data["embeddings"],
+                                   data["embeddings"], atol=1e-5)
 
         # shell-level serving: classify wav files with the best checkpoint
         csv_out = tmp_path / "scores.csv"

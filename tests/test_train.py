@@ -425,6 +425,87 @@ class TestConfigLossAndDecay:
                                    p_decay["conv_1"]["bias"], atol=1e-6)
 
 
+class TestAngularProximityEvaluation:
+    """AP-loss language-vector models evaluate through the SAME public
+    surface as log-prob heads: ModelWrapper wires loss.predict (-theta,
+    reference: lidbox/losses.py:51-52) as the score_fn, so C_avg, reports
+    and serving all compose with [B, D] outputs (D != N)."""
+
+    def _ap_config(self, tmp_path):
+        return {"experiment": {
+            "cache_directory": str(tmp_path), "name": "ap",
+            "input_shape": [T, F], "output_shape": [N_CLASSES],
+            "model": {"key": "ap_lstm", "kwargs": {"num_lstm_units": 4}},
+            "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 5e-3}},
+            "loss": {"cls": "SparseAngularProximity",
+                     "kwargs": {"N": N_CLASSES, "D": 16}},
+            "metrics": [{"cls": "SparseAverageDetectionCost", "name": "C_avg",
+                         "N": N_CLASSES,
+                         "threshold_linspace":
+                             {"start": -3.0, "stop": 0.0, "num": 20}}]}}
+
+    def test_train_evaluate_report_end_to_end(self, tmp_path):
+        import pandas as pd
+        from lidbox_tpu import util
+        from lidbox_tpu.losses import AngularProximity
+        from lidbox_tpu.models.model_utils import ModelWrapper
+
+        wrapper = ModelWrapper.from_config(self._ap_config(tmp_path))
+        assert isinstance(wrapper.trainer.loss_fn, AngularProximity)
+        assert wrapper.score_fn is not None
+
+        batches = toy_batches(n_batches=4)
+        history = wrapper.fit(lambda: batches, lambda: batches[:2], epochs=2)
+        logs = history[-1]
+        # D=16 model outputs flowed through score_fn into the N=3 metric
+        assert np.isfinite(logs["val_loss"])
+        assert 0.0 <= logs["val_C_avg"] <= 1.0
+
+        # full report through the public evaluation surface
+        elements = []
+        records = {}
+        for bi, b in enumerate(batches):
+            for i in range(b["target"].shape[0]):
+                uid = f"utt{bi}_{i}"
+                elements.append({"id": uid, "input": b["input"][i],
+                                 "target": int(b["target"][i])})
+                records[uid] = int(b["target"][i])
+        test_meta = pd.DataFrame(
+            {"target": pd.Series(records)}).rename_axis("id")
+        label2target = {f"lang{k}": k for k in range(N_CLASSES)}
+        report = util.evaluate_testset_with_model(
+            wrapper.model, elements, test_meta, label2target,
+            score_fn=wrapper.score_fn)
+        assert 0.0 <= report["avg_detection_cost"] <= 1.0
+        assert np.isfinite(report["avg_equal_error_rate"])
+        assert report["confusion_matrix"].sum() == len(elements)
+
+    def test_classifier_serves_language_vector_model(self, tmp_path):
+        from lidbox_tpu import serve
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        from lidbox_tpu.features import io as audio_io
+
+        wrapper = ModelWrapper.from_config(self._ap_config(tmp_path))
+        labels = [f"lang{k}" for k in range(N_CLASSES)]
+        rng = np.random.default_rng(0)
+        wavs = []
+        for i in range(3):
+            p = tmp_path / f"u{i}.wav"
+            audio_io.write_mono_wav(
+                str(p), rng.normal(0, 0.1, 4000).astype(np.float32), 16000)
+            wavs.append(str(p))
+        clf = serve.Classifier(
+            wrapper.model, labels,
+            feature_config={"type": "logmelspectrogram",
+                            "melspectrogram": {"num_mel_bins": F}},
+            score_fn=wrapper.score_fn)
+        out = clf.classify(wavs)
+        assert list(out["label"].isin(labels)) == [True] * 3
+        # scores are -theta over N classes, not D-dim raw vectors
+        assert {f"score_{l}" for l in labels} <= set(out.columns)
+        assert (out[[f"score_{l}" for l in labels]].to_numpy() <= 0).all()
+
+
 class TestOrbaxBackend:
     def test_save_restore_best_selection(self, tmp_path):
         from lidbox_tpu.train.checkpoint import OrbaxCheckpointer
@@ -447,6 +528,46 @@ class TestOrbaxBackend:
         restored = ckpt.restore(best, target=state_dict)
         _jax.tree_util.tree_map(np.testing.assert_array_equal,
                                 restored["params"], state_dict["params"])
+
+    def test_model_checkpoint_orbax_backend_resumes(self, tmp_path):
+        """Config-path orbax: ModelCheckpoint(backend='orbax') saves async
+        during fit, best-checkpoint resolution sees the orbax dirs, and
+        Trainer.restore resumes epoch numbering + weights from them."""
+        d = str(tmp_path / "ckpts")
+        cb = ModelCheckpoint(d, backend="orbax")
+        trainer = make_trainer(callbacks=[cb])
+        batches = toy_batches()
+        trainer.fit(lambda: batches, lambda: batches[:1], epochs=2)
+        # on_train_end drained the async writes; both epochs on disk as dirs
+        import os
+        names = sorted(os.listdir(d))
+        assert len(names) == 2 and all(os.path.isdir(os.path.join(d, n))
+                                       for n in names)
+        latest = get_best_checkpoint_path(d)
+        assert "epoch000002" in latest
+
+        resumed = make_trainer()
+        resumed.restore(latest)
+        assert resumed.initial_epoch == 2
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.device_get(resumed.state.params),
+            jax.device_get(trainer.state.params))
+        # epochs continue from the checkpoint: absolute target 4 runs 2 more
+        hist = resumed.fit(lambda: batches, epochs=4)
+        assert len(hist) == 2
+
+    def test_raw_checkpoint_loads_params_from_orbax_dir(self, tmp_path):
+        from lidbox_tpu.train import checkpoint as ckpt_lib
+        d = str(tmp_path / "ckpts")
+        cb = ModelCheckpoint(d, backend="orbax")
+        trainer = make_trainer(callbacks=[cb])
+        trainer.fit(lambda: toy_batches(n_batches=2), epochs=1)
+        raw = ckpt_lib.load_raw_checkpoint(get_best_checkpoint_path(d))
+        assert "params" in raw
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, raw["params"],
+            jax.device_get(trainer.state.params))
 
 
 class TestMixedPrecision:
