@@ -676,6 +676,8 @@ def consume_to_tensorboard(ds, summary_dir, config, exist_ok=False):
     batch_size = config["batch_size"]
     max_outputs = config.get("max_elements_per_batch", batch_size)
     num_batches = config.get("num_batches", -1)
+    colors = _colormap_lut(config.get("colormap", "viridis"))
+    size_multiplier = int(config.get("image_size_multiplier", 1))
     writer = tf.summary.create_file_writer(summary_dir)
     batched = ds.batch(batch_size, drop_remainder=True)
     if num_batches > -1:
@@ -686,9 +688,10 @@ def consume_to_tensorboard(ds, summary_dir, config, exist_ok=False):
             tf.summary.histogram("targets", np.asarray(batch["target"])[:max_outputs],
                                  step=step_i)
             tf.summary.histogram("inputs", inputs, step=step_i)
-            imgs = (inputs - inputs.min()) / max(inputs.max() - inputs.min(), 1e-9)
-            tf.summary.image("inputs/img", imgs[..., None].transpose(0, 2, 1, 3)[:, ::-1],
-                             step=step_i, max_outputs=max_outputs)
+            tf.summary.image(
+                "inputs/img",
+                _features_to_rgb_images(inputs, colors, size_multiplier),
+                step=step_i, max_outputs=max_outputs)
             if "signal" in batch:
                 rates = np.atleast_1d(batch["sample_rate"])
                 signals = np.stack(list(batch["signal"]))[:max_outputs]
@@ -696,8 +699,53 @@ def consume_to_tensorboard(ds, summary_dir, config, exist_ok=False):
                                  step=step_i, encoding="wav", max_outputs=max_outputs)
             ids = [f"{i + 1}: {u}" for i, u in enumerate(batch["id"][:max_outputs])]
             tf.summary.text("utterance_ids", tf.constant(ids), step=step_i)
+            if "transcript" in batch:
+                # per-utterance transcript text records (reference:
+                # lidbox/data/steps.py:536-543)
+                transcripts = [str(t) for t in batch["transcript"][:max_outputs]]
+                tf.summary.text("transcripts", tf.constant(transcripts),
+                                step=step_i)
     writer.close()
     return ds
+
+
+def _colormap_lut(colormap_key):
+    """RGB lookup table for feature images, the reference's
+    ``matplotlib_colormap_to_tensor`` (lidbox/data/tf_utils.py:39-47):
+    ``cmap(arange(N + 1))[:, :3]`` (index N clamps into the last color).
+    Returns None when matplotlib is unavailable (grayscale fallback)."""
+    try:
+        import matplotlib
+        try:
+            cmap = matplotlib.colormaps[colormap_key]
+        except AttributeError:  # matplotlib < 3.6
+            from matplotlib.cm import get_cmap
+            cmap = get_cmap(colormap_key)
+        return np.asarray(cmap(np.arange(cmap.N + 1)))[:, :3]
+    except Exception as e:
+        logger.warning("colormap %r unavailable (%s); feature images will "
+                       "be grayscale", colormap_key, e)
+        return None
+
+
+def _features_to_rgb_images(inputs, colors, size_multiplier=1):
+    """[B, T, F] feature batch -> TensorBoard image batch: global min-max
+    scale to [0, 1], colormap LUT gather, transpose to freq x time, flip so
+    low frequencies render at the bottom, integer upscale
+    (reference: lidbox/data/tf_utils.py:50-75, tensors_to_rgb_images)."""
+    span = inputs.max() - inputs.min()
+    scaled = ((inputs - inputs.min()) / span if span > 0
+              else np.zeros_like(inputs))
+    if colors is None:
+        imgs = scaled[..., None]  # grayscale
+    else:
+        idx = np.round(scaled * (colors.shape[0] - 1)).astype(np.int64)
+        imgs = colors[idx]  # [B, T, F, 3]
+    imgs = imgs.transpose(0, 2, 1, 3)[:, ::-1]
+    if size_multiplier > 1:
+        imgs = imgs.repeat(size_multiplier, axis=1).repeat(size_multiplier,
+                                                           axis=2)
+    return imgs.astype(np.float32)
 
 
 def show_all_elements(ds, shapes_only=True):

@@ -458,3 +458,62 @@ def test_pre_initialize_allow_unknown_labels():
     kept = steps_mod.pre_initialize(meta, ["xx", "yy"],
                                     allow_unknown_labels=True)
     assert len(kept) == 3  # reference's allow_unknown_labels passthrough
+
+
+class TestTensorBoardSummaries:
+    """Summary parity with the reference's consume_to_tensorboard
+    (lidbox/data/steps.py:487-554): colormapped RGB feature images
+    (tf_utils.tensors_to_rgb_images) and transcript text records."""
+
+    def test_features_to_rgb_images_matches_reference_semantics(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 10, 6)).astype(np.float32)
+        colors = steps_mod._colormap_lut("viridis")
+        assert colors is not None and colors.shape[1] == 3
+        imgs = steps_mod._features_to_rgb_images(x, colors)
+        # transpose to [B, F, T, 3] + flip_up_down
+        assert imgs.shape == (2, 6, 10, 3)
+        # every pixel is a colormap entry; global scaling puts the batch
+        # max at the last LUT color and min at the first
+        flat_idx = np.round(
+            (x - x.min()) / (x.max() - x.min()) * (colors.shape[0] - 1)
+        ).astype(int)
+        expected = colors[flat_idx].transpose(0, 2, 1, 3)[:, ::-1]
+        np.testing.assert_allclose(imgs, expected, atol=1e-6)
+        # integer upscale
+        big = steps_mod._features_to_rgb_images(x, colors, size_multiplier=2)
+        assert big.shape == (2, 12, 20, 3)
+        np.testing.assert_allclose(big[:, ::2, ::2], imgs, atol=1e-6)
+
+    def test_grayscale_fallback_on_unknown_colormap(self):
+        x = np.zeros((1, 4, 3), np.float32)
+        assert steps_mod._colormap_lut("not_a_colormap") is None
+        imgs = steps_mod._features_to_rgb_images(x, None)
+        assert imgs.shape == (1, 3, 4, 1)
+
+    def test_consume_to_tensorboard_writes_images_and_transcripts(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.default_rng(1)
+        elements = [
+            {"id": f"utt{i}", "input": rng.normal(0, 1, (12, 8)).astype(np.float32),
+             "target": np.int32(i % 2),
+             "signal": rng.normal(0, 0.1, 800).astype(np.float32),
+             "sample_rate": np.int32(16000),
+             "transcript": f"sentence number {i}"}
+            for i in range(4)]
+        summary_dir = str(tmp_path / "tb")
+        out = steps_mod.consume_to_tensorboard(
+            Dataset.from_elements(elements), summary_dir,
+            {"batch_size": 2, "colormap": "viridis",
+             "image_size_multiplier": 2})
+        assert len(out.collect()) == 4  # passthrough
+        event_files = [str(p) for p in (tmp_path / "tb").iterdir()
+                       if p.name.startswith("events")]
+        assert event_files
+        tags = set()
+        for ef in event_files:
+            for ev in tf.compat.v1.train.summary_iterator(ef):
+                for v in ev.summary.value:
+                    tags.add(v.tag)
+        assert {"inputs/img", "transcripts", "utterance_ids",
+                "targets", "utterances"} <= tags
