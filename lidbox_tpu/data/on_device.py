@@ -469,19 +469,25 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         for cb in trainer.callbacks:
             cb.on_epoch_begin(trainer, epoch)
         losses = []
+        from lidbox_tpu.train.observability import ThroughputMeter
+        meter = ThroughputMeter()
         staged = trainer._staged(
             signal_batches,
             count_fn=lambda b: int(np.shape(b[1])[0]),
             put=lambda b: _stage(*b))
-        for _, (signals, targets, mask) in staged:
+        for n, (signals, targets, mask) in staged:
             trainer.state, loss = step(trainer.state, signals, targets,
                                        trainer.rng, mask)
             losses.append(loss)
+            meter.update(n)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         if not validating:
+            epoch_logs = {"loss": mean_loss, **meter.rates()}
             history.append(mean_loss)
+            if trainer.metrics_logger:
+                trainer.metrics_logger.log(epoch, epoch_logs)
             for cb in trainer.callbacks:
-                cb.on_epoch_end(trainer, epoch, {"loss": mean_loss})
+                cb.on_epoch_end(trainer, epoch, epoch_logs)
             if verbose:
                 logger.info("fused epoch %d/%d: loss=%.6g", epoch, epochs,
                             mean_loss)
@@ -496,8 +502,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             eval_batches = eval_cache
         else:
             eval_batches = _featurize_val(val_feats, val_batches)
-        logs = {"loss": mean_loss, **trainer.evaluate(eval_batches)}
+        logs = {"loss": mean_loss, **meter.rates(),
+                **trainer.evaluate(eval_batches)}
         history.append(logs)
+        if trainer.metrics_logger:
+            trainer.metrics_logger.log(epoch, logs)
         for cb in trainer.callbacks:
             cb.on_epoch_end(trainer, epoch, logs)
         if verbose:

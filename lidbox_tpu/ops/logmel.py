@@ -1,32 +1,43 @@
 """
-Fused waveform -> log-Mel kernels for TPU.
+Fused waveform -> log-Mel Pallas kernel for TPU.
 
-Pallas variants of the framework's hot path (reference equivalent:
-tf.signal.stft + mel matmul + log inside the tf.data graph,
-lidbox/data/tf_utils.py:166-195). The DEFAULT path is now the XLA
-segment-matmul STFT in features.audio (gather-free, lane-packed basis),
-which matches or beats every kernel here at all measured shapes; these
-kernels remain as the VMEM-streaming alternative
-(stft_method="pallas" dispatches fused_logmel_packed) and as measured
-baselines. fused_logmel_packed principles: (a) lane-concatenated segment
-views into ONE large-K DFT matmul, (b) 80-sample segments (640-wide
-contraction vs 768), (c) the zero-mel-weight Nyquist bin dropped
-(512-wide output, no 514->640 padding), (d) no [B, frames, 512] frame
-tensor in HBM.
+The hot path's memory-lean variant (reference equivalent: tf.signal.stft
++ mel matmul + log inside the tf.data graph,
+lidbox/data/tf_utils.py:166-195). The DEFAULT path is the XLA
+segment-matmul STFT in features.audio (gather-free, lane-packed basis);
+``fused_logmel_packed`` (stft_method="pallas") is the VMEM-streaming
+alternative: ONE kernel computes frames -> windowed DFT -> power -> mel
+-> log per tile, so neither the [B, frames, frame_length] frame tensor
+NOR the [B, frames, fft/2] power spectrogram ever materializes in HBM —
+HBM traffic is 1x signal in + 1x log-mel out. That makes it the
+lowest-peak-memory formulation for long audio (the XLA path must spill
+the power spectrogram between its two matmuls: matmul->matmul never
+fuses), at a measured ~10-25% time cost.
 
-1. ``fused_logmel`` — a Pallas kernel: each grid cell DMAs a span of raw
-   signal HBM->VMEM, builds overlapping frames in VMEM (no [B, frames, 512]
-   materialization in HBM), runs the windowed-DFT as two MXU matmuls, the
-   power spectrum on the VPU, the mel projection as a third MXU matmul, and
-   writes log-mel tiles. HBM traffic is 1x signal + 1x output.
-2. ``logmel_conv`` — XLA strided convolution: framing+windowed-DFT as one
-   conv_general_dilated with stride = frame_step (kernel = windowed DFT
-   basis), also avoiding frame materialization, then mel matmul + log.
-3. ``logmel_reference`` — gather-based framing + matmul DFT
-   (features.audio.spectrograms path), numerically the parity baseline.
+Kernel principles: (a) signal rows pre-packed host-side into lane-padded
+interleaved streams (Mosaic rejects unaligned dynamic 1-D loads), (b)
+the n_seg shifted views lane-concatenated into ONE large-K MXU matmul
+with cos|sin fused into a single output (small-K accumulating dots
+underutilize the systolic array), (c) 80-sample segments (640-wide
+contraction vs 768 naive), (d) the zero-mel-weight Nyquist bin dropped
+(exactly 2x256 output lanes, no padding).
 
-All three match tf.signal numerics to ~1e-4 (power spectrum x HTK mel,
-periodic Hann, fft_length 512, no pad_end).
+Measurement history (TPU v5e; BENCH_r01/r02, in-process A/B):
+- r01: three variants built; manual-DMA ``fused_logmel`` 3.6 ms/b256x3s,
+  BlockSpec-pipelined ``fused_logmel_pipelined`` 2.8 ms, packed 2.33 ms —
+  each a strict improvement, and packed beat the then-default
+  frame-gather XLA path 13x at b32x60s.
+- r02: the XLA segment-matmul STFT rewrite (features/audio.py) overtook
+  every Pallas variant on TIME at all measured shapes (1.85 vs 2.33 ms at
+  b256x3s; 9.1 vs 10.1 ms at b32x60s), so the two dominated variants were
+  deleted and this file keeps only ``fused_logmel_packed`` as the
+  documented low-peak-memory option (bench.py long-audio section reports
+  the compiled peak-memory comparison alongside the times).
+
+``logmel_conv`` (XLA strided-convolution formulation) and
+``logmel_reference`` (the features.audio parity path) remain as oracle
+baselines. All variants match tf.signal numerics to ~1e-4 (power
+spectrum x HTK mel, periodic Hann, fft_length 512, no pad_end).
 """
 import functools
 
@@ -82,264 +93,6 @@ def _bases(frame_length, fft_length, num_mel_bins, sample_rate, fmin, fmax,
     # numpy (not jnp): jnp arrays made inside a jit trace would leak
     # tracers through the lru_cache; callers convert at use site.
     return Wc, Ws, M
-
-
-@functools.lru_cache(maxsize=16)
-def _segmented_bases(frame_length, frame_step, fft_length, num_mel_bins,
-                     sample_rate, fmin, fmax):
-    """DFT bases split into frame segments for the Pallas kernel.
-
-    Segment s covers basis rows [s*step, (s+1)*step), stored as
-    [n_seg, step_pad, NB_pad] where step_pad rounds the signal-row width up
-    to full lanes; pad rows are zero so lane-padded signal rows contribute
-    nothing. This lets the kernel run full-width matmuls with no lane
-    slicing (Mosaic-friendly)."""
-    Wc, Ws, M = _bases(frame_length, fft_length, num_mel_bins, sample_rate,
-                       fmin, fmax)
-    nb_pad = Wc.shape[1]
-    n_seg = -(-frame_length // frame_step)
-    step_pad = _round_up(frame_step, LANE)
-    Wc_seg = np.zeros((n_seg, step_pad, nb_pad), np.float32)
-    Ws_seg = np.zeros((n_seg, step_pad, nb_pad), np.float32)
-    for s in range(n_seg):
-        lo, hi = s * frame_step, min((s + 1) * frame_step, frame_length)
-        Wc_seg[s, :hi - lo] = Wc[lo:hi]
-        Ws_seg[s, :hi - lo] = Ws[lo:hi]
-    return Wc_seg, Ws_seg, M
-
-
-def _logmel_kernel(sig_ref, wc_ref, ws_ref, mel_ref, out_ref,
-                   span_scratch, sem,
-                   *, frame_step, frames_per_tile, num_segments):
-    """One (batch row, frame tile) cell.
-
-    Framing trick: instead of materializing overlapping [F, frame_length]
-    frames (whose strided construction needs unaligned dynamic slices that
-    Mosaic rejects), view the DMA'd span as rows of ``frame_step`` samples
-    and decompose the windowed DFT over frame segments:
-
-        real[i, k] = sum_s R[i + s] . Wc_s[:, k]
-
-    where Wc_s holds basis rows [s*step, (s+1)*step). Each term is a
-    statically-sliced [F, step] x [step, NB] MXU matmul — no gathers, no
-    dynamic slicing, no frame tensor.
-    """
-    b = pl.program_id(0)
-    tile = pl.program_id(1)
-    # Span extent rounded up to full sublanes (the caller padded the row
-    # count so the slice stays in bounds).
-    rows = _round_up(frames_per_tile + num_segments - 1, 8)
-
-    # 1. DMA this tile's span of signal rows HBM -> VMEM. The caller has
-    # reshaped signals to [B, T // step, step_pad] (lane-padded rows), so
-    # the span is a clean aligned 2-D slice.
-    copy = pltpu.make_async_copy(
-        sig_ref.at[b, pl.ds(tile * frames_per_tile, rows), :],
-        span_scratch.at[pl.ds(0, rows), :], sem)
-    copy.start()
-    copy.wait()
-
-    R = span_scratch[:]
-
-    # 2. Windowed DFT as segment matmuls on the MXU. Precision HIGHEST: the
-    # MXU's default bf16 passes lose ~3 mantissa decades, which log-mel
-    # amplifies far past the 1e-4 tf.signal parity budget.
-    prec = jax.lax.Precision.HIGHEST
-
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
-
-    real = dot(R[0:frames_per_tile], wc_ref[0])
-    imag = dot(R[0:frames_per_tile], ws_ref[0])
-    for s in range(1, num_segments):
-        Rs = R[s:s + frames_per_tile]
-        real += dot(Rs, wc_ref[s])
-        imag += dot(Rs, ws_ref[s])
-
-    # 3. Power on the VPU, mel projection on the MXU, log on the VPU.
-    power = real * real + imag * imag
-    mel = dot(power, mel_ref[:])
-    out_ref[0] = jnp.log(mel + 1e-6)
-
-
-def fused_logmel(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
-                 fft_length=512, num_mel_bins=64, fmin=0.0, fmax=8000.0,
-                 frames_per_tile=256):
-    """[B, T] waveforms -> [B, num_frames, num_mel_bins] log-Mel features,
-    as a single fused Pallas program.
-
-    Equivalent to extract_features(..., "logmelspectrogram") with power
-    spectrograms (power=2), log(mel + 1e-6).
-    """
-    frame_length = audio.ms_to_frames(sample_rate, frame_length_ms)
-    frame_step = audio.ms_to_frames(sample_rate, frame_step_ms)
-    B, T = signals.shape
-    num_frames = max(0, 1 + (T - frame_length) // frame_step)
-    assert num_frames > 0, "signal shorter than one frame"
-
-    # Fit the tile to the actual frame count (sublane-rounded) when that
-    # keeps VMEM happy: a single exact tile avoids paying for padding
-    # frames (e.g. 298 frames in one 304-tile instead of two 256-tiles).
-    exact = _round_up(num_frames, 8)
-    if exact <= max(frames_per_tile, 1024):
-        frames_per_tile = exact
-    num_tiles = -(-num_frames // frames_per_tile)
-    Wc_seg, Ws_seg, M = (jnp.asarray(a) for a in _segmented_bases(
-        frame_length, frame_step, fft_length, num_mel_bins,
-        int(sample_rate), float(fmin), float(fmax)))
-    n_seg = Wc_seg.shape[0]
-    nb_pad, m_pad = M.shape
-    rows = _round_up(frames_per_tile + n_seg - 1, 8)
-
-    # Pad the time axis so every tile's span DMA stays in bounds, view the
-    # signal as rows of frame_step samples, and pad each row to full lanes
-    # (the matching basis rows are zero, so the padding is inert). This
-    # keeps every DMA slice and matmul lane-aligned for Mosaic.
-    step_pad = _round_up(frame_step, LANE)
-    needed = (num_tiles - 1) * frames_per_tile * frame_step + rows * frame_step
-    if needed > T:
-        signals = jnp.pad(signals, ((0, 0), (0, needed - T)))
-    signal_rows = signals[:, :needed].reshape(B, needed // frame_step, frame_step)
-    if step_pad > frame_step:
-        signal_rows = jnp.pad(signal_rows,
-                              ((0, 0), (0, 0), (0, step_pad - frame_step)))
-
-    out = pl.pallas_call(
-        functools.partial(_logmel_kernel, frame_step=frame_step,
-                          frames_per_tile=frames_per_tile,
-                          num_segments=n_seg),
-        grid=(B, num_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # raw signals stay in HBM
-            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb_pad, m_pad), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, frames_per_tile, m_pad),
-                               lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, num_tiles * frames_per_tile, m_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, step_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * num_tiles * frames_per_tile
-            * (n_seg * frame_step * nb_pad * 2 + nb_pad * m_pad),
-            bytes_accessed=4 * B * (T + num_tiles * frames_per_tile * m_pad),
-            transcendentals=B * num_tiles * frames_per_tile * m_pad),
-    )(signal_rows, Wc_seg, Ws_seg, M)
-    return out[:, :num_frames, :num_mel_bins]
-
-
-def _logmel_kernel_pipelined(main_ref, tail_ref, wc_ref, ws_ref, mel_ref,
-                             out_ref, *, frames_per_tile, num_segments):
-    """Pipelined variant: signal rows arrive through BlockSpec-managed
-    blocks (Mosaic double-buffers them automatically, overlapping the HBM
-    fetch of tile t+1 with the compute of tile t) instead of a blocking
-    manual DMA. The n_seg-1 overlap rows each tile needs from its
-    neighbour are precomputed host-side into ``tails``.
-    """
-    prec = jax.lax.Precision.HIGHEST
-
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
-
-    main = main_ref[0]          # [F, step_pad]
-    tail = tail_ref[0, 0]       # [8, step_pad] (first n_seg-1 rows valid)
-    real = dot(main, wc_ref[0])
-    imag = dot(main, ws_ref[0])
-    for s in range(1, num_segments):
-        # Segment s of frame i is signal row i+s: main rows [s, F) then the
-        # first s tail rows.
-        Rs = jnp.concatenate([main[s:], tail[:s]], axis=0)
-        real += dot(Rs, wc_ref[s])
-        imag += dot(Rs, ws_ref[s])
-    power = real * real + imag * imag
-    out_ref[0] = jnp.log(dot(power, mel_ref[:]) + 1e-6)
-
-
-def fused_logmel_pipelined(signals, sample_rate, frame_length_ms=25,
-                           frame_step_ms=10, fft_length=512, num_mel_bins=64,
-                           fmin=0.0, fmax=8000.0, frames_per_tile=256):
-    """fused_logmel with BlockSpec-managed input pipelining (see
-    _logmel_kernel_pipelined). Identical numerics."""
-    frame_length = audio.ms_to_frames(sample_rate, frame_length_ms)
-    frame_step = audio.ms_to_frames(sample_rate, frame_step_ms)
-    B, T = signals.shape
-    num_frames = max(0, 1 + (T - frame_length) // frame_step)
-    assert num_frames > 0, "signal shorter than one frame"
-
-    # Fit the tile to the actual frame count (sublane-rounded) when that
-    # keeps VMEM happy: a single exact tile avoids paying for padding
-    # frames (e.g. 298 frames in one 304-tile instead of two 256-tiles).
-    exact = _round_up(num_frames, 8)
-    if exact <= max(frames_per_tile, 1024):
-        frames_per_tile = exact
-    num_tiles = -(-num_frames // frames_per_tile)
-    Wc_seg, Ws_seg, M = (jnp.asarray(a) for a in _segmented_bases(
-        frame_length, frame_step, fft_length, num_mel_bins,
-        int(sample_rate), float(fmin), float(fmax)))
-    n_seg = Wc_seg.shape[0]
-    if n_seg - 1 > 8:
-        # The per-tile tail buffer carries 8 overlap rows; steeper
-        # frame_length/frame_step ratios (e.g. 25 ms / 2 ms) exceed it —
-        # use the always-correct XLA lowering instead of a trace error.
-        return logmel_reference(signals, sample_rate, frame_length_ms,
-                                frame_step_ms, fft_length, num_mel_bins,
-                                fmin, fmax)
-    nb_pad, m_pad = M.shape
-    step_pad = _round_up(frame_step, LANE)
-
-    total_rows = num_tiles * frames_per_tile + n_seg - 1
-    needed = total_rows * frame_step
-    if needed > T:
-        signals = jnp.pad(signals, ((0, 0), (0, needed - T)))
-    rows = signals[:, :needed].reshape(B, total_rows, frame_step)
-    if step_pad > frame_step:
-        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, step_pad - frame_step)))
-    main = rows[:, :num_tiles * frames_per_tile]
-    # Overlap rows per tile: rows [(t+1)*F, (t+1)*F + n_seg - 1), padded to
-    # 8 sublanes. Tiny ([B, tiles, 8, step_pad]).
-    tail_idx = (np.arange(num_tiles)[:, None] * frames_per_tile
-                + frames_per_tile + np.arange(8)[None, :])
-    tail_idx = np.minimum(tail_idx, total_rows - 1)
-    tails = rows[:, jnp.asarray(tail_idx)]          # [B, tiles, 8, step_pad]
-
-    out = pl.pallas_call(
-        functools.partial(_logmel_kernel_pipelined,
-                          frames_per_tile=frames_per_tile, num_segments=n_seg),
-        grid=(B, num_tiles),
-        in_specs=[
-            pl.BlockSpec((1, frames_per_tile, step_pad),
-                         lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, step_pad), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, step_pad, nb_pad), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb_pad, m_pad), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, frames_per_tile, m_pad),
-                               lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, num_tiles * frames_per_tile, m_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * num_tiles * frames_per_tile
-            * (n_seg * step_pad * nb_pad * 2 + nb_pad * m_pad),
-            bytes_accessed=4 * B * (T + num_tiles * frames_per_tile * m_pad),
-            transcendentals=B * num_tiles * frames_per_tile * m_pad),
-    )(main, tails, Wc_seg, Ws_seg, M)
-    return out[:, :num_frames, :num_mel_bins]
 
 
 @functools.lru_cache(maxsize=16)
@@ -429,8 +182,8 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
     padding-lean fused Pallas kernel.
 
     Same numerics as ``logmel_reference`` (f32 HIGHEST parity with
-    tf.signal), but with the padding waste of ``fused_logmel_pipelined``
-    engineered out:
+    tf.signal), with the padding waste of the earlier (deleted) kernel
+    generations engineered out:
 
     - segments of ``seg = frame_step / ceil(frame_step/128)`` samples
       (80 for the 25/10 ms default) so each basis block wastes 48 zero rows
@@ -442,8 +195,9 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
       the DFT output is exactly 2x256 lanes with no 257->384 pad.
 
     Requires frame_step % seg == 0 (always true by construction) and
-    fmax <= sample_rate / 2. Falls back to fused_logmel_pipelined when the
-    fft bin count + 1 isn't representable (never for pow2 fft lengths).
+    fmax <= sample_rate / 2. Geometries the kernel cannot tile (extreme
+    frame_length/frame_step ratios) fall back to the always-correct XLA
+    ``logmel_reference`` path.
     """
     frame_length = audio.ms_to_frames(sample_rate, frame_length_ms)
     frame_step = audio.ms_to_frames(sample_rate, frame_step_ms)
@@ -456,13 +210,13 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
     n_seg = -(-frame_length // seg)
     # The in-kernel tail buffer holds 8 extra stream rows, so segment
     # shifts only reach d <= 8 streams ahead: frame_length/frame_step
-    # ratios beyond that (e.g. 25 ms / 2 ms) fall back to the pipelined
-    # kernel instead of tracing a shape mismatch.
+    # ratios beyond that (e.g. 25 ms / 2 ms) fall back to the XLA parity
+    # path instead of tracing a shape mismatch.
     if (frame_step % n_streams or seg > 128
             or (n_seg - 1) // n_streams > 8):
-        return fused_logmel_pipelined(
+        return logmel_reference(
             signals, sample_rate, frame_length_ms, frame_step_ms, fft_length,
-            num_mel_bins, fmin, fmax, frames_per_tile)
+            num_mel_bins, fmin, fmax)
 
     exact = _round_up(num_frames, 8)
     if exact <= max(frames_per_tile, 1024):

@@ -65,6 +65,20 @@ def global_batch_from_local(local_batch, mesh, axis_name=DATA_AXIS):
         local_batch)
 
 
+def put_replicated(tree, mesh):
+    """Replicate a host pytree onto every device of ``mesh``, including
+    meshes spanning MULTIPLE PROCESSES (where plain device_put cannot
+    address remote devices): each process contributes its identical local
+    copy via make_array_from_process_local_data. Callers must pass the
+    same values on every process (standard SPMD discipline)."""
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
 def get_mesh(num_devices=None, devices=None, axis_name=DATA_AXIS):
     """1-D data-parallel mesh over the available devices."""
     if devices is None:

@@ -227,8 +227,8 @@ class Trainer:
             opt_state=self.optimizer.init(params))
         if self.mesh is not None:
             if self.param_sharding is None:
-                self.state = jax.device_put(self.state,
-                                            parallel.replicated(self.mesh))
+                # put_replicated handles meshes spanning multiple processes
+                self.state = parallel.put_replicated(self.state, self.mesh)
             else:
                 repl = parallel.replicated(self.mesh)
                 from jax.sharding import NamedSharding
@@ -403,6 +403,21 @@ class Trainer:
         batch = self._compress(batch)
         if self.mesh is None:
             return jax.device_put(batch)
+        if jax.process_count() > 1:
+            # multi-host: this process feeds only its LOCAL slice of the
+            # global batch; rows assemble into one globally-sharded array
+            # with no cross-host data movement. All processes must feed
+            # the same number of rows per step (pad to the local device
+            # multiple; padded rows are masked out of loss and metrics).
+            n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
+            n = np.shape(batch["target"])[0]
+            if n % n_local_dev:
+                target_n = -(-n // n_local_dev) * n_local_dev
+                batch, valid = parallel.pad_batch_to(batch, target_n)
+                mask = batch.get("example_mask")
+                batch["example_mask"] = (valid if mask is None
+                                         else np.logical_and(mask, valid))
+            return parallel.global_batch_from_local(batch, self.mesh)
         n_dev = self.mesh.devices.size
         n = np.shape(batch["target"])[0]
         if n % n_dev:
@@ -535,8 +550,7 @@ class Trainer:
             self.create_state()
         metric_states = {name: m.init_state() for name, m in self.metrics.items()}
         if self.mesh is not None:
-            metric_states = jax.device_put(metric_states,
-                                           parallel.replicated(self.mesh))
+            metric_states = parallel.put_replicated(metric_states, self.mesh)
         # Loss accumulates on device (async adds) — one host readback per
         # evaluate() instead of two tunnel round-trips per batch.
         total = count = None

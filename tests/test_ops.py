@@ -9,7 +9,7 @@ import pytest
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
-from lidbox_tpu.ops import fused_logmel, logmel_conv, logmel_reference
+from lidbox_tpu.ops import logmel_conv, logmel_reference
 from lidbox_tpu import testutil
 
 RATE = 16000
@@ -39,47 +39,34 @@ class TestLogmelConv:
         np.testing.assert_allclose(conv, ref, rtol=1e-4, atol=1e-4)
 
 
-class TestFusedLogmelInterpret:
-    """Pallas kernel semantics via the TPU interpreter (compiled-path parity
-    is exercised by bench.py on hardware)."""
-
-    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32), (1.0, 64)])
-    def test_matches_reference(self, seconds, tile):
-        x = _signals(2, seconds)
-        ref = np.asarray(logmel_reference(x, RATE))
-        with pltpu.force_tpu_interpret_mode():
-            fused = np.asarray(fused_logmel(x, RATE, frames_per_tile=tile))
-        assert fused.shape == ref.shape
-        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+class TestFusedLogmelPacked:
+    """The surviving Pallas kernel (stft_method="pallas"; the two
+    dominated variants were deleted in r03 — measurement history in
+    ops/logmel.py): single large-K DFT matmul, 80-sample segment streams,
+    Nyquist bin dropped (zero mel weight). Interpret mode on CPU;
+    compiled-path parity is exercised by bench.py on hardware."""
 
     def test_single_tile_exact_multiple(self):
         # exactly tile-aligned frame count: T = (F-1)*160 + 400 with F = 32
+        from lidbox_tpu.ops import fused_logmel_packed
         samples = 31 * 160 + 400
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(0, 0.3, (1, samples)).astype(np.float32))
         ref = np.asarray(logmel_reference(x, RATE))
         with pltpu.force_tpu_interpret_mode():
-            fused = np.asarray(fused_logmel(x, RATE, frames_per_tile=32))
+            fused = np.asarray(fused_logmel_packed(x, RATE,
+                                                   frames_per_tile=32))
         assert fused.shape == (1, 32, 64)
         np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
 
-
-class TestFusedLogmelPipelined:
-    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32)])
-    def test_matches_reference(self, seconds, tile):
-        from lidbox_tpu.ops.logmel import fused_logmel_pipelined
-        x = _signals(2, seconds)
-        ref = np.asarray(logmel_reference(x, RATE))
-        with pltpu.force_tpu_interpret_mode():
-            out = np.asarray(fused_logmel_pipelined(x, RATE,
-                                                    frames_per_tile=tile))
-        assert out.shape == ref.shape
-        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
-
-
-class TestFusedLogmelPacked:
-    """The packed kernel (default TPU path): single large-K DFT matmul,
-    80-sample segment streams, Nyquist bin dropped (zero mel weight)."""
+    def test_steep_ratio_falls_back_to_reference(self):
+        # 25 ms / 2 ms frames exceed the kernel's tail-shift budget: the
+        # dispatcher must return the XLA parity result, not mis-tile
+        from lidbox_tpu.ops import fused_logmel_packed
+        x = _signals(1, 0.5)
+        ref = np.asarray(logmel_reference(x, RATE, frame_step_ms=2))
+        out = np.asarray(fused_logmel_packed(x, RATE, frame_step_ms=2))
+        np.testing.assert_allclose(out, ref, atol=0)
 
     @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32), (1.0, 64)])
     def test_matches_reference(self, seconds, tile):
