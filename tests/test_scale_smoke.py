@@ -124,7 +124,8 @@ def test_1k_corpus_full_config_journey(tmp_path, corpus):
                 with open(os.path.join(dirpath, f), encoding="utf-8") as fh:
                     events += [json.loads(line) for line in fh if line.strip()]
     assert events, "no JSONL training logs written"
-    assert any(e.get("examples_per_sec", 0) > 0 for e in events)
+    assert any(e.get("metrics", {}).get("examples_per_sec", 0) > 0
+               for e in events)
 
     # evaluation over the 200-utterance test split completes with a report
     import io
