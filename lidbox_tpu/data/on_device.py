@@ -443,6 +443,17 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         signals = stage_signals(signals, trainer.stage_dtype)
         targets = np.asarray(targets, np.int32)
         mask = None
+        if trainer.mesh is None and signals.dtype == np.int16:
+            b, t = signals.shape
+            if b <= t and targets.max(initial=0) < 32768:
+                # pack targets into one extra int16 row: ONE transfer per
+                # step — on a serializing high-RTT feed link every separate
+                # array pays its own full round trip
+                packed = np.empty((b + 1, t), np.int16)
+                packed[:b] = signals
+                packed[b, :b] = targets
+                packed[b, b:] = 0
+                return jax.device_put(packed), None, mask
         if trainer.mesh is not None:
             from lidbox_tpu import parallel
             n = targets.shape[0]
@@ -542,9 +553,28 @@ def make_fused_train_step(trainer, feature_fn):
     example_mask=None) -> (new_state, loss); ``example_mask`` [B] excludes
     mesh-padding rows from the loss (fit_signals threads it). The host
     loop only supplies waveform batches.
+
+    ``targets=None`` selects the PACKED staging layout: ``signals`` is
+    [B+1, T] with the targets stored in row B's first B slots — one
+    host->device transfer per step instead of two, which matters on
+    high-round-trip feed links (each separate array pays its own round;
+    see fit_signals' int16 staging).
+
+    The returned step is cached per (trainer, feature_fn): repeated
+    fit_signals/fit_fused calls reuse the SAME jitted program instead of
+    re-tracing.
     """
+    cache = trainer.__dict__.setdefault("_fused_step_cache", {})
+    key = id(feature_fn)
+    if key in cache:
+        return cache[key][1]
+
     @jax.jit
     def step(state, signals, targets, rng, example_mask=None):
+        if targets is None:  # packed layout: last row carries the targets
+            b = signals.shape[0] - 1
+            targets = signals[-1, :b].astype(jnp.int32)
+            signals = signals[:-1]
         signals = signals_to_float(signals)  # int16/bf16 staging decompress
         feat_key = jax.random.fold_in(rng, state.step)
         feats = feature_fn(jax.random.fold_in(feat_key, 7), signals)
@@ -556,4 +586,6 @@ def make_fused_train_step(trainer, feature_fn):
         if example_mask is not None:
             batch["example_mask"] = example_mask
         return trainer._train_step(state, batch, rng)
+    # hold the feature_fn reference so id() stays unique for the cache key
+    cache[key] = (feature_fn, step)
     return step

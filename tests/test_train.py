@@ -311,6 +311,37 @@ class TestSignalStaging:
         f = np.asarray(on_device.signals_to_float(jax.numpy.asarray(pcm)))
         np.testing.assert_allclose(f, [[0.0, 0.5, -1.0]])
 
+    def test_packed_staging_matches_separate_and_step_is_cached(self):
+        import jax.numpy as jnp
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(3)
+        sr, t_len, b = 16000, 4000, 8
+        sigs = on_device.stage_signals(
+            rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32), "int16")
+        targets = rng.integers(0, N_CLASSES, b).astype(np.int32)
+        frames = 1 + (t_len - 400) // 160
+        model = models.create("dnn", (frames, 16), N_CLASSES)
+        trainer = Trainer(model, optax.adam(1e-3), nll_loss)
+        trainer.create_state()
+        feature_fn = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+        step = on_device.make_fused_train_step(trainer, feature_fn)
+        # cached per (trainer, feature_fn): no re-trace on repeated calls
+        assert on_device.make_fused_train_step(trainer, feature_fn) is step
+
+        _, loss_sep = step(trainer.state, jnp.asarray(sigs),
+                           jnp.asarray(targets), trainer.rng)
+        packed = np.empty((b + 1, t_len), np.int16)
+        packed[:b] = sigs
+        packed[b, :b] = targets
+        packed[b, b:] = 0
+        _, loss_packed = step(trainer.state, jnp.asarray(packed), None,
+                              trainer.rng)
+        np.testing.assert_allclose(np.asarray(loss_sep),
+                                   np.asarray(loss_packed), rtol=1e-6)
+
     def test_fused_fit_with_int16_staging_trains(self):
         import jax.numpy as jnp
         from lidbox_tpu.data import on_device
