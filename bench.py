@@ -390,17 +390,19 @@ def main():
             np.asarray(peek(jax.device_put(distinct[i % len(distinct)])))
             serial.append(time.perf_counter() - t0)
         t_serial = min(serial)
-        pool = ThreadPoolExecutor(4)
+        # steady-state (streamed) cost: transfers serialize on this link,
+        # so the pipeline's per-batch cost is the back-to-back transfer
+        # time WITHOUT a readback round trip per batch — measure K puts
+        # with one completion readback at the end (in-order completion)
         t0 = time.perf_counter()
-        futs = [pool.submit(jax.device_put, b) for b in distinct]
-        for fu in futs:
-            np.asarray(peek(fu.result()))
-        t_pipe = (time.perf_counter() - t0) / len(distinct)
-        pool.shutdown(wait=False)
-        transfer_rate = MODEL_BATCH / t_pipe
-        log(f"  transfer[b{MODEL_BATCH} int16 {batch_mb:.1f}MB]: serial "
-            f"{t_serial * 1e3:.1f} ms, pipelined-8 {t_pipe * 1e3:.1f} "
-            f"ms/batch -> ceiling {transfer_rate:,.0f} utt/s")
+        put_all = [jax.device_put(b) for b in distinct]
+        np.asarray(peek(put_all[-1]))
+        t_stream = (time.perf_counter() - t0) / len(distinct)
+        transfer_rate = MODEL_BATCH / t_stream
+        log(f"  transfer[b{MODEL_BATCH} int16 {batch_mb:.1f}MB]: serial+ack "
+            f"{t_serial * 1e3:.1f} ms, streamed {t_stream * 1e3:.1f} "
+            f"ms/batch -> ceiling {transfer_rate:,.0f} utt/s "
+            f"({batch_mb / t_stream:.0f} MB/s)")
 
         # (c)+(d) fed fused training vs the same program device-resident.
         # ONE h2d per step (int16 waveforms), featurize+train in one XLA
@@ -427,23 +429,27 @@ def main():
         dt_dev = _time(dev_resident, jnp.float32(0.0))
         device_rate = MODEL_BATCH / dt_dev
 
-        on_device.fit_signals(trainer_fed, clean_fn,
-                              lambda: int16_batches(2), epochs=1,
-                              verbose=False)  # warm the staged path
-        t0 = time.perf_counter()
-        on_device.fit_signals(trainer_fed, clean_fn,
-                              lambda: int16_batches(num_batches), epochs=1,
-                              verbose=False)
-        fed_rate = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
         bound = min(loader_rate, transfer_rate, device_rate)
         limiter = {loader_rate: "loader", transfer_rate: "transfer",
                    device_rate: "device"}[bound]
-        log(f"  fed-train-fused[b{MODEL_BATCH} int16]: {fed_rate:,.1f} utt/s "
-            f"(decode->stage->featurize+train) vs {device_rate:,.1f} "
-            f"device-resident; pipeline bound min(loader {loader_rate:,.0f}, "
-            f"transfer {transfer_rate:,.0f}, device {device_rate:,.0f}) = "
-            f"{bound:,.0f} [{limiter}-bound] -> achieved "
-            f"{100 * fed_rate / bound:.0f}% of bound")
+        for spd in (1, 4):
+            on_device.fit_signals(trainer_fed, clean_fn,
+                                  lambda: int16_batches(2 * spd), epochs=1,
+                                  verbose=False,
+                                  steps_per_dispatch=spd)  # warm compiles
+            t0 = time.perf_counter()
+            on_device.fit_signals(trainer_fed, clean_fn,
+                                  lambda: int16_batches(num_batches),
+                                  epochs=1, verbose=False,
+                                  steps_per_dispatch=spd)
+            fed_rate = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
+            log(f"  fed-train-fused[b{MODEL_BATCH} int16, {spd} step/"
+                f"dispatch]: {fed_rate:,.1f} utt/s (decode->stage->"
+                f"featurize+train) vs {device_rate:,.1f} device-resident; "
+                f"bound min(loader {loader_rate:,.0f}, transfer "
+                f"{transfer_rate:,.0f}, device {device_rate:,.0f}) = "
+                f"{bound:,.0f} [{limiter}-bound] -> achieved "
+                f"{100 * fed_rate / bound:.0f}% of bound")
 
         # legacy r02-style fed path (host featurize round-trip, f32
         # features staged) for direct comparison with BENCH_r02's 114 utt/s

@@ -408,7 +408,7 @@ def signals_to_float(signals):
 
 def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 val_batches=None, val_feature_fn=None,
-                val_feature_batches=None):
+                val_feature_batches=None, steps_per_dispatch=1):
     """Train directly from raw waveform batches through the fused on-device
     path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
     update) with no per-step host readbacks. With a mesh on the trainer,
@@ -426,8 +426,20 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     target, mirroring Trainer.fit. Returns per-epoch dicts with ``loss``
     (+ ``val_loss``/metrics when validating); plain float losses when no
     validation, back-compatible.
+
+    ``steps_per_dispatch=K`` (single-device feeds only) groups K
+    same-shape batches into one staged transfer and ONE jitted program
+    running K train steps (make_fused_multi_step) — on a serializing
+    high-RTT feed link this amortizes the per-step transfer + dispatch
+    rounds K-fold with bit-identical per-step numerics.
     """
     step = make_fused_train_step(trainer, feature_fn)
+    spd = max(1, int(steps_per_dispatch))
+    if spd > 1 and trainer.mesh is not None:
+        logger.warning("steps_per_dispatch is a single-device feed "
+                       "optimization; ignoring it under a mesh")
+        spd = 1
+    multi = make_fused_multi_step(trainer, feature_fn) if spd > 1 else None
     if trainer.state is None:
         trainer.create_state()
     validating = val_batches is not None or val_feature_batches is not None
@@ -473,6 +485,36 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         # the device executing earlier steps (Trainer._put does the same)
         return (jax.device_put(signals), jax.device_put(targets), mask)
 
+    def _grouped(batches):
+        """Group consecutive same-shape batches into spd-stacks."""
+        it = batches() if callable(batches) else batches
+        buf = []
+        for sig, tgt in it:
+            sig = np.asarray(sig)
+            if buf and sig.shape != buf[0][0].shape:
+                yield list(buf)
+                buf = []
+            buf.append((sig, np.asarray(tgt, np.int32)))
+            if len(buf) == spd:
+                yield list(buf)
+                buf = []
+        if buf:
+            yield buf
+
+    def _stage_group(group):
+        sigs = stage_signals(np.stack([s for s, _ in group]),
+                             trainer.stage_dtype)
+        tgts = np.stack([t for _, t in group])
+        if sigs.dtype == np.int16:
+            k, b, t = sigs.shape
+            if b <= t and tgts.max(initial=0) < 32768:
+                packed = np.empty((k, b + 1, t), np.int16)
+                packed[:, :b] = sigs
+                packed[:, b, :b] = tgts
+                packed[:, b, b:] = 0
+                return jax.device_put(packed), None
+        return jax.device_put(sigs), jax.device_put(tgts)
+
     for cb in trainer.callbacks:
         cb.on_train_begin(trainer)
     history = []
@@ -482,16 +524,29 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         losses = []
         from lidbox_tpu.train.observability import ThroughputMeter
         meter = ThroughputMeter()
-        staged = trainer._staged(
-            signal_batches,
-            count_fn=lambda b: int(np.shape(b[1])[0]),
-            put=lambda b: _stage(*b))
-        for n, (signals, targets, mask) in staged:
-            trainer.state, loss = step(trainer.state, signals, targets,
-                                       trainer.rng, mask)
-            losses.append(loss)
-            meter.update(n)
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        if spd > 1:
+            staged = trainer._staged(
+                lambda: _grouped(signal_batches),
+                count_fn=lambda g: sum(int(np.shape(t)[0]) for _, t in g),
+                put=_stage_group)
+            for n, (sig_k, tgt_k) in staged:
+                trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
+                                              trainer.rng)
+                losses.append(loss_k)
+                meter.update(n)
+        else:
+            staged = trainer._staged(
+                signal_batches,
+                count_fn=lambda b: int(np.shape(b[1])[0]),
+                put=lambda b: _stage(*b))
+            for n, (signals, targets, mask) in staged:
+                trainer.state, loss = step(trainer.state, signals, targets,
+                                           trainer.rng, mask)
+                losses.append(loss)
+                meter.update(n)
+        mean_loss = (float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses]))) if losses
+            else float("nan"))
         if not validating:
             epoch_logs = {"loss": mean_loss, **meter.rates()}
             history.append(mean_loss)
@@ -589,3 +644,37 @@ def make_fused_train_step(trainer, feature_fn):
     # hold the feature_fn reference so id() stays unique for the cache key
     cache[key] = (feature_fn, step)
     return step
+
+
+def make_fused_multi_step(trainer, feature_fn):
+    """Grouped dispatch for high-round-trip feed links: ONE jit program
+    runs K fused train steps (lax.scan) over a [K, ...] stack of staged
+    batches, so K steps cost one host->device transfer round and one
+    dispatch round instead of K of each. Per-step numerics are IDENTICAL
+    to K single dispatches (the step RNG folds in state.step, which
+    advances inside the scan).
+
+    step(state, signals_k, targets_k, rng) -> (state, losses [K]);
+    ``targets_k=None`` selects the packed layout ([K, B+1, T], targets in
+    each stack's last row). jit re-specializes per distinct K (the full
+    group size and one tail size in practice).
+    """
+    cache = trainer.__dict__.setdefault("_fused_multi_cache", {})
+    key = id(feature_fn)
+    if key in cache:
+        return cache[key][1]
+    single = make_fused_train_step(trainer, feature_fn)
+
+    @jax.jit
+    def multi(state, signals_k, targets_k, rng):
+        def body(st, xs):
+            if targets_k is None:
+                sig, tgt = xs, None
+            else:
+                sig, tgt = xs
+            st, loss = single(st, sig, tgt, rng)
+            return st, loss
+        xs = signals_k if targets_k is None else (signals_k, targets_k)
+        return jax.lax.scan(body, state, xs)
+    cache[key] = (feature_fn, multi)
+    return multi

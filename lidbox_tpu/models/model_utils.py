@@ -237,7 +237,7 @@ class ModelWrapper:
 
     def fit_fused(self, signal_batches, epochs=1, sample_rate=None,
                   verbose=True, val_signal_batches=None,
-                  val_feature_batches=None):
+                  val_feature_batches=None, steps_per_dispatch=1):
         """Train through the fused on-device augmentation chain declared in
         the config's ``features.on_device_augment`` section: every step is
         ONE XLA program (VAD/noise/resample/FIR/SpecAugment -> features ->
@@ -265,7 +265,8 @@ class ModelWrapper:
                                      epochs=epochs, verbose=verbose,
                                      val_batches=val_signal_batches,
                                      val_feature_fn=val_feature_fn,
-                                     val_feature_batches=val_feature_batches)
+                                     val_feature_batches=val_feature_batches,
+                                     steps_per_dispatch=steps_per_dispatch)
 
     def count_params(self):
         return self.model.num_params()

@@ -342,6 +342,42 @@ class TestSignalStaging:
         np.testing.assert_allclose(np.asarray(loss_sep),
                                    np.asarray(loss_packed), rtol=1e-6)
 
+    def test_grouped_dispatch_matches_single_step_trajectory(self):
+        """steps_per_dispatch=K (one lax.scan program per K batches) must
+        reproduce the single-dispatch trajectory bit-for-bit — the step
+        RNG folds in state.step, which advances inside the scan."""
+        import jax.numpy as jnp
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(5)
+        sr, t_len, b = 16000, 4000, 8
+        frames = 1 + (t_len - 400) // 160
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(5)]  # 5 batches: spd=2 leaves a tail of 1
+        feature_conf = {"type": "logmelspectrogram",
+                        "melspectrogram": {"num_mel_bins": 16}}
+
+        def run(spd, stage_dtype):
+            model = models.create("dnn", (frames, 16), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(model, optax.adam(1e-3), nll_loss,
+                              stage_dtype=stage_dtype)
+            fn = on_device.make_augmented_feature_fn(
+                sr, feature_conf, on_device.AugmentConfig())
+            hist = on_device.fit_signals(trainer, fn, lambda: batches,
+                                         epochs=2, verbose=False,
+                                         steps_per_dispatch=spd)
+            return hist, jax.device_get(trainer.state.params)
+
+        hist1, params1 = run(1, "int16")
+        hist2, params2 = run(2, "int16")
+        np.testing.assert_allclose(hist1, hist2, rtol=1e-6)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               params1, params2)
+        # and f32 grouped (non-packed layout) also runs
+        hist3, _ = run(3, None)
+        assert np.all(np.isfinite(hist3))
+
     def test_fused_fit_with_int16_staging_trains(self):
         import jax.numpy as jnp
         from lidbox_tpu.data import on_device
