@@ -394,10 +394,12 @@ def main():
         # so the pipeline's per-batch cost is the back-to-back transfer
         # time WITHOUT a readback round trip per batch — measure K puts
         # with one completion readback at the end (in-order completion)
-        t0 = time.perf_counter()
-        put_all = [jax.device_put(b) for b in distinct]
-        np.asarray(peek(put_all[-1]))
-        t_stream = (time.perf_counter() - t0) / len(distinct)
+        def measure_stream():
+            t0 = time.perf_counter()
+            put_all = [jax.device_put(b) for b in distinct]
+            np.asarray(peek(put_all[-1]))
+            return (time.perf_counter() - t0) / len(distinct)
+        t_stream = measure_stream()
         transfer_rate = MODEL_BATCH / t_stream
         log(f"  transfer[b{MODEL_BATCH} int16 {batch_mb:.1f}MB]: serial+ack "
             f"{t_serial * 1e3:.1f} ms, streamed {t_stream * 1e3:.1f} "
@@ -429,25 +431,31 @@ def main():
         dt_dev = _time(dev_resident, jnp.float32(0.0))
         device_rate = MODEL_BATCH / dt_dev
 
-        bound = min(loader_rate, transfer_rate, device_rate)
-        limiter = {loader_rate: "loader", transfer_rate: "transfer",
-                   device_rate: "device"}[bound]
         for spd in (1, 4):
             on_device.fit_signals(trainer_fed, clean_fn,
                                   lambda: int16_batches(2 * spd), epochs=1,
                                   verbose=False,
                                   steps_per_dispatch=spd)  # warm compiles
+            # the pooled link's rate drifts minute to minute: bound each
+            # fed line with a streamed-transfer measurement taken
+            # IMMEDIATELY around it (in-process A/B)
+            t_before = measure_stream()
             t0 = time.perf_counter()
             on_device.fit_signals(trainer_fed, clean_fn,
                                   lambda: int16_batches(num_batches),
                                   epochs=1, verbose=False,
                                   steps_per_dispatch=spd)
             fed_rate = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
+            t_after = measure_stream()
+            xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
+            bound = min(loader_rate, xfer_now, device_rate)
+            limiter = {loader_rate: "loader", xfer_now: "transfer",
+                       device_rate: "device"}[bound]
             log(f"  fed-train-fused[b{MODEL_BATCH} int16, {spd} step/"
                 f"dispatch]: {fed_rate:,.1f} utt/s (decode->stage->"
                 f"featurize+train) vs {device_rate:,.1f} device-resident; "
                 f"bound min(loader {loader_rate:,.0f}, transfer "
-                f"{transfer_rate:,.0f}, device {device_rate:,.0f}) = "
+                f"{xfer_now:,.0f}, device {device_rate:,.0f}) = "
                 f"{bound:,.0f} [{limiter}-bound] -> achieved "
                 f"{100 * fed_rate / bound:.0f}% of bound")
 
