@@ -222,8 +222,9 @@ def main():
         peak = 197e12  # TPU v5e bf16 peak FLOP/s
 
         def bf16_line(bsig, btgt, n1, n2):
-            @jax.jit
-            def step(state, carry):
+            # donate the state like the real Trainer step does: in-place
+            # param updates halve the optimizer-state HBM traffic
+            def step_fn(state, carry):
                 feats = F.extract_features(
                     bsig + carry * 1e-20, SAMPLE_RATE,
                     feature_type="logmelspectrogram",
@@ -232,20 +233,23 @@ def main():
                 return trainer_bf16._train_step(
                     state, {"input": feats, "target": btgt},
                     trainer_bf16.rng)
-            st = {"s": trainer_bf16.state}
-
-            def run(carry):
-                st["s"], loss = step(st["s"], carry)
-                return loss
-            dt_b = _time(run, jnp.float32(0.0), n1=n1, n2=n2)
+            step = jax.jit(step_fn, donate_argnums=0)
+            # fresh state copy per line: donation deletes the input buffers
+            state0 = jax.tree_util.tree_map(jnp.array, trainer_bf16.state)
             flops = 0.0
             try:
-                ca = step.lower(trainer_bf16.state,
+                ca = step.lower(state0,
                                 jnp.float32(0.0)).compile().cost_analysis()
                 ca = ca[0] if isinstance(ca, (list, tuple)) else ca
                 flops = float(ca.get("flops", 0.0))
             except Exception:
                 pass
+            st = {"s": state0}
+
+            def run(carry):
+                st["s"], loss = step(st["s"], carry)
+                return loss
+            dt_b = _time(run, jnp.float32(0.0), n1=n1, n2=n2)
             b = bsig.shape[0]
             mfu = 100 * flops / dt_b / peak if flops else float("nan")
             roofline_ms = flops / peak * 1e3

@@ -125,6 +125,7 @@ class ModelWrapper:
         self.initial_epoch = 0
         self.config = None  # set by from_config (fit_fused needs it)
         self.score_fn = None  # outputs -> [B, N] scores; set by from_config
+        self.steps_per_dispatch = 1  # feed.steps_per_dispatch from config
 
     @classmethod
     def from_config(cls, config, mesh=None):
@@ -164,6 +165,9 @@ class ModelWrapper:
         if isinstance(compute_dtype, str):
             import jax.numpy as jnp
             compute_dtype = getattr(jnp, compute_dtype)
+        # host->device feed tuning, config-reachable (docs/config.md):
+        # staged-transfer depth, feed compression, grouped dispatch
+        feed = experiment.get("feed", {})
         # Language-vector losses (AngularProximity) expose ``predict``
         # mapping [B, D] vectors -> [B, N] class scores (-theta, reference
         # losses.py:51-52); wiring it as the trainer's score_fn makes
@@ -172,8 +176,11 @@ class ModelWrapper:
         trainer = Trainer(model, optimizer, loss, metrics=metrics, mesh=mesh,
                           callbacks=callbacks, lr_schedule=lr_schedule,
                           log_dir=os.path.join(cache_dir, "logs"),
-                          compute_dtype=compute_dtype, score_fn=score_fn)
+                          compute_dtype=compute_dtype, score_fn=score_fn,
+                          prefetch=feed.get("prefetch", 4),
+                          stage_dtype=feed.get("stage_dtype"))
         wrapper = cls(model, model_key, trainer)
+        wrapper.steps_per_dispatch = int(feed.get("steps_per_dispatch", 1))
         wrapper.score_fn = score_fn
         wrapper.config = config
         return wrapper
@@ -237,7 +244,7 @@ class ModelWrapper:
 
     def fit_fused(self, signal_batches, epochs=1, sample_rate=None,
                   verbose=True, val_signal_batches=None,
-                  val_feature_batches=None, steps_per_dispatch=1):
+                  val_feature_batches=None, steps_per_dispatch=None):
         """Train through the fused on-device augmentation chain declared in
         the config's ``features.on_device_augment`` section: every step is
         ONE XLA program (VAD/noise/resample/FIR/SpecAugment -> features ->
@@ -266,7 +273,10 @@ class ModelWrapper:
                                      val_batches=val_signal_batches,
                                      val_feature_fn=val_feature_fn,
                                      val_feature_batches=val_feature_batches,
-                                     steps_per_dispatch=steps_per_dispatch)
+                                     steps_per_dispatch=(
+                                         self.steps_per_dispatch
+                                         if steps_per_dispatch is None
+                                         else steps_per_dispatch))
 
     def count_params(self):
         return self.model.num_params()

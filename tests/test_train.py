@@ -492,6 +492,31 @@ class TestConfigLossAndDecay:
                                    p_decay["conv_1"]["bias"], atol=1e-6)
 
 
+class TestFeedConfig:
+    def test_feed_section_reaches_trainer_and_fused_fit(self, tmp_path):
+        """experiment.feed tunes the host->device pipeline declaratively:
+        prefetch depth, staging compression, grouped dispatch."""
+        import jax.numpy as jnp
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        config = {"experiment": {
+            "cache_directory": str(tmp_path), "name": "feed",
+            "input_shape": [T, F], "output_shape": [N_CLASSES],
+            "model": {"key": "dnn"},
+            "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+            "loss": {"cls": "SparseCategoricalCrossentropy"},
+            "feed": {"prefetch": 7, "stage_dtype": "bfloat16",
+                     "steps_per_dispatch": 2}}}
+        wrapper = ModelWrapper.from_config(config)
+        assert wrapper.trainer.prefetch == 7
+        assert wrapper.trainer.stage_dtype == "bfloat16"
+        assert wrapper.steps_per_dispatch == 2
+        batches = toy_batches(n_batches=3)
+        (_, staged), *_ = list(wrapper.trainer._staged(batches))
+        assert staged["input"].dtype == jnp.bfloat16
+        history = wrapper.fit(lambda: batches, lambda: batches[:1], epochs=1)
+        assert np.isfinite(history[-1]["loss"])
+
+
 class TestAngularProximityEvaluation:
     """AP-loss language-vector models evaluate through the SAME public
     surface as log-prob heads: ModelWrapper wires loss.predict (-theta,
