@@ -393,7 +393,31 @@ def stage_signals(signals, stage_dtype=None):
     if dt == np.int16:
         return np.clip(np.rint(np.asarray(signals, np.float32) * 32768.0),
                        -32768, 32767).astype(np.int16)
+    if signals.dtype == np.int16:
+        # raw PCM -> float staging: rescale to [-1, 1] BEFORE the cast
+        # (the device edge only upcasts floats; it must not see +-32767
+        # magnitudes as bfloat16)
+        return (signals.astype(np.float32) * (1.0 / 32768.0)).astype(dt)
     return signals.astype(dt)
+
+
+def pack_targets_int16(signals, targets):
+    """Append one int16 row carrying the targets to a staged [.., B, T]
+    int16 waveform stack (the make_fused_train_step ``targets=None``
+    layout: row B's first B slots), so signals+targets cross the feed
+    link as ONE array. Returns None when the layout doesn't apply
+    (non-int16 staging, B > T, or targets outside int16 range) — both
+    staging paths share these invariants through this single helper."""
+    if signals.dtype != np.int16:
+        return None
+    b, t = signals.shape[-2], signals.shape[-1]
+    if b > t or targets.max(initial=0) >= 32768 or targets.min(initial=0) < 0:
+        return None
+    packed = np.empty(signals.shape[:-2] + (b + 1, t), np.int16)
+    packed[..., :b, :] = signals
+    packed[..., b, :] = 0
+    packed[..., b, :b] = targets
+    return packed
 
 
 def signals_to_float(signals):
@@ -455,16 +479,12 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         signals = stage_signals(signals, trainer.stage_dtype)
         targets = np.asarray(targets, np.int32)
         mask = None
-        if trainer.mesh is None and signals.dtype == np.int16:
-            b, t = signals.shape
-            if b <= t and targets.max(initial=0) < 32768:
-                # pack targets into one extra int16 row: ONE transfer per
-                # step — on a serializing high-RTT feed link every separate
-                # array pays its own full round trip
-                packed = np.empty((b + 1, t), np.int16)
-                packed[:b] = signals
-                packed[b, :b] = targets
-                packed[b, b:] = 0
+        if trainer.mesh is None:
+            # pack targets into one extra int16 row: ONE transfer per
+            # step — on a serializing high-RTT feed link every separate
+            # array pays its own full round trip
+            packed = pack_targets_int16(signals, targets)
+            if packed is not None:
                 return jax.device_put(packed), None, mask
         if trainer.mesh is not None:
             from lidbox_tpu import parallel
@@ -505,14 +525,9 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         sigs = stage_signals(np.stack([s for s, _ in group]),
                              trainer.stage_dtype)
         tgts = np.stack([t for _, t in group])
-        if sigs.dtype == np.int16:
-            k, b, t = sigs.shape
-            if b <= t and tgts.max(initial=0) < 32768:
-                packed = np.empty((k, b + 1, t), np.int16)
-                packed[:, :b] = sigs
-                packed[:, b, :b] = tgts
-                packed[:, b, b:] = 0
-                return jax.device_put(packed), None
+        packed = pack_targets_int16(sigs, tgts)
+        if packed is not None:
+            return jax.device_put(packed), None
         return jax.device_put(sigs), jax.device_put(tgts)
 
     for cb in trainer.callbacks:

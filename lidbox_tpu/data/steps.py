@@ -619,9 +619,17 @@ def extract_embeddings(ds, config):
 
     mesh = _resolve_embedding_mesh(config)
     batch_size_cfg = config.get("batch_size", 32)
+    def _extractor_mesh(e):
+        # an extractor that mentions parallelism at all OVERRIDES the
+        # section default — including turning it OFF (data_parallel: false
+        # runs that extractor single-device under a data_parallel section)
+        if any(k in e for k in ("mesh", "data_parallel", "devices")):
+            return _resolve_embedding_mesh(e)
+        return mesh
+
     extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(
                       dict(e, batch_size=e.get("batch_size", batch_size_cfg)),
-                      mesh=_resolve_embedding_mesh(e) or mesh)
+                      mesh=_extractor_mesh(e))
                   for e in config["extractors"]]
     batch_size = config.get("batch_size", 32)
 

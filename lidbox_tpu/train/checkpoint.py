@@ -45,7 +45,9 @@ def get_best_checkpoint_path(checkpoints_dir, key=None, mode=None):
         return None
     ckpts = [p.path for p in os.scandir(checkpoints_dir)
              if (p.is_file() and p.name.endswith(CHECKPOINT_SUFFIX))
-             or (p.is_dir() and p.name.startswith("epoch"))]
+             or (p.is_dir() and p.name.startswith("epoch")
+                 # skip uncommitted async-orbax writes from a killed run
+                 and ".orbax-checkpoint-tmp" not in p.name)]
     if not ckpts:
         return None
     if key == "epoch":
@@ -131,7 +133,8 @@ class OrbaxCheckpointer:
         if not os.path.isdir(checkpoints_dir):
             return None
         dirs = [p.path for p in os.scandir(checkpoints_dir)
-                if p.is_dir() and p.name.startswith("epoch")]
+                if p.is_dir() and p.name.startswith("epoch")
+                and ".orbax-checkpoint-tmp" not in p.name]
         if not dirs:
             return None
         if key == "epoch":

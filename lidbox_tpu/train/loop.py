@@ -379,13 +379,20 @@ class Trainer:
     # -- host loop ----------------------------------------------------------
 
     def _compress(self, batch):
-        """Host-side staging compression: float inputs convert to
-        ``stage_dtype`` (e.g. bfloat16 — half the bytes over the feed
-        link); _apply upcasts on device, so numerics differ only by the
-        input rounding."""
+        """Host-side staging compression: float inputs convert to a
+        FLOATING ``stage_dtype`` (e.g. bfloat16 — half the bytes over the
+        feed link); _apply upcasts on device, so numerics differ only by
+        the input rounding. Integer stage dtypes (int16 PCM) apply only to
+        the fused waveform route (on_device.stage_signals) — truncating
+        float FEATURE batches to integers would corrupt them, so they pass
+        through unchanged here."""
         if self.stage_dtype is None:
             return batch
         dt = np.dtype(jnp.dtype(self.stage_dtype))
+        # jnp.issubdtype: numpy doesn't classify ml_dtypes bfloat16 as
+        # floating, jax does
+        if not jnp.issubdtype(dt, jnp.floating):
+            return batch
         x = np.asarray(batch["input"])
         if x.dtype != dt and np.issubdtype(x.dtype, np.floating):
             batch = dict(batch)
@@ -572,17 +579,23 @@ class Trainer:
 
     def predict(self, batches):
         """Model outputs for every batch, concatenated on the host.
-        Transfers pipeline through _staged and the device_get happens once
-        at the end, so dispatch stays fully asynchronous."""
+        Transfers pipeline through _staged; each batch's device_get lags
+        one step behind dispatch, so the next forward is always queued
+        before the host blocks on a readback — pipelined AND bounded
+        device memory (at most two result buffers live)."""
         if self.state is None:
             self.create_state()
         outs = []
+        prev = None
         for n, batch in self._staged(batches):
             out, _ = self._jit_apply_eval(self.state.params,
                                           self.state.batch_stats, batch)
-            outs.append((n, out))
-        return np.concatenate(
-            [np.asarray(jax.device_get(o))[:n] for n, o in outs], axis=0)
+            if prev is not None:
+                outs.append(np.asarray(jax.device_get(prev[1]))[:prev[0]])
+            prev = (n, out)
+        if prev is not None:
+            outs.append(np.asarray(jax.device_get(prev[1]))[:prev[0]])
+        return np.concatenate(outs, axis=0)
 
 
 def signal_batches_from_dataset(ds, batch_size, drop_remainder=False):

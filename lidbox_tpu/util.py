@@ -75,14 +75,18 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     assert batch_size % mesh.size == 0, (
         f"batch_size {batch_size} must divide over the {mesh.size}-device mesh")
     repl = parallel.replicated(mesh)
-    cache = {"key": None, "device": None}  # re-put only when weights change
+    cache = {"leaves": None, "device": None}  # re-put only when weights change
 
     def _variables():
-        # keyed on every leaf's identity: replacing ANY nested entry (not
-        # just the top-level dict) invalidates the replicated copy
-        key = tuple(map(id, jax.tree_util.tree_leaves(model.variables)))
-        if cache["key"] != key:
-            cache["key"] = key
+        # keyed on every leaf's IDENTITY, holding references to the keyed
+        # leaves: replacing ANY nested entry invalidates the replicated
+        # copy, and because the cache keeps the old leaves alive, a freed
+        # array's address can never be recycled into a false cache hit
+        leaves = jax.tree_util.tree_leaves(model.variables)
+        prev = cache["leaves"]
+        if (prev is None or len(prev) != len(leaves)
+                or any(a is not b for a, b in zip(prev, leaves))):
+            cache["leaves"] = leaves
             cache["device"] = jax.device_put(model.variables, repl)
         return cache["device"]
 
@@ -110,7 +114,7 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
         return np.asarray(jax.device_get(out))[:n]
 
     def refresh():
-        cache["key"] = cache["device"] = None
+        cache["leaves"] = cache["device"] = None
     predict_fn.refresh = refresh
     return predict_fn
 

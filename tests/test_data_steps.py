@@ -517,3 +517,16 @@ class TestTensorBoardSummaries:
                     tags.add(v.tag)
         assert {"inputs/img", "transcripts", "utterance_ids",
                 "targets", "utterances"} <= tags
+
+
+class TestEmbeddingMeshResolution:
+    def test_declarative_keys_and_per_extractor_override(self):
+        r = steps_mod._resolve_embedding_mesh
+        assert r({}) is None
+        assert r({"data_parallel": False}) is None
+        mesh = r({"data_parallel": True})
+        assert mesh is not None and mesh.devices.size >= 1
+        two = r({"devices": 2})
+        assert two is not None and two.devices.size == 2
+        live = object()
+        assert r({"mesh": live}) is live

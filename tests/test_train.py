@@ -273,6 +273,20 @@ class TestStagedFeed:
         logs = trainer.evaluate(batches)
         assert np.isfinite(logs["val_loss"])
 
+    def test_int16_stage_dtype_never_truncates_feature_batches(self):
+        """Integer stage dtypes are a WAVEFORM staging format; float
+        feature batches must pass through _compress untouched (casting
+        log-mel floats to int16 would silently corrupt training)."""
+        import jax.numpy as jnp
+        model = models.create("dnn", (T, F), N_CLASSES)
+        trainer = Trainer(model, optax.adam(5e-3), nll_loss,
+                          stage_dtype="int16")
+        batches = toy_batches(n_batches=1)
+        (_, staged), = list(trainer._staged(batches))
+        assert staged["input"].dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(staged["input"]),
+                                      batches[0]["input"])
+
     def test_early_break_shuts_down_producer(self):
         trainer = make_trainer()
         many = toy_batches(n_batches=12)
@@ -294,6 +308,17 @@ class TestStagedFeed:
 
 
 class TestSignalStaging:
+    def test_raw_pcm_to_float_staging_rescales(self):
+        # raw int16 PCM staged as a float dtype must land in [-1, 1]
+        from lidbox_tpu.data import on_device
+        pcm = np.array([[0, 16384, -32768, 32767]], np.int16)
+        staged = on_device.stage_signals(pcm, "bfloat16")
+        import ml_dtypes
+        assert staged.dtype == ml_dtypes.bfloat16
+        np.testing.assert_allclose(staged.astype(np.float32),
+                                   [[0.0, 0.5, -1.0, 0.999969482]],
+                                   atol=4e-3)
+
     def test_int16_round_trip_matches_f32_within_quantization(self):
         from lidbox_tpu.data import on_device
         rng = np.random.default_rng(0)
@@ -648,6 +673,22 @@ class TestOrbaxBackend:
         # epochs continue from the checkpoint: absolute target 4 runs 2 more
         hist = resumed.fit(lambda: batches, epochs=4)
         assert len(hist) == 2
+
+    def test_selection_skips_uncommitted_orbax_tmp_dirs(self, tmp_path):
+        """A run killed mid-async-save leaves an .orbax-checkpoint-tmp-*
+        directory; best/latest selection must never pick it."""
+        import os
+        d = tmp_path / "ckpts"
+        os.makedirs(d / "epoch000001__val_loss0.500000000000")
+        os.makedirs(d / ("epoch000009__val_loss0.100000000000"
+                         ".orbax-checkpoint-tmp-12345"))
+        latest = get_best_checkpoint_path(str(d))
+        assert latest.endswith("epoch000001__val_loss0.500000000000")
+        best = get_best_checkpoint_path(str(d), key="val_loss", mode="min")
+        assert best.endswith("epoch000001__val_loss0.500000000000")
+        from lidbox_tpu.train.checkpoint import OrbaxCheckpointer
+        assert OrbaxCheckpointer.best_checkpoint_path(
+            str(d)).endswith("epoch000001__val_loss0.500000000000")
 
     def test_raw_checkpoint_loads_params_from_orbax_dir(self, tmp_path):
         from lidbox_tpu.train import checkpoint as ckpt_lib
