@@ -432,7 +432,8 @@ def signals_to_float(signals):
 
 def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 val_batches=None, val_feature_fn=None,
-                val_feature_batches=None, steps_per_dispatch=1):
+                val_feature_batches=None, steps_per_dispatch=1,
+                cache_staged=None):
     """Train directly from raw waveform batches through the fused on-device
     path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
     update) with no per-step host readbacks. With a mesh on the trainer,
@@ -456,6 +457,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     running K train steps (make_fused_multi_step) — on a serializing
     high-RTT feed link this amortizes the per-step transfer + dispatch
     rounds K-fold with bit-identical per-step numerics.
+
+    ``cache_staged`` (default: the trainer's setting) keeps the staged
+    RAW waveform batches device-resident after epoch 1: later epochs pay
+    zero feed traffic while augmentation stays fresh per epoch (it runs
+    on device, keyed by the advancing step counter).
     """
     step = make_fused_train_step(trainer, feature_fn)
     spd = max(1, int(steps_per_dispatch))
@@ -464,6 +470,9 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                        "optimization; ignoring it under a mesh")
         spd = 1
     multi = make_fused_multi_step(trainer, feature_fn) if spd > 1 else None
+    if cache_staged is None:
+        cache_staged = trainer.cache_staged
+    staged_cache = None
     if trainer.state is None:
         trainer.create_state()
     validating = val_batches is not None or val_feature_batches is not None
@@ -539,26 +548,39 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         losses = []
         from lidbox_tpu.train.observability import ThroughputMeter
         meter = ThroughputMeter()
-        if spd > 1:
+        if staged_cache is not None:
+            staged = iter(staged_cache)  # device-resident: zero feed traffic
+            collecting = None
+        elif spd > 1:
             staged = trainer._staged(
                 lambda: _grouped(signal_batches),
                 count_fn=lambda g: sum(int(np.shape(t)[0]) for _, t in g),
                 put=_stage_group)
-            for n, (sig_k, tgt_k) in staged:
-                trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
-                                              trainer.rng)
-                losses.append(loss_k)
-                meter.update(n)
+            collecting = [] if cache_staged else None
         else:
             staged = trainer._staged(
                 signal_batches,
                 count_fn=lambda b: int(np.shape(b[1])[0]),
                 put=lambda b: _stage(*b))
+            collecting = [] if cache_staged else None
+        if spd > 1:
+            for n, (sig_k, tgt_k) in staged:
+                if collecting is not None:
+                    collecting.append((n, (sig_k, tgt_k)))
+                trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
+                                              trainer.rng)
+                losses.append(loss_k)
+                meter.update(n)
+        else:
             for n, (signals, targets, mask) in staged:
+                if collecting is not None:
+                    collecting.append((n, (signals, targets, mask)))
                 trainer.state, loss = step(trainer.state, signals, targets,
                                            trainer.rng, mask)
                 losses.append(loss)
                 meter.update(n)
+        if collecting is not None:
+            staged_cache = collecting
         mean_loss = (float(jnp.mean(jnp.concatenate(
             [jnp.atleast_1d(l) for l in losses]))) if losses
             else float("nan"))

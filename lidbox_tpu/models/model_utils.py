@@ -178,7 +178,8 @@ class ModelWrapper:
                           log_dir=os.path.join(cache_dir, "logs"),
                           compute_dtype=compute_dtype, score_fn=score_fn,
                           prefetch=feed.get("prefetch", 4),
-                          stage_dtype=feed.get("stage_dtype"))
+                          stage_dtype=feed.get("stage_dtype"),
+                          cache_staged=feed.get("cache_staged", False))
         wrapper = cls(model, model_key, trainer)
         wrapper.steps_per_dispatch = int(feed.get("steps_per_dispatch", 1))
         wrapper.score_fn = score_fn

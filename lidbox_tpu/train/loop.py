@@ -154,7 +154,7 @@ class Trainer:
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
                  log_dir=None, rng=None, compute_dtype=None,
                  param_sharding=None, prefetch=4, stage_dtype=None,
-                 score_fn=None):
+                 score_fn=None, cache_staged=False):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
@@ -171,6 +171,15 @@ class Trainer:
         # training bottleneck rather than the chip.
         self.prefetch = max(1, int(prefetch))
         self.stage_dtype = stage_dtype
+        # Device-resident epoch caching: stage every training batch ONCE
+        # and reuse the device arrays for all later epochs — zero feed
+        # traffic after epoch 1, so slow feed links (PCIe-starved hosts,
+        # this rig's tunnel) train at full device speed from epoch 2 on.
+        # Requires the staged corpus to fit in HBM, and fixes the batch
+        # order/content across epochs (no per-epoch reshuffle; fused
+        # signal training keeps per-epoch augmentation randomness because
+        # augmentation runs on device from the cached RAW waveforms).
+        self.cache_staged = bool(cache_staged)
         # Maps raw model outputs -> per-class scores [B, N] for metrics.
         # Log-prob heads need nothing (None = identity); language-vector
         # models (ap_lstm + AngularProximity) pass the loss's ``predict``
@@ -505,16 +514,25 @@ class Trainer:
             pool.shutdown(wait=False)
 
     def fit(self, train_batches, validation_batches=None, epochs=1,
-            steps_per_epoch=None, verbose=True):
+            steps_per_epoch=None, verbose=True, cache_staged=None):
         """Run the training loop.
 
         ``train_batches``/``validation_batches`` are callables returning an
         iterable of batch dicts (numpy) with keys ``input`` [B, T, F],
         ``target`` [B] and optional ``input_mask``/``example_mask`` — or
         plain re-iterable collections.
+
+        ``cache_staged`` (default: the Trainer's setting) keeps every
+        staged training batch device-resident after epoch 1 and reuses it
+        for later epochs — no feed traffic, fixed batch order (see the
+        constructor note). A ``steps_per_epoch``-truncated first epoch
+        does not populate the cache.
         """
         if self.state is None:
             self.create_state()
+        if cache_staged is None:
+            cache_staged = self.cache_staged
+        staged_cache = None
         for cb in self.callbacks:
             cb.on_train_begin(self)
         history = []
@@ -525,14 +543,27 @@ class Trainer:
                 cb.on_epoch_begin(self, epoch)
             meter = ThroughputMeter()
             losses = []
-            batches = train_batches() if callable(train_batches) else train_batches
-            for i, (n, batch) in enumerate(self._staged(batches)):
+            if staged_cache is not None:
+                source = iter(staged_cache)
+                collecting = None
+            else:
+                batches = (train_batches() if callable(train_batches)
+                           else train_batches)
+                source = self._staged(batches)
+                collecting = [] if cache_staged else None
+            truncated = False
+            for i, (n, batch) in enumerate(source):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
+                    truncated = True
                     break
+                if collecting is not None:
+                    collecting.append((n, batch))
                 self.state, loss = self._jit_train_step(
                     self.state, batch, self.rng)
                 losses.append(loss)
                 meter.update(n)
+            if collecting is not None and not truncated:
+                staged_cache = collecting
             train_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) \
                 if losses else float("nan")
             logs = {"loss": train_loss, **meter.rates(),

@@ -307,6 +307,68 @@ class TestStagedFeed:
             list(trainer._staged(bad()))
 
 
+class TestCacheStaged:
+    """Device-resident epoch caching: epoch 2+ reuses the staged batches
+    (zero feed traffic) with an identical training trajectory."""
+
+    def test_fit_trajectory_matches_and_loader_runs_once(self):
+        batches = toy_batches()
+        hist_ref = make_trainer().fit(lambda: batches, epochs=3)
+
+        pulls = {"n": 0}
+
+        def counting_loader():
+            pulls["n"] += 1
+            return batches
+        model = models.create("dnn", (T, F), N_CLASSES)
+        trainer = Trainer(model, optax.adam(5e-3), nll_loss,
+                          cache_staged=True)
+        hist = trainer.fit(counting_loader, epochs=3)
+        assert pulls["n"] == 1  # epochs 2-3 trained from the device cache
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_steps_per_epoch_truncation_disables_cache(self):
+        batches = toy_batches(n_batches=6)
+        pulls = {"n": 0}
+
+        def counting_loader():
+            pulls["n"] += 1
+            return batches
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True)
+        trainer.fit(counting_loader, epochs=2, steps_per_epoch=2)
+        assert pulls["n"] == 2  # truncated epochs must not seed the cache
+
+    def test_fused_fit_signals_caches_raw_waveforms(self):
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(9)
+        sr, t_len, b = 16000, 4000, 8
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(3)]
+        pulls = {"n": 0}
+
+        def loader():
+            pulls["n"] += 1
+            return batches
+        frames = 1 + (t_len - 400) // 160
+        trainer = Trainer(models.create("dnn", (frames, 16), N_CLASSES),
+                          optax.adam(1e-3), nll_loss, stage_dtype="int16",
+                          cache_staged=True)
+        fn = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig(specaug_time_masks=1))
+        hist = on_device.fit_signals(trainer, fn, loader, epochs=3,
+                                     verbose=False)
+        assert pulls["n"] == 1
+        assert np.all(np.isfinite(hist))
+        # augmentation stays fresh: per-epoch losses differ even though
+        # the cached waveform batches are identical
+        assert len({round(float(h), 6) for h in hist}) == 3
+
+
 class TestSignalStaging:
     def test_raw_pcm_to_float_staging_rescales(self):
         # raw int16 PCM staged as a float dtype must land in [-1, 1]
