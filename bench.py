@@ -353,6 +353,24 @@ def main():
             log(f"  loader decode[{name}]: "
                 + "  ".join(f"{w}thr {r:,.0f} utt/s" for w, r in rates.items()))
 
+        # GIL-release check: thread SCALING cannot be shown on this 1-core
+        # host (and a counter-thread probe can't discriminate either —
+        # the 5 ms GIL switch interval shares the core regardless). The
+        # property IS checkable structurally: ctypes releases the GIL
+        # during every foreign call made through CDLL (only PyDLL holds
+        # it, by CPython specification), so decode parallelism follows
+        # from the binding kind.
+        import ctypes
+        from lidbox_tpu import native as native_mod
+        lib = native_mod.load_library()
+        if lib is not None:
+            kind = type(lib).__name__
+            gil_free = isinstance(lib, ctypes.CDLL) and not isinstance(
+                lib, ctypes.PyDLL)
+            log(f"  loader binding: {kind} -> decode calls "
+                f"{'RELEASE' if gil_free else 'HOLD'} the GIL "
+                f"(scaling demonstrable only on multi-core hosts)")
+
         # ---- decomposition of the fed-training pipeline (VERDICT r2 #1):
         # (a) loader-only rate, (b) host->device transfer cost serial vs
         # pipelined, (c) the fed fused train step, (d) the same program
