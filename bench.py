@@ -259,6 +259,10 @@ def main():
             return dt_b
         bf16_line(model_signals, targets, 10, 60)
         bf16_line(signals, targets256, 5, 25)
+        # b512 is the measured MFU peak on v5e (63% vs 61% at b256 and
+        # 58% at b1024 — larger batches start paying HBM pressure)
+        bf16_line(jnp.concatenate([signals, signals]),
+                  jnp.concatenate([targets256, targets256]), 4, 16)
     except Exception as e:
         log(f"  bf16 train-step section failed: {type(e).__name__}: {e}")
 
