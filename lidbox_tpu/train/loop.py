@@ -415,7 +415,11 @@ class Trainer:
         transfer would serialize one feed round-trip per step. Batches whose
         leading dim does not divide the mesh size are right-padded (padded
         examples carry example_mask=False and contribute nothing to loss or
-        metrics)."""
+        metrics). Batches that are ALREADY device-resident (cache_staged
+        reuse) pass through untouched — re-staging them would bounce the
+        arrays through the host."""
+        if isinstance(batch.get("input"), jax.Array):
+            return batch
         batch = self._compress(batch)
         if self.mesh is None:
             return jax.device_put(batch)
@@ -533,6 +537,7 @@ class Trainer:
         if cache_staged is None:
             cache_staged = self.cache_staged
         staged_cache = None
+        val_staged = None  # staged validation batches, cached alongside
         for cb in self.callbacks:
             cb.on_train_begin(self)
         history = []
@@ -569,7 +574,13 @@ class Trainer:
             logs = {"loss": train_loss, **meter.rates(),
                     "learning_rate": self.current_learning_rate()}
             if validation_batches is not None:
-                logs.update(self.evaluate(validation_batches))
+                if cache_staged:
+                    if val_staged is None:
+                        val_staged = [b for _, b in
+                                      self._staged(validation_batches)]
+                    logs.update(self.evaluate(val_staged))
+                else:
+                    logs.update(self.evaluate(validation_batches))
             history.append(logs)
             if self.metrics_logger:
                 self.metrics_logger.log(epoch, logs)

@@ -328,6 +328,23 @@ class TestCacheStaged:
         for a, b in zip(hist_ref, hist):
             np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
 
+    def test_validation_batches_cached_and_logs_match(self):
+        batches = toy_batches()
+        val = toy_batches(n_batches=2, seed=1)
+        hist_ref = make_trainer().fit(lambda: batches, lambda: val, epochs=3)
+        val_pulls = {"n": 0}
+
+        def val_loader():
+            val_pulls["n"] += 1
+            return val
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True)
+        hist = trainer.fit(lambda: batches, val_loader, epochs=3)
+        assert val_pulls["n"] == 1  # staged val reused across epochs
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["val_loss"], b["val_loss"],
+                                       rtol=1e-6)
+
     def test_steps_per_epoch_truncation_disables_cache(self):
         batches = toy_batches(n_batches=6)
         pulls = {"n": 0}
