@@ -488,25 +488,22 @@ def main():
         # device-resident epoch cache: epoch 1 pays the feed once, later
         # epochs train from HBM at device speed (augmentation stays fresh
         # — it runs on device from the cached raw waveforms)
+        from lidbox_tpu.train.loop import Callback
         epoch_walls = []
 
-        class _EpochTimer:
-            def on_train_begin(self, t):
-                pass
-
+        class _EpochTimer(Callback):
             def on_epoch_begin(self, t, e):
                 epoch_walls.append([time.perf_counter()])
 
             def on_epoch_end(self, t, e, logs):
                 epoch_walls[-1].append(time.perf_counter())
-
-            def on_train_end(self, t):
-                pass
         trainer_fed.callbacks.append(_EpochTimer())
-        on_device.fit_signals(trainer_fed, clean_fn,
-                              lambda: int16_batches(num_batches), epochs=3,
-                              verbose=False, cache_staged=True)
-        trainer_fed.callbacks.pop()
+        try:
+            on_device.fit_signals(trainer_fed, clean_fn,
+                                  lambda: int16_batches(num_batches),
+                                  epochs=3, verbose=False, cache_staged=True)
+        finally:
+            trainer_fed.callbacks.pop()
         rates = [num_batches * MODEL_BATCH / (b - a) for a, b in epoch_walls]
         log(f"  fed-cached[b{MODEL_BATCH} int16, 3 epochs]: epoch1 "
             f"{rates[0]:,.0f} -> epoch3 {rates[-1]:,.0f} utt/s "

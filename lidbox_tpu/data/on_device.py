@@ -406,8 +406,10 @@ def pack_targets_int16(signals, targets):
     int16 waveform stack (the make_fused_train_step ``targets=None``
     layout: row B's first B slots), so signals+targets cross the feed
     link as ONE array. Returns None when the layout doesn't apply
-    (non-int16 staging, B > T, or targets outside int16 range) — both
-    staging paths share these invariants through this single helper."""
+    (non-int16 staging, B > T, or targets outside [0, 32767] — NEGATIVE
+    labels such as -1 ignore-markers deliberately fall back to the
+    two-transfer path) — both staging paths share these invariants
+    through this single helper."""
     if signals.dtype != np.int16:
         return None
     b, t = signals.shape[-2], signals.shape[-1]

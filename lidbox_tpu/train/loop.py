@@ -415,11 +415,7 @@ class Trainer:
         transfer would serialize one feed round-trip per step. Batches whose
         leading dim does not divide the mesh size are right-padded (padded
         examples carry example_mask=False and contribute nothing to loss or
-        metrics). Batches that are ALREADY device-resident (cache_staged
-        reuse) pass through untouched — re-staging them would bounce the
-        arrays through the host."""
-        if isinstance(batch.get("input"), jax.Array):
-            return batch
+        metrics)."""
         batch = self._compress(batch)
         if self.mesh is None:
             return jax.device_put(batch)
@@ -527,9 +523,11 @@ class Trainer:
         plain re-iterable collections.
 
         ``cache_staged`` (default: the Trainer's setting) keeps every
-        staged training batch device-resident after epoch 1 and reuses it
-        for later epochs — no feed traffic, fixed batch order (see the
-        constructor note). A ``steps_per_epoch``-truncated first epoch
+        staged training AND validation batch device-resident after epoch 1
+        and reuses them for later epochs — no feed traffic, at the cost of
+        FREEZING both sets to their epoch-1 contents (loaders that shuffle
+        or rotate per epoch are only consulted once) and pinning them in
+        HBM for the whole run. A ``steps_per_epoch``-truncated first epoch
         does not populate the cache.
         """
         if self.state is None:
@@ -567,6 +565,12 @@ class Trainer:
                     self.state, batch, self.rng)
                 losses.append(loss)
                 meter.update(n)
+            if truncated and hasattr(source, "close"):
+                # close the staging generator NOW: its finally releases
+                # the producer thread, transfer pool, and the ~prefetch
+                # staged batches it holds — otherwise they stay alive in
+                # device memory through validation and callbacks
+                source.close()
             if collecting is not None and not truncated:
                 staged_cache = collecting
             train_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) \
@@ -576,9 +580,8 @@ class Trainer:
             if validation_batches is not None:
                 if cache_staged:
                     if val_staged is None:
-                        val_staged = [b for _, b in
-                                      self._staged(validation_batches)]
-                    logs.update(self.evaluate(val_staged))
+                        val_staged = list(self._staged(validation_batches))
+                    logs.update(self.evaluate(val_staged, staged=True))
                 else:
                     logs.update(self.evaluate(validation_batches))
             history.append(logs)
@@ -594,7 +597,10 @@ class Trainer:
             cb.on_train_end(self)
         return history
 
-    def evaluate(self, batches, prefix="val_"):
+    def evaluate(self, batches, prefix="val_", staged=False):
+        """Evaluate ``batches`` (host batch dicts, staged through _put
+        unless ``staged=True``, in which case they are (n, batch) pairs
+        already on device — the cache_staged reuse path)."""
         if self.state is None:
             self.create_state()
         metric_states = {name: m.init_state() for name, m in self.metrics.items()}
@@ -604,7 +610,7 @@ class Trainer:
         # evaluate() instead of two tunnel round-trips per batch.
         total = count = None
         it = batches() if callable(batches) else batches
-        for _, batch in self._staged(it):
+        for _, batch in (it if staged else self._staged(it)):
             loss_sum, n, metric_states = self._jit_eval_step(
                 self.state, batch, metric_states)
             total = loss_sum if total is None else total + loss_sum

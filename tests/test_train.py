@@ -287,6 +287,19 @@ class TestStagedFeed:
         np.testing.assert_array_equal(np.asarray(staged["input"]),
                                       batches[0]["input"])
 
+    def test_jax_array_inputs_still_compressed_and_staged(self):
+        """User batches whose input is already a jax.Array must flow
+        through the same compress/pad/shard staging as numpy batches —
+        only the fit()-internal cache path bypasses _put."""
+        import jax.numpy as jnp
+        model = models.create("dnn", (T, F), N_CLASSES)
+        trainer = Trainer(model, optax.adam(5e-3), nll_loss,
+                          stage_dtype="bfloat16")
+        b = toy_batches(n_batches=1)[0]
+        b["input"] = jnp.asarray(b["input"])
+        staged = trainer._put(b)
+        assert staged["input"].dtype == jnp.bfloat16
+
     def test_early_break_shuts_down_producer(self):
         trainer = make_trainer()
         many = toy_batches(n_batches=12)
