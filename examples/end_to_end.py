@@ -12,6 +12,9 @@ import os
 import sys
 import tempfile
 
+# runnable without installation: `python examples/end_to_end.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):

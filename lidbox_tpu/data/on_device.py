@@ -435,7 +435,7 @@ def signals_to_float(signals):
 def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 val_batches=None, val_feature_fn=None,
                 val_feature_batches=None, steps_per_dispatch=1,
-                cache_staged=None):
+                cache_staged=None, cache_shuffle=True):
     """Train directly from raw waveform batches through the fused on-device
     path: every step is ONE XLA program (augment -> features -> fwd/bwd ->
     update) with no per-step host readbacks. With a mesh on the trainer,
@@ -463,7 +463,8 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     ``cache_staged`` (default: the trainer's setting) keeps the staged
     RAW waveform batches device-resident after epoch 1: later epochs pay
     zero feed traffic while augmentation stays fresh per epoch (it runs
-    on device, keyed by the advancing step counter).
+    on device, keyed by the advancing step counter). ``cache_shuffle``
+    re-permutes the cached batch order each epoch (seeded).
     """
     step = make_fused_train_step(trainer, feature_fn)
     spd = max(1, int(steps_per_dispatch))
@@ -551,7 +552,15 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         from lidbox_tpu.train.observability import ThroughputMeter
         meter = ThroughputMeter()
         if staged_cache is not None:
-            staged = iter(staged_cache)  # device-resident: zero feed traffic
+            # device-resident reuse: zero feed traffic, optionally with a
+            # fresh (seeded) batch order each epoch
+            if cache_shuffle:
+                from lidbox_tpu import RANDOM_SEED
+                order = np.random.default_rng(
+                    RANDOM_SEED + epoch).permutation(len(staged_cache))
+                staged = iter([staged_cache[i] for i in order])
+            else:
+                staged = iter(staged_cache)
             collecting = None
         elif spd > 1:
             staged = trainer._staged(

@@ -514,7 +514,8 @@ class Trainer:
             pool.shutdown(wait=False)
 
     def fit(self, train_batches, validation_batches=None, epochs=1,
-            steps_per_epoch=None, verbose=True, cache_staged=None):
+            steps_per_epoch=None, verbose=True, cache_staged=None,
+            cache_shuffle=True):
         """Run the training loop.
 
         ``train_batches``/``validation_batches`` are callables returning an
@@ -527,8 +528,12 @@ class Trainer:
         and reuses them for later epochs — no feed traffic, at the cost of
         FREEZING both sets to their epoch-1 contents (loaders that shuffle
         or rotate per epoch are only consulted once) and pinning them in
-        HBM for the whole run. A ``steps_per_epoch``-truncated first epoch
-        does not populate the cache.
+        HBM for the whole run. ``cache_shuffle`` (default True) re-permutes
+        the cached BATCH ORDER each epoch (seeded, batch-granular — the
+        within-batch grouping stays fixed), recovering most of the
+        optimization benefit of per-epoch reshuffling at zero feed cost.
+        A ``steps_per_epoch``-truncated first epoch does not populate the
+        cache.
         """
         if self.state is None:
             self.create_state()
@@ -547,7 +552,12 @@ class Trainer:
             meter = ThroughputMeter()
             losses = []
             if staged_cache is not None:
-                source = iter(staged_cache)
+                if cache_shuffle:
+                    order = np.random.default_rng(
+                        RANDOM_SEED + epoch).permutation(len(staged_cache))
+                    source = iter([staged_cache[i] for i in order])
+                else:
+                    source = iter(staged_cache)
                 collecting = None
             else:
                 batches = (train_batches() if callable(train_batches)

@@ -336,10 +336,19 @@ class TestCacheStaged:
         model = models.create("dnn", (T, F), N_CLASSES)
         trainer = Trainer(model, optax.adam(5e-3), nll_loss,
                           cache_staged=True)
-        hist = trainer.fit(counting_loader, epochs=3)
+        hist = trainer.fit(counting_loader, epochs=3, cache_shuffle=False)
         assert pulls["n"] == 1  # epochs 2-3 trained from the device cache
         for a, b in zip(hist_ref, hist):
             np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_cache_shuffle_reorders_but_covers_all_batches(self):
+        batches = toy_batches(n_batches=5)
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True)
+        hist = trainer.fit(lambda: batches, epochs=3)  # cache_shuffle on
+        # every epoch ran exactly len(batches) steps from the cache
+        assert int(jax.device_get(trainer.state.step)) == 15
+        assert np.all(np.isfinite([h["loss"] for h in hist]))
 
     def test_validation_batches_cached_and_logs_match(self):
         batches = toy_batches()
@@ -352,7 +361,8 @@ class TestCacheStaged:
             return val
         trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
                           optax.adam(5e-3), nll_loss, cache_staged=True)
-        hist = trainer.fit(lambda: batches, val_loader, epochs=3)
+        hist = trainer.fit(lambda: batches, val_loader, epochs=3,
+                           cache_shuffle=False)
         assert val_pulls["n"] == 1  # staged val reused across epochs
         for a, b in zip(hist_ref, hist):
             np.testing.assert_allclose(a["val_loss"], b["val_loss"],
