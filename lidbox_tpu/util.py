@@ -74,21 +74,24 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     from lidbox_tpu import parallel
     assert batch_size % mesh.size == 0, (
         f"batch_size {batch_size} must divide over the {mesh.size}-device mesh")
+    import threading
     repl = parallel.replicated(mesh)
     cache = {"leaves": None, "device": None}  # re-put only when weights change
+    cache_lock = threading.Lock()  # predict_with_model pipelines callers
 
     def _variables():
         # keyed on every leaf's IDENTITY, holding references to the keyed
         # leaves: replacing ANY nested entry invalidates the replicated
         # copy, and because the cache keeps the old leaves alive, a freed
         # array's address can never be recycled into a false cache hit
-        leaves = jax.tree_util.tree_leaves(model.variables)
-        prev = cache["leaves"]
-        if (prev is None or len(prev) != len(leaves)
-                or any(a is not b for a, b in zip(prev, leaves))):
-            cache["leaves"] = leaves
-            cache["device"] = jax.device_put(model.variables, repl)
-        return cache["device"]
+        with cache_lock:
+            leaves = jax.tree_util.tree_leaves(model.variables)
+            prev = cache["leaves"]
+            if (prev is None or len(prev) != len(leaves)
+                    or any(a is not b for a, b in zip(prev, leaves))):
+                cache["device"] = jax.device_put(model.variables, repl)
+                cache["leaves"] = leaves
+            return cache["device"]
 
     def predict_fn(inputs, mask=None):
         inputs = np.asarray(inputs)
@@ -140,19 +143,47 @@ def predict_with_model(model, ds, predict_fn=None, batch_size=32,
         predict_fn = lambda x, m: np.asarray(
             jax.device_get(score_fn(base_fn(x, m))))
 
+    # 2-deep batch pipeline: batch i+1's transfer + forward run on a
+    # worker thread while batch i's results come back — on a
+    # high-round-trip feed link this overlaps the h2d of the next batch
+    # with the d2h readback of the previous one. Results drain in order.
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
     ids, predictions = [], []
-    pending = []
-    for x in ds:
-        pending.append(x)
-        if len(pending) == batch_size:
-            _flush(pending, predict_fn, ids, predictions, pad_buckets)
-            pending = []
-    if pending:
-        _flush(pending, predict_fn, ids, predictions, pad_buckets)
+    pool = ThreadPoolExecutor(max_workers=2)
+    futures = collections.deque()
+
+    def submit(pending):
+        futures.append((pending, pool.submit(_run_batch, pending,
+                                             predict_fn, pad_buckets)))
+        while len(futures) > 2:
+            _drain_one(futures, ids, predictions)
+
+    try:
+        pending = []
+        for x in ds:
+            pending.append(x)
+            if len(pending) == batch_size:
+                submit(pending)
+                pending = []
+        if pending:
+            submit(pending)
+        while futures:
+            _drain_one(futures, ids, predictions)
+    finally:
+        pool.shutdown(wait=False)
     return predictions_to_dataframe(ids, predictions)
 
 
-def _flush(pending, predict_fn, ids, predictions, pad_buckets):
+def _drain_one(futures, ids, predictions):
+    pending, fut = futures.popleft()
+    preds = fut.result()
+    for p, pred in zip(pending, preds):
+        ids.append(str(p["id"]))
+        predictions.append(np.asarray(pred))
+
+
+def _run_batch(pending, predict_fn, pad_buckets):
     lengths = {p["input"].shape[0] for p in pending}
     mask = None
     if len(lengths) == 1:
@@ -162,10 +193,7 @@ def _flush(pending, predict_fn, ids, predictions, pad_buckets):
         inputs = batch["input"]
         mask = (np.arange(inputs.shape[1])[None, :]
                 < batch["input_length"][:, None])
-    preds = predict_fn(np.asarray(inputs, np.float32), mask)
-    for p, pred in zip(pending, preds):
-        ids.append(str(p["id"]))
-        predictions.append(np.asarray(pred))
+    return predict_fn(np.asarray(inputs, np.float32), mask)
 
 
 def chunk_parent_id(chunk_id):
