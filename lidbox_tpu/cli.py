@@ -51,6 +51,21 @@ def validate_config(config):
     meta = config.get("metadata", {})
     if meta and not ("csv" in meta or "common_voice" in meta):
         problems.append("metadata section must define 'csv' or 'common_voice'")
+    feed = config.get("experiment", {}).get("feed", {})
+    if feed:
+        known = {"prefetch", "stage_dtype", "steps_per_dispatch",
+                 "cache_staged"}
+        for key in set(feed) - known:
+            problems.append(f"unknown experiment.feed key '{key}' "
+                            f"(valid: {sorted(known)})")
+        sd = feed.get("stage_dtype")
+        if sd is not None:
+            try:
+                import jax.numpy as jnp
+                jnp.dtype(sd)
+            except TypeError:
+                problems.append(f"experiment.feed.stage_dtype {sd!r} is "
+                                "not a dtype (use e.g. bfloat16 or int16)")
     return problems
 
 

@@ -224,6 +224,24 @@ class TestCLI:
         bad.write_text(json.dumps({"experiment": {}}))
         assert main(["utils", "--validate-config", str(bad)]) == 1
 
+    def test_validate_config_feed_section(self, tmp_path, capsys):
+        from lidbox_tpu.cli import validate_config
+        base = {"cache_directory": "/c", "name": "n", "model": {},
+                "input_shape": [1], "output_shape": [1],
+                "optimizer": {}, "loss": {}}
+        ok = validate_config({"metadata": {"csv": "x"},
+                              "experiment": {**base, "feed": {
+                                  "prefetch": 4, "stage_dtype": "bfloat16",
+                                  "steps_per_dispatch": 2,
+                                  "cache_staged": True}}})
+        assert ok == []
+        bad = validate_config({"metadata": {"csv": "x"},
+                               "experiment": {**base, "feed": {
+                                   "prefetsh": 4,
+                                   "stage_dtype": "floatx"}}})
+        assert any("prefetsh" in p for p in bad)
+        assert any("floatx" in p for p in bad)
+
     def test_train_and_evaluate_from_config(self, tmp_path, audio_fixtures,
                                             capsys):
         from lidbox_tpu.cli import main
