@@ -476,6 +476,7 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     if cache_staged is None:
         cache_staged = trainer.cache_staged
     staged_cache = None
+    val_staged = None  # staged validation batches, cached alongside
     if trainer.state is None:
         trainer.create_state()
     validating = val_batches is not None or val_feature_batches is not None
@@ -608,16 +609,26 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if trainer.stop_training:
                 break
             continue
-        if val_feature_batches is not None:
-            eval_batches = list(val_feature_batches()
-                                if callable(val_feature_batches)
-                                else val_feature_batches)
-        elif eval_cache is not None:
-            eval_batches = eval_cache
+        if cache_staged and val_staged is not None:
+            val_logs = trainer.evaluate(val_staged, staged=True)
         else:
-            eval_batches = _featurize_val(val_feats, val_batches)
-        logs = {"loss": mean_loss, **meter.rates(),
-                **trainer.evaluate(eval_batches)}
+            if val_feature_batches is not None:
+                eval_batches = list(val_feature_batches()
+                                    if callable(val_feature_batches)
+                                    else val_feature_batches)
+            elif eval_cache is not None:
+                eval_batches = eval_cache
+            else:
+                eval_batches = _featurize_val(val_feats, val_batches)
+            if cache_staged:
+                # stage the validation set ONCE; later epochs evaluate the
+                # device-resident copy (frozen to epoch-1 contents, same
+                # semantics as Trainer.fit's cache_staged)
+                val_staged = list(trainer._staged(eval_batches))
+                val_logs = trainer.evaluate(val_staged, staged=True)
+            else:
+                val_logs = trainer.evaluate(eval_batches)
+        logs = {"loss": mean_loss, **meter.rates(), **val_logs}
         history.append(logs)
         if trainer.metrics_logger:
             trainer.metrics_logger.log(epoch, logs)

@@ -380,6 +380,41 @@ class TestCacheStaged:
         trainer.fit(counting_loader, epochs=2, steps_per_epoch=2)
         assert pulls["n"] == 2  # truncated epochs must not seed the cache
 
+    def test_fused_fit_caches_staged_validation(self):
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(11)
+        sr, t_len, b = 16000, 4000, 8
+        train = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                  rng.integers(0, N_CLASSES, b).astype(np.int32))]
+        val = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                rng.integers(0, N_CLASSES, b).astype(np.int32))]
+        frames = 1 + (t_len - 400) // 160
+        trainer = Trainer(models.create("dnn", (frames, 16), N_CLASSES),
+                          optax.adam(1e-3), nll_loss, cache_staged=True)
+        aug = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig(specaug_time_masks=1))
+        clean = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+        calls = {"n": 0}
+        orig_staged = trainer._staged
+
+        def counting_staged(*a, **k):
+            calls["n"] += 1
+            return orig_staged(*a, **k)
+        trainer._staged = counting_staged
+        hist = on_device.fit_signals(trainer, aug, lambda: train, epochs=3,
+                                     verbose=False, val_batches=lambda: val,
+                                     val_feature_fn=clean)
+        # one staging pass for train + one for val; epochs 2-3 reuse the
+        # device-resident copies
+        assert calls["n"] == 2, calls
+        vals = [h["val_loss"] for h in hist]
+        assert np.all(np.isfinite(vals))
+
     def test_fused_fit_signals_caches_raw_waveforms(self):
         from lidbox_tpu.data import on_device
         rng = np.random.default_rng(9)
