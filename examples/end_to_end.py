@@ -18,10 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
-    # keep the example runnable on CPU-only machines
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
+
+if not os.environ.get("LIDBOX_EXAMPLE_TPU"):
+    # examples default to the (virtual-mesh) CPU backend so they run fast
+    # and deterministically anywhere; set LIDBOX_EXAMPLE_TPU=1 to drive
+    # the ambient accelerator instead
+    jax.config.update("jax_platforms", "cpu")
 
 import lidbox_tpu.parallel as parallel
 from lidbox_tpu import testutil, util

@@ -28,6 +28,14 @@ if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
     os.environ.setdefault("XLA_FLAGS",
                           "--xla_force_host_platform_device_count=8")
 
+import jax
+
+if not os.environ.get("LIDBOX_EXAMPLE_TPU"):
+    # examples default to the (virtual-mesh) CPU backend so they run fast
+    # and deterministically anywhere; set LIDBOX_EXAMPLE_TPU=1 to drive
+    # the ambient accelerator instead
+    jax.config.update("jax_platforms", "cpu")
+
 import tempfile
 
 from lidbox_tpu import testutil

@@ -456,6 +456,38 @@ class TestSignalStaging:
                                    [[0.0, 0.5, -1.0, 0.999969482]],
                                    atol=4e-3)
 
+    def test_pack_targets_layout_property(self):
+        """pack_targets_int16 round-trips exactly for any admissible
+        shape, with and without a leading group axis, and declines the
+        layouts it documents as out of scope."""
+        from hypothesis import given, settings, strategies as st
+        from lidbox_tpu.data import on_device
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(1, 12), st.integers(1, 4), st.booleans(),
+               st.integers(0, 2 ** 31 - 1))
+        def check(b, k, grouped, seed):
+            rng = np.random.default_rng(seed)
+            t = b + int(rng.integers(0, 20))  # b <= t by construction
+            shape = (k, b, t) if grouped else (b, t)
+            sigs = rng.integers(-32768, 32768, shape).astype(np.int16)
+            tgts = rng.integers(0, 32768, shape[:-1]).astype(np.int32)
+            packed = on_device.pack_targets_int16(sigs, tgts)
+            assert packed is not None
+            assert packed.shape == shape[:-2] + (b + 1, t)
+            np.testing.assert_array_equal(packed[..., :b, :], sigs)
+            # the fused step's unpack: last row's first B slots
+            np.testing.assert_array_equal(
+                packed[..., b, :b].astype(np.int32), tgts)
+            # declined layouts
+            assert on_device.pack_targets_int16(
+                sigs.astype(np.float32), tgts) is None
+            neg = tgts.copy().reshape(-1)
+            neg[0] = -1
+            assert on_device.pack_targets_int16(
+                sigs, neg.reshape(tgts.shape)) is None
+        check()
+
     def test_int16_round_trip_matches_f32_within_quantization(self):
         from lidbox_tpu.data import on_device
         rng = np.random.default_rng(0)
