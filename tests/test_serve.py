@@ -115,3 +115,22 @@ class TestStreamingClassifier:
         assert out is not None and out.shape == (len(LABELS),)
         sc.reset()
         assert sc.scores() is None and sc._buffer.size == 0
+
+    def test_streaming_language_vector_model_with_score_fn(self):
+        """A headless AP model streams through score_fn: per-chunk [B, D]
+        vectors become [B, N] scores (-theta) before the running mean, so
+        scores()/label() work exactly like a classifier head."""
+        from lidbox_tpu.losses import AngularProximity
+        frames = 1 + (RATE - 400) // 160
+        model = models.create("ap_lstm", (frames, 24), len(LABELS),
+                              num_lstm_units=4).init()
+        loss = AngularProximity(N=len(LABELS), D=16)
+        sc = serve.StreamingClassifier(model, LABELS,
+                                       feature_config=self._config(),
+                                       chunk_seconds=1.0, hop_seconds=1.0,
+                                       score_fn=loss.predict)
+        sig = testutil.noisy_sinewave(300, RATE, 0.1, 2.0, seed=3)
+        out = sc.feed(sig)
+        assert out is not None and out.shape == (len(LABELS),)
+        assert np.all(out <= 0.0)  # -theta scores over N classes, not D
+        assert sc.label() in LABELS
