@@ -369,6 +369,7 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
         if with_mask:
             return feats, frame_mask
         return feats
+    fn.sample_rate = int(sample_rate)  # observability: fit_signals RTF
     return fn
 
 
@@ -552,6 +553,9 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         losses = []
         from lidbox_tpu.train.observability import ThroughputMeter
         meter = ThroughputMeter()
+        # audio-seconds throughput (RTF): samples / sample_rate, with the
+        # rate taken from the feature fn (make_augmented_feature_fn tags it)
+        sr = float(getattr(feature_fn, "sample_rate", 0) or 0)
         if staged_cache is not None:
             # device-resident reuse: zero feed traffic, optionally with a
             # fresh (seeded) batch order each epoch
@@ -566,31 +570,35 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         elif spd > 1:
             staged = trainer._staged(
                 lambda: _grouped(signal_batches),
-                count_fn=lambda g: sum(int(np.shape(t)[0]) for _, t in g),
+                count_fn=lambda g: (
+                    sum(int(np.shape(t)[0]) for _, t in g),
+                    sum(np.shape(s)[0] * np.shape(s)[-1] for s, _ in g)),
                 put=_stage_group)
             collecting = [] if cache_staged else None
         else:
             staged = trainer._staged(
                 signal_batches,
-                count_fn=lambda b: int(np.shape(b[1])[0]),
+                count_fn=lambda b: (int(np.shape(b[1])[0]),
+                                    int(np.size(b[0]))),
                 put=lambda b: _stage(*b))
             collecting = [] if cache_staged else None
         if spd > 1:
-            for n, (sig_k, tgt_k) in staged:
+            for (n, samples), (sig_k, tgt_k) in staged:
                 if collecting is not None:
-                    collecting.append((n, (sig_k, tgt_k)))
+                    collecting.append(((n, samples), (sig_k, tgt_k)))
                 trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
                                               trainer.rng)
                 losses.append(loss_k)
-                meter.update(n)
+                meter.update(n, samples / sr if sr else 0.0)
         else:
-            for n, (signals, targets, mask) in staged:
+            for (n, samples), (signals, targets, mask) in staged:
                 if collecting is not None:
-                    collecting.append((n, (signals, targets, mask)))
+                    collecting.append(((n, samples),
+                                       (signals, targets, mask)))
                 trainer.state, loss = step(trainer.state, signals, targets,
                                            trainer.rng, mask)
                 losses.append(loss)
-                meter.update(n)
+                meter.update(n, samples / sr if sr else 0.0)
         if collecting is not None:
             staged_cache = collecting
         mean_loss = (float(jnp.mean(jnp.concatenate(

@@ -126,6 +126,8 @@ def test_1k_corpus_full_config_journey(tmp_path, corpus):
     assert events, "no JSONL training logs written"
     assert any(e.get("metrics", {}).get("examples_per_sec", 0) > 0
                for e in events)
+    assert any(e.get("metrics", {}).get("audio_rtf", 0) > 0
+               for e in events)  # audio-seconds throughput recorded too
 
     # evaluation over the 200-utterance test split completes with a report
     import io
