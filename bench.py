@@ -91,7 +91,8 @@ def main():
 
     results = {}
     for method, precision in (("matmul", "highest"), ("pallas", "highest"),
-                              ("fft", "highest"), ("matmul", "bf16_3x")):
+                              ("fft", "highest"), ("matmul", "bf16_3x"),
+                              ("matmul", "bf16")):
         @jax.jit
         def feat_step(carry, m=method, p=precision):
             feats = F.extract_features(
@@ -109,6 +110,22 @@ def main():
         except Exception as e:
             log(f"  features[{method},{precision}] failed: "
                 f"{type(e).__name__}: {e}")
+    # On-chip numerics of the reduced-pass modes vs the 6-pass parity mode
+    # (f64 ground truth is unavailable on device; "highest" is within
+    # ~1.1e-4 of it, so diffs against it bound the true error).
+    try:
+        @jax.jit
+        def _logmel_at(p):
+            return F.extract_features(
+                signals[:32], SAMPLE_RATE, feature_type="logmelspectrogram",
+                melspectrogram={"num_mel_bins": NUM_MEL},
+                stft_method="matmul", precision=p)
+        ref_lm = np.asarray(_logmel_at("highest"))
+        for p in ("bf16_3x", "bf16"):
+            err = float(np.max(np.abs(np.asarray(_logmel_at(p)) - ref_lm)))
+            log(f"  logmel-error[{p} vs highest]: max|diff| {err:.2e}")
+    except Exception as e:
+        log(f"  logmel-error section failed: {type(e).__name__}: {e}")
     # Headline RTFx stays f32-parity-grade (1e-4 vs tf.signal); the bf16_3x
     # training-precision line is reported above for the speed-of-light view.
     parity = {k: v for k, v in results.items() if k[1] == "highest"}
@@ -221,7 +238,7 @@ def main():
         trainer_bf16.create_state()
         peak = 197e12  # TPU v5e bf16 peak FLOP/s
 
-        def bf16_line(bsig, btgt, n1, n2):
+        def bf16_line(bsig, btgt, n1, n2, dsp="bf16_3x"):
             # donate the state like the real Trainer step does: in-place
             # param updates halve the optimizer-state HBM traffic
             def step_fn(state, carry):
@@ -229,7 +246,7 @@ def main():
                     bsig + carry * 1e-20, SAMPLE_RATE,
                     feature_type="logmelspectrogram",
                     melspectrogram={"num_mel_bins": NUM_MEL},
-                    stft_method=best_method, precision="bf16_3x")
+                    stft_method=best_method, precision=dsp)
                 return trainer_bf16._train_step(
                     state, {"input": feats, "target": btgt},
                     trainer_bf16.rng)
@@ -253,16 +270,23 @@ def main():
             b = bsig.shape[0]
             mfu = 100 * flops / dt_b / peak if flops else float("nan")
             roofline_ms = flops / peak * 1e3
-            log(f"  train-step[bf16, b{b}]: {dt_b * 1e3:.3f} ms -> "
+            log(f"  train-step[bf16+{dsp}, b{b}]: {dt_b * 1e3:.3f} ms -> "
                 f"{b / dt_b:,.1f} utt/s; MFU {mfu:.1f}% "
                 f"({flops / 1e9:.2f} GFLOP, roofline {roofline_ms:.3f} ms)")
             return dt_b
         bf16_line(model_signals, targets, 10, 60)
         bf16_line(signals, targets256, 5, 25)
+        # one-pass DSP: the throughput ceiling (max log-mel err ~1e-2,
+        # for augmented-training pipelines where SpecAugment noise
+        # dominates; see DSP_PRECISIONS)
+        bf16_line(signals, targets256, 5, 25, dsp="bf16")
         # b512 is the measured MFU peak on v5e (63% vs 61% at b256 and
         # 58% at b1024 — larger batches start paying HBM pressure)
         bf16_line(jnp.concatenate([signals, signals]),
                   jnp.concatenate([targets256, targets256]), 4, 16)
+        bf16_line(jnp.concatenate([signals, signals]),
+                  jnp.concatenate([targets256, targets256]), 4, 16,
+                  dsp="bf16")
     except Exception as e:
         log(f"  bf16 train-step section failed: {type(e).__name__}: {e}")
 

@@ -198,10 +198,14 @@ def _packed_dft_basis(frame_length, fft_length):
 # 1e-4 tf.signal parity budget. "bf16_3x" (3 passes) is ~1.75x faster on the
 # MXU with max log-mel error ~1.5e-3 vs float64 (measured, v5e) — fine for
 # training/augmentation pipelines, NOT for parity-checked feature dumps.
+# "bf16" (1 pass, Precision.DEFAULT) is the throughput ceiling: inputs
+# rounded straight to bfloat16, f32 accumulation — max log-mel error ~1e-2;
+# use only where downstream noise dominates (augmented training).
 DSP_PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "bf16_3x": "BF16_BF16_F32_X3",
     "bf16_6x": "BF16_BF16_F32_X6",
+    "bf16": jax.lax.Precision.DEFAULT,
 }
 
 
@@ -264,6 +268,13 @@ def stft(signals, frame_length, frame_step, fft_length=512, method="fft",
     method="matmul": windowed-DFT segment matmuls on the MXU (returns
     (real, imag)) without materializing a frame tensor (_segment_dft);
     ``precision`` picks the MXU pass count (see DSP_PRECISIONS).
+
+    A radix-4 DIT factorization (4x fewer matmul FLOPs) was built and
+    measured AGAINST this path on v5e: 4.8 ms vs 1.8 ms (b256x3 s,
+    highest) and 4.75 vs 1.13 ms (bf16_3x) — the decimated [.., M=L/4, 4]
+    layout forces small-K batched matmuls the MXU tiles poorly, while the
+    direct basis keeps one large-K contraction. Direct wins on TPU;
+    docs/status.md records the experiment.
     """
     if method == "matmul":
         prec = dsp_precision(precision)

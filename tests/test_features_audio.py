@@ -188,6 +188,23 @@ class TestSpectrograms:
         assert out.shape == (4, 1 + (x.shape[1] - 400) // 160, 64)
         assert np.all(np.isfinite(out))
 
+    def test_all_dsp_precision_modes_plumb_through(self):
+        # On CPU every mode computes in f32, so values must agree exactly;
+        # the real pass-count differences are measured on-chip (bench.py
+        # logmel-error lines). This guards the config plumbing for
+        # "bf16_3x"/"bf16"/"bf16_6x" end to end through extract_features.
+        from lidbox_tpu import features as F
+        x = jnp.asarray(_signals())
+        ref = np.asarray(F.extract_features(
+            x, RATE, feature_type="logmelspectrogram", stft_method="matmul",
+            precision="highest"))
+        for mode in audio.DSP_PRECISIONS:
+            out = np.asarray(F.extract_features(
+                x, RATE, feature_type="logmelspectrogram",
+                stft_method="matmul", precision=mode))
+            np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5,
+                                       err_msg=mode)
+
     def test_mfcc_matches_tf_signal(self):
         x = _signals()
         S = tf.math.square(tf.math.abs(tf.signal.stft(x, 400, 160, fft_length=512)))
