@@ -17,6 +17,7 @@ TPU chip under the driver; CPU if forced).
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -112,18 +113,22 @@ def main():
                 f"{type(e).__name__}: {e}")
     # On-chip numerics of the reduced-pass modes vs the 6-pass parity mode
     # (f64 ground truth is unavailable on device; "highest" is within
-    # ~1.1e-4 of it, so diffs against it bound the true error).
+    # ~1.1e-4 of it, so diffs against it bound the true error). Signals MUST
+    # be a jit argument: closed-over arrays are constants and XLA
+    # constant-folds the whole feature chain at full precision on the host,
+    # reporting an impossible zero error for every mode.
     try:
-        @jax.jit
-        def _logmel_at(p):
+        @partial(jax.jit, static_argnames="p")
+        def _logmel_at(x, p):
             return F.extract_features(
-                signals[:32], SAMPLE_RATE, feature_type="logmelspectrogram",
+                x, SAMPLE_RATE, feature_type="logmelspectrogram",
                 melspectrogram={"num_mel_bins": NUM_MEL},
                 stft_method="matmul", precision=p)
-        ref_lm = np.asarray(_logmel_at("highest"))
+        ref_lm = np.asarray(_logmel_at(signals[:32], "highest"))
         for p in ("bf16_3x", "bf16"):
-            err = float(np.max(np.abs(np.asarray(_logmel_at(p)) - ref_lm)))
-            log(f"  logmel-error[{p} vs highest]: max|diff| {err:.2e}")
+            d = np.abs(np.asarray(_logmel_at(signals[:32], p)) - ref_lm)
+            log(f"  logmel-error[{p} vs highest]: max {d.max():.2e} "
+                f"mean {d.mean():.2e} p99 {np.quantile(d, 0.99):.2e}")
     except Exception as e:
         log(f"  logmel-error section failed: {type(e).__name__}: {e}")
     # Headline RTFx stays f32-parity-grade (1e-4 vs tf.signal); the bf16_3x

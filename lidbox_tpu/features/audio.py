@@ -199,8 +199,10 @@ def _packed_dft_basis(frame_length, fft_length):
 # MXU with max log-mel error ~1.5e-3 vs float64 (measured, v5e) — fine for
 # training/augmentation pipelines, NOT for parity-checked feature dumps.
 # "bf16" (1 pass, Precision.DEFAULT) is the throughput ceiling: inputs
-# rounded straight to bfloat16, f32 accumulation — max log-mel error ~1e-2;
-# use only where downstream noise dominates (augmented training).
+# rounded straight to bfloat16, f32 accumulation — measured log-mel error
+# vs "highest" (white-noise input, v5e): mean 2e-3, p99 1e-2, max ~0.3
+# concentrated at low-energy bins near the log floor. Use only where
+# downstream noise dominates (SpecAugment/noise-mix training pipelines).
 DSP_PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "bf16_3x": "BF16_BF16_F32_X3",
