@@ -70,6 +70,20 @@ def _time(step_fn, carry0, n1=10, n2=60, reps=7):
 def main():
     import os
     import jax
+    # Soft deadline guarding the driver's single bench run against tunnel
+    # stalls (observed: 20-minute pre-dispatch hangs on the pooled link):
+    # once the headline sections are measured, every later section first
+    # checks the clock and is skipped — with a log line — rather than
+    # risking the whole run producing no JSON at all.
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("LIDBOX_BENCH_DEADLINE_S", 2100))
+
+    def past_deadline(section):
+        if time.perf_counter() - t_start > deadline:
+            log(f"  {section}: SKIPPED (past {deadline:.0f}s soft deadline; "
+                f"set LIDBOX_BENCH_DEADLINE_S to raise)")
+            return True
+        return False
     try:  # persistent compile cache: re-runs skip the ~20-40 s compiles
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
@@ -238,6 +252,8 @@ def main():
     # params/opt/loss stay f32, forwards in bfloat16, DSP matmuls in the
     # 3-pass bf16 mode (~1.5e-3 log-mel error, training-grade).
     try:
+        if past_deadline("bf16 train-step section"):
+            raise TimeoutError("soft deadline")
         trainer_bf16 = Trainer(model, optax.adam(1e-3), nll_loss,
                                compute_dtype=jnp.bfloat16)
         trainer_bf16.create_state()
@@ -298,51 +314,56 @@ def main():
     # --- BASELINE config 5: augmented train step (VAD-free path:
     # noise bank mix + FIR + SpecAugment + log-Mel + xvector fwd/bwd) -----
     from lidbox_tpu.data import on_device
-    bank = jnp.asarray(rng.normal(0, 0.2, (16, SAMPLE_RATE * 4)).astype(np.float32))
-    bank_len = jnp.full((16,), SAMPLE_RATE * 4, jnp.int32)
-    feature_fn = on_device.make_augmented_feature_fn(
-        SAMPLE_RATE, {"type": "logmelspectrogram",
-                      "melspectrogram": {"num_mel_bins": NUM_MEL},
-                      "stft_method": best_method},
-        on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
-                                specaug_time_masks=2, specaug_freq_masks=2),
-        noise_bank=bank, noise_lengths=bank_len)
-    fused = on_device.make_fused_train_step(trainer, feature_fn)
-    state2 = trainer.state
+    if not past_deadline("augmented/config5 sections"):
+        bank = jnp.asarray(
+            rng.normal(0, 0.2, (16, SAMPLE_RATE * 4)).astype(np.float32))
+        bank_len = jnp.full((16,), SAMPLE_RATE * 4, jnp.int32)
+        feature_fn = on_device.make_augmented_feature_fn(
+            SAMPLE_RATE, {"type": "logmelspectrogram",
+                          "melspectrogram": {"num_mel_bins": NUM_MEL},
+                          "stft_method": best_method},
+            on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
+                                    specaug_time_masks=2,
+                                    specaug_freq_masks=2),
+            noise_bank=bank, noise_lengths=bank_len)
+        fused = on_device.make_fused_train_step(trainer, feature_fn)
+        state2 = trainer.state
 
-    def fused_with_state(carry):
-        nonlocal state2
-        state2, loss = fused(state2, model_signals + carry * 1e-20, targets,
-                             jax.random.PRNGKey(0))
-        return loss
-    dt_aug = _time(fused_with_state, jnp.float32(0.0))
-    log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
-        f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s (noise+FIR+SpecAugment fused)")
+        def fused_with_state(carry):
+            nonlocal state2
+            state2, loss = fused(state2, model_signals + carry * 1e-20,
+                                 targets, jax.random.PRNGKey(0))
+            return loss
+        dt_aug = _time(fused_with_state, jnp.float32(0.0))
+        log(f"  augmented-train-step[b{MODEL_BATCH}]: {dt_aug * 1e3:.3f} ms "
+            f"-> {MODEL_BATCH / dt_aug:,.1f} utt/s "
+            f"(noise+FIR+SpecAugment fused)")
 
-    # Full BASELINE config-5 chain: waveform -> energy VAD -> noise +
-    # random resampling + SpecAugment -> log-Mel -> train, ONE XLA program
-    # with the frame mask threaded into the model.
-    feature_fn5 = on_device.make_augmented_feature_fn(
-        SAMPLE_RATE, {"type": "logmelspectrogram",
-                      "melspectrogram": {"num_mel_bins": NUM_MEL},
-                      "stft_method": best_method},
-        on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
-                                speed_range=(0.9, 1.1), vad=True,
-                                vad_min_non_speech_ms=0,
-                                specaug_time_masks=2, specaug_freq_masks=2),
-        noise_bank=bank, noise_lengths=bank_len)
-    fused5 = on_device.make_fused_train_step(trainer, feature_fn5)
-    state5 = trainer.state
+        # Full BASELINE config-5 chain: waveform -> energy VAD -> noise +
+        # random resampling + SpecAugment -> log-Mel -> train, ONE XLA
+        # program with the frame mask threaded into the model.
+        feature_fn5 = on_device.make_augmented_feature_fn(
+            SAMPLE_RATE, {"type": "logmelspectrogram",
+                          "melspectrogram": {"num_mel_bins": NUM_MEL},
+                          "stft_method": best_method},
+            on_device.AugmentConfig(snr_range=(5.0, 20.0), fir_coefs=10,
+                                    speed_range=(0.9, 1.1), vad=True,
+                                    vad_min_non_speech_ms=0,
+                                    specaug_time_masks=2,
+                                    specaug_freq_masks=2),
+            noise_bank=bank, noise_lengths=bank_len)
+        fused5 = on_device.make_fused_train_step(trainer, feature_fn5)
+        state5 = trainer.state
 
-    def fused5_with_state(carry):
-        nonlocal state5
-        state5, loss = fused5(state5, model_signals + carry * 1e-20, targets,
-                              jax.random.PRNGKey(0))
-        return loss
-    dt5 = _time(fused5_with_state, jnp.float32(0.0))
-    log(f"  config5-train-step[b{MODEL_BATCH}]: {dt5 * 1e3:.3f} ms "
-        f"-> {MODEL_BATCH / dt5:,.1f} utt/s "
-        f"(VAD+noise+resample+FIR+SpecAugment+mask fused)")
+        def fused5_with_state(carry):
+            nonlocal state5
+            state5, loss = fused5(state5, model_signals + carry * 1e-20,
+                                  targets, jax.random.PRNGKey(0))
+            return loss
+        dt5 = _time(fused5_with_state, jnp.float32(0.0))
+        log(f"  config5-train-step[b{MODEL_BATCH}]: {dt5 * 1e3:.3f} ms "
+            f"-> {MODEL_BATCH / dt5:,.1f} utt/s "
+            f"(VAD+noise+resample+FIR+SpecAugment+mask fused)")
 
     # --- host loader: wav-decode throughput + fed train step --------------
     # SURVEY §7 "feature extraction never bottlenecks training": decode
@@ -351,6 +372,8 @@ def main():
     # train step. NOTE: host->device transfers here ride the axon tunnel
     # (30-300 ms RTT); on a real TPU host the fed gap would be smaller.
     try:
+        if past_deadline("host-loader section"):
+            raise TimeoutError("soft deadline")
         import os
         import tempfile
         import wave
@@ -517,6 +540,8 @@ def main():
         # device-resident epoch cache: epoch 1 pays the feed once, later
         # epochs train from HBM at device speed (augmentation stays fresh
         # — it runs on device from the cached raw waveforms)
+        if past_deadline("fed-cached section"):
+            raise TimeoutError("soft deadline")
         from lidbox_tpu.train.loop import Callback
         epoch_walls = []
 
@@ -541,6 +566,8 @@ def main():
 
         # legacy r02-style fed path (host featurize round-trip, f32
         # features staged) for direct comparison with BENCH_r02's 114 utt/s
+        if past_deadline("legacy fed section"):
+            raise TimeoutError("soft deadline")
         extractor = DeviceFeatureExtractor(
             {"type": "logmelspectrogram",
              "melspectrogram": {"num_mel_bins": NUM_MEL},
@@ -575,6 +602,8 @@ def main():
     # The XLA lowering materializes a [B, frames, 400] f32 frame tensor in
     # HBM (gather), the fused kernel streams signal rows through VMEM.
     try:
+        if past_deadline("long-audio section"):
+            raise TimeoutError("soft deadline")
         from lidbox_tpu.ops import fused_logmel_packed, logmel_reference
         long_secs = 60.0
         long_b = 32

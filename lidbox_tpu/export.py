@@ -67,13 +67,20 @@ def load_model(directory, num_outputs=None):
     return model
 
 
-def export_stablehlo(model, directory, batch_size=1):
+def export_stablehlo(model, directory, batch_size=None, platforms=None):
     """AOT-export the inference forward as serialized StableHLO.
 
     The artifact is runnable by any PJRT plugin (TPU, CPU, GPU) or by
     jax.export.deserialize — the deployment analogue of the reference's
     tfjs-converter path (SURVEY.md §2: "its TPU-era analogue is simply
-    model export")."""
+    model export").
+
+    ``batch_size=None`` (default) exports a SYMBOLIC batch dimension: one
+    artifact serves every batch size (jax.export shape polymorphism).
+    Pass a concrete int for models whose lowering needs a static batch.
+    ``platforms`` (e.g. ``("tpu", "cpu")``) embeds lowerings for several
+    backends in one artifact, so the same file deploys to a TPU serving
+    fleet and a CPU canary."""
     from jax import export as jax_export
 
     if model.variables is None:
@@ -85,13 +92,21 @@ def export_stablehlo(model, directory, batch_size=1):
     def forward(x):
         return model.module.apply(variables, x, train=False, output=output)
 
-    exported = jax_export.export(jax.jit(forward))(
-        jax.ShapeDtypeStruct((batch_size,) + shape, jnp.float32))
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(forward), **kwargs)(
+        jax.ShapeDtypeStruct((b,) + shape, jnp.float32))
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, STABLEHLO_NAME)
     with open(path, "wb") as f:
         f.write(exported.serialize())
-    logger.info("Exported StableHLO forward to %s", path)
+    logger.info(
+        "Exported StableHLO forward to %s (batch %s, platforms %s)", path,
+        "symbolic" if batch_size is None else b,
+        ",".join(kwargs.get("platforms", (jax.default_backend(),))))
     return path
 
 

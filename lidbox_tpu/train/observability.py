@@ -77,8 +77,13 @@ class ThroughputMeter:
 
     def rates(self):
         dt = max(self.elapsed, 1e-9)
-        return {"examples_per_sec": self.num_examples / dt,
-                "audio_rtf": self.audio_seconds / dt}
+        out = {"examples_per_sec": self.num_examples / dt}
+        if self.audio_seconds:
+            # only meaningful when the feed reported audio durations
+            # (feature-batch feeds don't know them; a hard 0 in the epoch
+            # logs would read as a measurement, not a missing signal)
+            out["audio_rtf"] = self.audio_seconds / dt
+        return out
 
 
 @contextlib.contextmanager

@@ -122,6 +122,13 @@ class TestObservability:
         assert rates["examples_per_sec"] > 0
         assert rates["audio_rtf"] > 0
 
+    def test_throughput_meter_omits_unknown_audio_rtf(self):
+        # feature-batch feeds never report audio seconds; a hard 0 in the
+        # epoch logs would read as a measurement, so the key is omitted
+        meter = ThroughputMeter()
+        meter.update(10)
+        assert "audio_rtf" not in meter.rates()
+
     def test_cprofile_context(self, tmp_path):
         out = str(tmp_path / "prof.log")
         with cprofile(output_path=out, enabled=True):

@@ -38,3 +38,28 @@ def test_stablehlo_export_round_trip(tmp_path):
     fn = export.load_stablehlo(path)
     out = np.asarray(fn(x))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_symbolic_batch_serves_any_batch_size(tmp_path):
+    # default export: ONE artifact, symbolic batch dim
+    model = models.create("xvector", (30, 20), 4).init()
+    path = export.export_stablehlo(model, str(tmp_path))
+    fn = export.load_stablehlo(path)
+    rng = np.random.default_rng(2)
+    for b in (1, 3, 8):
+        x = rng.normal(0, 1, (b, 30, 20)).astype(np.float32)
+        ref = np.asarray(model(x))
+        np.testing.assert_allclose(np.asarray(fn(x)), ref,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_multi_platform_artifact(tmp_path):
+    # cross-platform lowering: the artifact embeds a TPU lowering built on
+    # this CPU-only host plus the CPU lowering we can actually execute
+    model = models.create("dnn", (10, 8), 3).init()
+    x = np.random.default_rng(3).normal(0, 1, (2, 10, 8)).astype(np.float32)
+    ref = np.asarray(model(x))
+    path = export.export_stablehlo(model, str(tmp_path), batch_size=2,
+                                   platforms=("cpu", "tpu"))
+    out = np.asarray(export.load_stablehlo(path)(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
