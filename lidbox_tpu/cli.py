@@ -10,6 +10,7 @@ restores a working CLI over the same config-dict contract:
     python -m lidbox_tpu evaluate config.yaml
     python -m lidbox_tpu extract-embeddings config.yaml out.npz
     python -m lidbox_tpu classify config.yaml a.wav b.mp3
+    python -m lidbox_tpu export config.yaml out_dir --stablehlo
     python -m lidbox_tpu utils --validate-config config.yaml
 
 Configs are YAML or JSON. Metadata comes from a ``metadata`` section:
@@ -168,16 +169,12 @@ def cmd_train(args):
     return 0
 
 
-def cmd_evaluate(args):
-    config = load_config(args.config)
-    meta, labels = load_metadata(config)
-    from lidbox_tpu import util
-    from lidbox_tpu.meta import generate_label2target
+def _wrapper_with_best_checkpoint(config):
+    """ModelWrapper.from_config with the best checkpoint's weights loaded
+    into model.variables (fresh weights, with a warning, when the
+    experiment cache has no checkpoint yet)."""
     from lidbox_tpu.models.model_utils import (ModelWrapper,
                                                best_model_checkpoint_from_config)
-
-    test_split = config["experiment"]["data"].get("test", {}).get("split", "test")
-    test_ds = build_split_dataset(test_split, meta, labels, config)
     wrapper = ModelWrapper.from_config(config)
     best = best_model_checkpoint_from_config(config)
     if best:
@@ -186,6 +183,20 @@ def cmd_evaluate(args):
             "params": wrapper.trainer.state.params,
             **({"batch_stats": wrapper.trainer.state.batch_stats}
                if wrapper.trainer.state.batch_stats else {})}
+    else:
+        logger.warning("no checkpoint found; using fresh weights")
+    return wrapper
+
+
+def cmd_evaluate(args):
+    config = load_config(args.config)
+    meta, labels = load_metadata(config)
+    from lidbox_tpu import util
+    from lidbox_tpu.meta import generate_label2target
+
+    test_split = config["experiment"]["data"].get("test", {}).get("split", "test")
+    test_ds = build_split_dataset(test_split, meta, labels, config)
+    wrapper = _wrapper_with_best_checkpoint(config)
     meta_with_targets, label2target = generate_label2target(meta)
     test_meta = meta_with_targets[meta_with_targets["split"] == test_split]
     report = util.evaluate_testset_with_model(
@@ -225,19 +236,8 @@ def cmd_classify(args):
     config = load_config(args.config)
     _, labels = load_metadata(config)
     from lidbox_tpu import serve
-    from lidbox_tpu.models.model_utils import (ModelWrapper,
-                                               best_model_checkpoint_from_config)
 
-    wrapper = ModelWrapper.from_config(config)
-    best = best_model_checkpoint_from_config(config)
-    if best:
-        wrapper.trainer.restore(best)
-        wrapper.model.variables = {
-            "params": wrapper.trainer.state.params,
-            **({"batch_stats": wrapper.trainer.state.batch_stats}
-               if wrapper.trainer.state.batch_stats else {})}
-    else:
-        logger.warning("no checkpoint found; classifying with fresh weights")
+    wrapper = _wrapper_with_best_checkpoint(config)
     mesh = None
     if args.data_parallel:
         from lidbox_tpu import parallel
@@ -257,6 +257,32 @@ def cmd_classify(args):
         logger.info("Wrote %d classifications to %s", len(out), args.output)
     else:
         print(csv, end="")
+    return 0
+
+
+def cmd_export(args):
+    """Export the best checkpoint as a deployment artifact: architecture
+    spec + weights (export.save_model), optionally an ahead-of-time
+    StableHLO forward (--stablehlo) with a symbolic batch dimension so one
+    file serves every batch size. Completes the config-driven journey
+    train -> evaluate -> export without touching Python APIs (the
+    reference's deployment analogue was the hand-run tfjs-converter,
+    reference: lidbox/models/xvector_stats_pooling.js)."""
+    config = load_config(args.config)
+    from lidbox_tpu import export as export_mod
+
+    wrapper = _wrapper_with_best_checkpoint(config)
+    exp = config["experiment"]
+    model_kwargs = dict(exp["model"].get("kwargs", {}))
+    model_kwargs["num_outputs"] = int(np.squeeze(exp["output_shape"]))
+    export_mod.save_model(wrapper.model, exp["model"]["key"], args.output,
+                          model_kwargs=model_kwargs)
+    if args.stablehlo:
+        platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                     if args.platforms else None)
+        export_mod.export_stablehlo(wrapper.model, args.output,
+                                    batch_size=args.batch_size,
+                                    platforms=platforms)
     return 0
 
 
@@ -319,6 +345,22 @@ def create_argparser():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard inference batches over all visible devices")
     p.set_defaults(fn=cmd_classify)
+
+    p = sub.add_parser("export",
+                       help="export the best checkpoint as a deployment "
+                            "artifact (spec + weights, optional StableHLO)")
+    p.add_argument("config")
+    p.add_argument("output", help="output directory")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also AOT-export the forward as serialized "
+                        "StableHLO (runnable without model code)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="concrete batch for --stablehlo "
+                        "(default: symbolic, serves any batch size)")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms for "
+                        "--stablehlo, e.g. tpu,cpu")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("utils", help="config validation and helpers")
     p.add_argument("--validate-config", metavar="CONFIG")

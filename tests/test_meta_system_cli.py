@@ -275,6 +275,53 @@ class TestCLI:
         report = json.loads(capsys.readouterr().out)
         assert "accuracy" in report and "avg_detection_cost" in report
 
+    def test_export_cli_journey(self, tmp_path, audio_fixtures):
+        """train -> export --stablehlo from the shell: the output directory
+        holds a reloadable spec+weights model AND a symbolic-batch StableHLO
+        artifact that reproduces the checkpointed model's scores."""
+        from lidbox_tpu.cli import main
+        import yaml
+        meta = _meta(audio_fixtures)
+        csv = tmp_path / "meta.csv"
+        meta.reset_index().to_csv(csv, index=False)
+        config = {
+            "metadata": {"csv": str(csv)},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 24},
+                         "group_by_input_length": {"max_batch_size": 8}},
+            "experiment": {
+                "cache_directory": str(tmp_path / "cache"), "name": "ex",
+                "input_shape": [298, 24], "output_shape": [3],
+                "model": {"key": "dnn"},
+                "optimizer": {"cls": "Adam", "kwargs": {"learning_rate": 1e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+                "callbacks": [{"cls": "ModelCheckpoint",
+                               "kwargs": {"monitor": "val_loss",
+                                          "mode": "min"}}],
+                "epochs": 1,
+                "data": {"train": {"split": "train", "batch_size": 4},
+                         "test": {"split": "test"}}},
+        }
+        cfg = tmp_path / "config.yaml"
+        cfg.write_text(yaml.safe_dump(config))
+        assert main(["train", str(cfg)]) == 0
+        out = tmp_path / "deploy"
+        assert main(["export", str(cfg), str(out), "--stablehlo"]) == 0
+
+        from lidbox_tpu import export as export_mod
+        loaded = export_mod.load_model(str(out))
+        x = np.random.default_rng(0).normal(
+            0, 1, (3, 298, 24)).astype(np.float32)
+        ref = np.asarray(loaded(x))
+        assert ref.shape == (3, 3)
+        fn = export_mod.load_stablehlo(
+            str(out / export_mod.STABLEHLO_NAME))
+        # symbolic batch: the one artifact serves other batch sizes too
+        np.testing.assert_allclose(np.asarray(fn(x)), ref,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fn(x[:1])), ref[:1],
+                                   rtol=1e-5, atol=1e-6)
+
     def test_train_orbax_backend_resumes_via_cli(self, tmp_path,
                                                  audio_fixtures):
         """CLI journey for the orbax checkpoint backend: train writes orbax
