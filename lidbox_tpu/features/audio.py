@@ -199,10 +199,13 @@ def _packed_dft_basis(frame_length, fft_length):
 # MXU with max log-mel error ~1.5e-3 vs float64 (measured, v5e) — fine for
 # training/augmentation pipelines, NOT for parity-checked feature dumps.
 # "bf16" (1 pass, Precision.DEFAULT) is the throughput ceiling: inputs
-# rounded straight to bfloat16, f32 accumulation — measured log-mel error
-# vs "highest" (white-noise input, v5e): mean 2e-3, p99 1e-2, max ~0.3
-# concentrated at low-energy bins near the log floor. Use only where
-# downstream noise dominates (SpecAugment/noise-mix training pipelines).
+# rounded straight to bfloat16 AND the HBM intermediates stored bf16 (see
+# stft) — the chain is bandwidth-bound, so storage is where the last 30%
+# lives (b512x3 s log-mel: 2.06 ms bf16_3x -> 1.03 ms; full bf16 train
+# step 6.5 -> 5.5 ms = 74% MFU, v5e). Measured log-mel error vs "highest"
+# (white-noise input): mean 2.5e-3, p99 1.1e-2, max ~0.3 concentrated at
+# low-energy bins near the log floor. Use only where downstream noise
+# dominates (SpecAugment/noise-mix training pipelines).
 DSP_PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "bf16_3x": "BF16_BF16_F32_X3",
@@ -217,7 +220,8 @@ def dsp_precision(precision):
     return precision  # already a jax Precision / algorithm name
 
 
-def _segment_dft(signals, frame_length, frame_step, fft_length, prec):
+def _segment_dft(signals, frame_length, frame_step, fft_length, prec,
+                 store_dtype=None):
     """Windowed-DFT STFT as step-aligned segment matmuls — no frame tensor.
 
     Frames start on multiples of ``frame_step``, so viewing the signal as
@@ -230,6 +234,11 @@ def _segment_dft(signals, frame_length, frame_step, fft_length, prec):
     same sum order per segment (within 1e-4 of tf.signal). The basis is
     lane-packed (_packed_dft_basis): returns (real [.., K], imag_mid
     [.., K-2]) where imag[0] = imag[K-1] = 0 are implicit.
+
+    ``store_dtype=bfloat16`` (the 1-pass "bf16" mode) stores the matmul
+    INPUTS in bf16 — identical numerics to the mode's MXU input rounding,
+    half the signal-read bandwidth (the signal is read n_seg times);
+    accumulation stays f32 via preferred_element_type.
     """
     T = signals.shape[-1]
     num_frames = max(0, 1 + (T - frame_length) // frame_step)
@@ -239,6 +248,8 @@ def _segment_dft(signals, frame_length, frame_step, fft_length, prec):
     if pad > 0:
         widths = [(0, 0)] * (signals.ndim - 1) + [(0, pad)]
         signals = jnp.pad(signals, widths)
+    if store_dtype is not None:
+        signals = signals.astype(store_dtype)
     rows = signals.reshape(signals.shape[:-1] + (num_rows, frame_step))
     if fft_length % 2 == 0:
         # lane-packed basis: valid only for even N (sin is identically
@@ -251,9 +262,11 @@ def _segment_dft(signals, frame_length, frame_step, fft_length, prec):
     for i in range(n_seg):
         width = min(frame_step, frame_length - i * frame_step)
         seg = rows[..., i:i + num_frames, :width]
-        out = jnp.matmul(seg, jnp.asarray(basis[i * frame_step:
-                                                i * frame_step + width]),
-                         precision=prec)
+        basis_i = jnp.asarray(basis[i * frame_step:i * frame_step + width])
+        if store_dtype is not None:
+            basis_i = basis_i.astype(store_dtype)
+        out = jnp.matmul(seg, basis_i, precision=prec,
+                         preferred_element_type=jnp.float32)
         acc = out if acc is None else acc + out
     num_bins = fft_length // 2 + 1
     return acc[..., :num_bins], acc[..., num_bins:]
@@ -280,6 +293,15 @@ def stft(signals, frame_length, frame_step, fft_length=512, method="fft",
     """
     if method == "matmul":
         prec = dsp_precision(precision)
+        # 1-pass "bf16" mode: the MXU rounds matmul inputs to bf16
+        # regardless, so storing the HBM intermediates (frame tensor,
+        # real/imag spectra) in bf16 changes numerics only by the output
+        # rounding while HALVING the bandwidth the chain is bound by —
+        # measured 1.41 -> 0.97 ms for the b512x3 s log-mel chain on v5e
+        # (log-mel error vs highest: mean 2.2e-3 -> 2.5e-3, p99 1.0e-2 ->
+        # 1.1e-2; same training-grade bucket). Keyed on the MODE NAME:
+        # explicit jax Precision objects keep f32 storage.
+        store = jnp.bfloat16 if precision == "bf16" else None
         T = signals.shape[-1]
         num_frames = max(0, 1 + (T - frame_length) // frame_step)
         batch = int(np.prod(signals.shape[:-1], dtype=np.int64))
@@ -294,11 +316,18 @@ def stft(signals, frame_length, frame_step, fft_length=512, method="fft",
         if batch >= 128 and num_frames <= 512:
             frames = frame(signals, frame_length, frame_step, axis=-1)
             cos_b, sin_b = _windowed_dft_basis(frame_length, fft_length)
-            real = jnp.matmul(frames, jnp.asarray(cos_b), precision=prec)
-            imag = jnp.matmul(frames, jnp.asarray(sin_b), precision=prec)
+            cos_b, sin_b = jnp.asarray(cos_b), jnp.asarray(sin_b)
+            if store is not None:
+                frames = frames.astype(store)
+                cos_b, sin_b = cos_b.astype(store), sin_b.astype(store)
+            out_t = store if store is not None else jnp.float32
+            real = jnp.matmul(frames, cos_b, precision=prec,
+                              preferred_element_type=out_t)
+            imag = jnp.matmul(frames, sin_b, precision=prec,
+                              preferred_element_type=out_t)
             return real, imag
         real, imag_mid = _segment_dft(signals, frame_length, frame_step,
-                                      fft_length, prec)
+                                      fft_length, prec, store_dtype=store)
         zeros = jnp.zeros(real.shape[:-1] + (1,), real.dtype)
         parts = [zeros, imag_mid] + [zeros] * (num_zero_sin - 1)
         return real, jnp.concatenate(parts, axis=-1)
@@ -326,6 +355,10 @@ def spectrograms(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
              method=method, precision=precision)
     if method == "matmul":
         real, imag = S
+        # f32 squares/sums even when the spectra are stored bf16 (the
+        # 1-pass mode); the upcast fuses into the elementwise epilogue
+        real = real.astype(jnp.float32)
+        imag = imag.astype(jnp.float32)
         psd = real * real + imag * imag
         if power == 2.0:
             return psd

@@ -189,10 +189,13 @@ class TestSpectrograms:
         assert np.all(np.isfinite(out))
 
     def test_all_dsp_precision_modes_plumb_through(self):
-        # On CPU every mode computes in f32, so values must agree exactly;
-        # the real pass-count differences are measured on-chip (bench.py
-        # logmel-error lines). This guards the config plumbing for
-        # "bf16_3x"/"bf16"/"bf16_6x" end to end through extract_features.
+        # On CPU the multi-pass modes compute in f32, so values must agree
+        # exactly; the real pass-count differences are measured on-chip
+        # (bench.py logmel-error lines). This guards the config plumbing
+        # for "bf16_3x"/"bf16_6x" end to end through extract_features.
+        # The 1-pass "bf16" mode STORES its intermediates in bf16 on every
+        # backend, so it gets the mode's documented training-grade budget
+        # instead (mean ~2.5e-3, p99 ~1.1e-2 measured on v5e).
         from lidbox_tpu import features as F
         x = jnp.asarray(_signals())
         ref = np.asarray(F.extract_features(
@@ -202,8 +205,38 @@ class TestSpectrograms:
             out = np.asarray(F.extract_features(
                 x, RATE, feature_type="logmelspectrogram",
                 stft_method="matmul", precision=mode))
-            np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5,
-                                       err_msg=mode)
+            if mode == "bf16":
+                # log-mel diff ~= relative mel error; bf16 input+storage
+                # rounding gives ~1-2% mean relative error on these
+                # high-dynamic-range sine fixtures (white noise measures
+                # ~0.2% — bench.py logmel-error lines)
+                err = np.abs(out - ref)
+                assert err.mean() < 5e-2, err.mean()
+                assert np.median(err) < 3e-2, np.median(err)
+            else:
+                np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5,
+                                           err_msg=mode)
+
+    def test_bf16_mode_stores_spectra_in_bf16(self):
+        # structural check of the bandwidth optimization: the 1-pass mode
+        # stores the gathered-path real/imag spectra in bf16 (the segment
+        # path keeps f32 ACCUMULATION by design — bf16 there is applied to
+        # the matmul inputs only); every other mode stays f32 throughout
+        import jax
+
+        def dtypes(batch, t, precision):
+            out = jax.eval_shape(
+                lambda s: audio.stft(s, 400, 160, fft_length=512,
+                                     method="matmul", precision=precision),
+                jax.ShapeDtypeStruct((batch, t), jnp.float32))
+            return {np.dtype(a.dtype) for a in out}
+
+        bf16, f32 = np.dtype(jnp.bfloat16), np.dtype(np.float32)
+        assert dtypes(128, 16000, "bf16") == {bf16}  # gathered
+        assert dtypes(2, 16000, "bf16") == {f32}     # segment acc
+        for batch in (2, 128):
+            assert dtypes(batch, 16000, "bf16_3x") == {f32}, batch
+            assert dtypes(batch, 16000, "highest") == {f32}, batch
 
     def test_mfcc_matches_tf_signal(self):
         x = _signals()
