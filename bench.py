@@ -610,11 +610,12 @@ def main():
         long_sig = jnp.asarray(rng.normal(
             0, 0.1, (long_b, int(SAMPLE_RATE * long_secs))).astype(np.float32))
 
-        def segment_logmel(sig, sr):
+        def segment_logmel(sig, sr, precision="highest"):
             return F.extract_features(sig, sr,
                                       feature_type="logmelspectrogram",
                                       melspectrogram={"num_mel_bins": NUM_MEL},
-                                      stft_method="matmul")
+                                      stft_method="matmul",
+                                      precision=precision)
         # logmel_reference routes through the same shape heuristic as the
         # default path now, so the frame-tensor gather formulation (131 ms
         # here before the segment-matmul STFT) is no longer reachable at
@@ -623,23 +624,28 @@ def main():
         # XLA never fuses matmul->matmul, so the segment-matmul path must
         # spill the [B, frames, fft/2] power spectrogram to HBM between
         # the DFT and mel matmuls; the fused kernel streams it through
-        # VMEM tiles.
+        # VMEM tiles. At "bf16" the fused kernel also WINS ON TIME (r03:
+        # 3.3 vs 5.4 ms) — the XLA path is bandwidth-bound and the kernel
+        # halves its traffic again.
         del logmel_reference
         for name, fn in (("segment-matmul", segment_logmel),
                          ("pallas", fused_logmel_packed)):
-            @jax.jit
-            def long_step(carry, f=fn):
-                return jnp.mean(f(long_sig + carry * 1e-20, SAMPLE_RATE))
-            temp_mb = float("nan")
-            try:
-                mem = long_step.lower(jnp.float32(0.0)).compile() \
-                    .memory_analysis()
-                temp_mb = mem.temp_size_in_bytes / 1e6
-            except Exception:
-                pass
-            dt_long = _time(long_step, jnp.float32(0.0), n1=3, n2=9)
-            log(f"  long-audio[{name}, b{long_b} x {long_secs:.0f}s]: "
-                f"{dt_long * 1e3:.3f} ms, peak temp {temp_mb:,.0f} MB")
+            for precision in ("highest", "bf16"):
+                @jax.jit
+                def long_step(carry, f=fn, p=precision):
+                    return jnp.mean(f(long_sig + carry * 1e-20, SAMPLE_RATE,
+                                      precision=p))
+                temp_mb = float("nan")
+                try:
+                    mem = long_step.lower(jnp.float32(0.0)).compile() \
+                        .memory_analysis()
+                    temp_mb = mem.temp_size_in_bytes / 1e6
+                except Exception:
+                    pass
+                dt_long = _time(long_step, jnp.float32(0.0), n1=3, n2=9)
+                log(f"  long-audio[{name}, {precision}, b{long_b} x "
+                    f"{long_secs:.0f}s]: {dt_long * 1e3:.3f} ms, "
+                    f"peak temp {temp_mb:,.0f} MB")
     except Exception as e:
         log(f"  long-audio section failed: {type(e).__name__}: {e}")
 

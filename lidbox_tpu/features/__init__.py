@@ -251,14 +251,17 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
     """
     assert feature_type in VALID_FEATURE_TYPES, feature_type
     spectrogram = spectrogram or {}
-    if stft_method == "pallas" and (precision != "highest"
+    if stft_method == "pallas" and (precision not in ("highest", "bf16")
                                     or not _pallas_available(feature_type,
                                                              spectrogram)):
-        stft_method = "matmul"  # the Pallas kernel is f32-parity only
+        # the Pallas kernel implements f32 parity + the 1-pass bf16 mode;
+        # multi-pass split modes route to the XLA matmul path
+        stft_method = "matmul"
     if stft_method == "pallas":
         # Fused Pallas kernel: waveform -> log-Mel in ONE MXU program (no
-        # frame tensor in HBM, single large-K DFT matmul). Numerics match
-        # the matmul path at the f32 floor (ops/logmel.py).
+        # frame tensor OR power spectrogram in HBM, single large-K DFT
+        # matmul). Numerics match the matmul path at the mode's floor
+        # (ops/logmel.py).
         from lidbox_tpu.ops import logmel as _logmel
         mel_kw = dict(melspectrogram or {})
         X = _logmel.fused_logmel_packed(
@@ -267,7 +270,8 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
             frame_step_ms=spectrogram.get("frame_step_ms", 10),
             fft_length=spectrogram.get("fft_length", 512),
             num_mel_bins=mel_kw.get("num_mel_bins", 40),
-            fmin=mel_kw.get("fmin", 0.0), fmax=mel_kw.get("fmax", 8000.0))
+            fmin=mel_kw.get("fmin", 0.0), fmax=mel_kw.get("fmax", 8000.0),
+            precision=precision)
         if feature_type == "mfcc":
             kw = dict(mfcc or {})
             X = audio.mfcc(X, coef_begin=kw.pop("coef_begin", 1),

@@ -33,6 +33,15 @@ Measurement history (TPU v5e; BENCH_r01/r02, in-process A/B):
   deleted and this file keeps only ``fused_logmel_packed`` as the
   documented low-peak-memory option (bench.py long-audio section reports
   the compiled peak-memory comparison alongside the times).
+- r03: ``precision="bf16"`` added to the kernel (bf16 streams/bases,
+  1-pass dots, f32 accumulation) — at LONG AUDIO it beats the
+  bf16-stored XLA path on time too: 3.3/3.4 vs 5.4/5.4 ms at b32x60s
+  (1.6x, two interleaved passes), because the kernel never spills the
+  power spectrogram while the XLA path re-reads it around the mel
+  matmul. Short-clip large batch stays with XLA (1.41 vs 1.04 ms at
+  b512x3s — the per-(batch,tile) grid is too fine there). Numerics are
+  distribution-identical to the XLA bf16 mode (mean 2.16e-3 vs highest,
+  measured on-chip).
 
 ``logmel_conv`` (XLA strided-convolution formulation) and
 ``logmel_reference`` (the features.audio parity path) remain as oracle
@@ -143,7 +152,8 @@ def _packed_bases(frame_length, seg, n_seg, fft_length, num_mel_bins,
 
 
 def _logmel_kernel_packed(main_ref, tail_ref, w_ref, mel_ref, out_ref,
-                          *, frames_per_tile, n_seg, n_streams, nb_pad):
+                          *, frames_per_tile, n_seg, n_streams, nb_pad,
+                          bf16=False):
     """One (batch row, frame tile) cell of the packed kernel.
 
     The signal arrives as ``n_streams`` interleaved row streams of ``seg``
@@ -154,15 +164,19 @@ def _logmel_kernel_packed(main_ref, tail_ref, w_ref, mel_ref, out_ref,
     lane-concatenated into one [F, n_seg*128] operand so the whole windowed
     DFT (cos and sin fused into one output) is a SINGLE large-K MXU matmul;
     small-K accumulating dots would underutilize the systolic array.
-    """
-    prec = jax.lax.Precision.HIGHEST
 
+    ``bf16``: refs arrive in bfloat16 (half the HBM/VMEM traffic), dots run
+    1-pass with f32 accumulation; power stays f32 and is re-rounded to bf16
+    only as the mel matmul input — the "bf16" DSP mode inside one kernel.
+    """
     def dot(a, b):
+        if bf16:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
+                       precision=jax.lax.Precision.HIGHEST)
 
     main = main_ref[0]          # [n_streams, F, 128]
-    tail = tail_ref[0, 0]       # [n_streams, 8, 128]
+    tail = tail_ref[0, 0]       # [n_streams, tail_rows, 128]
     views = []
     for s in range(n_seg):
         j, d = s % n_streams, s // n_streams
@@ -172,12 +186,15 @@ def _logmel_kernel_packed(main_ref, tail_ref, w_ref, mel_ref, out_ref,
     P = dot(X, w_ref[:])                      # [F, 2*nb_pad]
     real, imag = P[:, :nb_pad], P[:, nb_pad:]
     power = real * real + imag * imag
+    if bf16:
+        power = power.astype(jnp.bfloat16)
     out_ref[0] = jnp.log(dot(power, mel_ref[:]) + 1e-6)
 
 
 def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
                         frame_step_ms=10, fft_length=512, num_mel_bins=64,
-                        fmin=0.0, fmax=8000.0, frames_per_tile=256):
+                        fmin=0.0, fmax=8000.0, frames_per_tile=256,
+                        precision="highest"):
     """[B, T] waveforms -> [B, num_frames, num_mel_bins] log-Mel, the
     padding-lean fused Pallas kernel.
 
@@ -198,7 +215,13 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
     fmax <= sample_rate / 2. Geometries the kernel cannot tile (extreme
     frame_length/frame_step ratios) fall back to the always-correct XLA
     ``logmel_reference`` path.
+
+    ``precision="bf16"``: the streams and bases are staged bf16 and the
+    dots run 1-pass with f32 accumulation — the "bf16" DSP mode fused in
+    one kernel (half the HBM traffic of the already-bf16-stored XLA path,
+    and the power spectrogram never leaves VMEM at all).
     """
+    bf16 = precision == "bf16"
     frame_length = audio.ms_to_frames(sample_rate, frame_length_ms)
     frame_step = audio.ms_to_frames(sample_rate, frame_step_ms)
     B, T = signals.shape
@@ -216,9 +239,13 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
             or (n_seg - 1) // n_streams > 8):
         return logmel_reference(
             signals, sample_rate, frame_length_ms, frame_step_ms, fft_length,
-            num_mel_bins, fmin, fmax)
+            num_mel_bins, fmin, fmax, precision=precision)
 
-    exact = _round_up(num_frames, 8)
+    # bf16 min tile is (16, 128): frame tiles and the tail buffer align to
+    # 16 sublanes in bf16 mode (8 suffices for f32)
+    align = 16 if bf16 else 8
+    tail_rows = align
+    exact = _round_up(num_frames, align)
     if exact <= max(frames_per_tile, 1024):
         frames_per_tile = exact
     num_tiles = -(-num_frames // frames_per_tile)
@@ -228,10 +255,14 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
         int(sample_rate), float(fmin), float(fmax)))
     nb_pad = M.shape[0]
     m_pad = M.shape[1]
+    if bf16:
+        signals = signals.astype(jnp.bfloat16)
+        W, M = W.astype(jnp.bfloat16), M.astype(jnp.bfloat16)
 
     # Row streams: row r (seg samples) = streams[r % n_streams][r // n_streams].
-    # Each stream gets 8 extra rows so tile-boundary shifts stay in bounds.
-    rows_per_stream = num_tiles * frames_per_tile + 8
+    # Each stream gets tail_rows extra rows so tile-boundary shifts stay
+    # in bounds.
+    rows_per_stream = num_tiles * frames_per_tile + tail_rows
     total_rows = rows_per_stream * n_streams
     needed = total_rows * seg
     if needed > T:
@@ -241,22 +272,23 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
         rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (0, 128 - seg)))
     streams = rows.transpose(0, 2, 1, 3)        # [B, n_streams, Q, 128]
     main = streams[:, :, :num_tiles * frames_per_tile]
-    # Tails: rows [(t+1)*F, (t+1)*F + 8) of each stream, per tile.
+    # Tails: rows [(t+1)*F, (t+1)*F + tail_rows) of each stream, per tile.
     tail_idx = (np.arange(num_tiles)[:, None] * frames_per_tile
-                + frames_per_tile + np.arange(8)[None, :])
+                + frames_per_tile + np.arange(tail_rows)[None, :])
     tail_idx = np.minimum(tail_idx, rows_per_stream - 1)
-    tails = streams[:, :, jnp.asarray(tail_idx)]    # [B, n_streams, tiles, 8, 128]
-    tails = tails.transpose(0, 2, 1, 3, 4)          # [B, tiles, n_streams, 8, 128]
+    tails = streams[:, :, jnp.asarray(tail_idx)]  # [B, n_str, tiles, tr, 128]
+    tails = tails.transpose(0, 2, 1, 3, 4)        # [B, tiles, n_str, tr, 128]
 
+    in_bytes = 2 if bf16 else 4
     out = pl.pallas_call(
         functools.partial(_logmel_kernel_packed,
                           frames_per_tile=frames_per_tile, n_seg=n_seg,
-                          n_streams=n_streams, nb_pad=nb_pad),
+                          n_streams=n_streams, nb_pad=nb_pad, bf16=bf16),
         grid=(B, num_tiles),
         in_specs=[
             pl.BlockSpec((1, n_streams, frames_per_tile, 128),
                          lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_streams, 8, 128),
+            pl.BlockSpec((1, 1, n_streams, tail_rows, 128),
                          lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_seg * 128, 2 * nb_pad), lambda b, t: (0, 0),
@@ -272,7 +304,8 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * num_tiles * frames_per_tile
             * (n_seg * 128 * 2 * nb_pad + nb_pad * m_pad),
-            bytes_accessed=4 * B * (T + num_tiles * frames_per_tile * m_pad),
+            bytes_accessed=B * (in_bytes * T
+                                + 4 * num_tiles * frames_per_tile * m_pad),
             transcendentals=B * num_tiles * frames_per_tile * m_pad),
     )(main, tails, W, M)
     return out[:, :num_frames, :num_mel_bins]
@@ -305,12 +338,14 @@ def logmel_conv(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
 
 
 def logmel_reference(signals, sample_rate, frame_length_ms=25, frame_step_ms=10,
-                     fft_length=512, num_mel_bins=64, fmin=0.0, fmax=8000.0):
+                     fft_length=512, num_mel_bins=64, fmin=0.0, fmax=8000.0,
+                     precision="highest"):
     """Parity baseline via the features.audio gather + matmul path."""
     S = audio.spectrograms(signals, sample_rate,
                            frame_length_ms=frame_length_ms,
                            frame_step_ms=frame_step_ms,
-                           fft_length=fft_length, method="matmul")
+                           fft_length=fft_length, method="matmul",
+                           precision=precision)
     mel = audio.linear_to_mel(S, sample_rate, num_mel_bins=num_mel_bins,
-                              fmin=fmin, fmax=fmax)
+                              fmin=fmin, fmax=fmax, precision=precision)
     return jnp.log(mel + 1e-6)

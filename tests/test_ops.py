@@ -112,6 +112,34 @@ class TestFusedLogmelPacked:
         assert fused.shape == ref.shape
         np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("seconds,tile", [(1.5, 32), (2.3456, 32)])
+    def test_bf16_mode_matches_training_grade_budget(self, seconds, tile):
+        """precision="bf16": bf16 streams/bases, 1-pass dots, f32
+        accumulation — must land within the documented training-grade
+        budget of the parity result (and carry f32 outputs)."""
+        from lidbox_tpu.ops import fused_logmel_packed
+        x = _signals(2, seconds)
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_logmel_packed(x, RATE, frames_per_tile=tile,
+                                      precision="bf16")
+        assert out.dtype == jnp.float32
+        out = np.asarray(out)
+        assert out.shape == ref.shape
+        err = np.abs(out - ref)
+        assert err.mean() < 5e-2, err.mean()
+        assert np.median(err) < 3e-2, np.median(err)
+
+    def test_bf16_mode_steep_ratio_falls_back(self):
+        # the bf16 fallback must thread precision through the XLA path
+        from lidbox_tpu.ops import fused_logmel_packed
+        x = _signals(1, 0.5)
+        ref = np.asarray(logmel_reference(x, RATE, frame_step_ms=2,
+                                          precision="bf16"))
+        out = np.asarray(fused_logmel_packed(x, RATE, frame_step_ms=2,
+                                             precision="bf16"))
+        np.testing.assert_allclose(out, ref, atol=0)
+
     def test_unsupported_config_falls_back(self):
         """Magnitude spectrograms (power=1) can't use the fused power-path
         kernel; the dispatcher must fall back rather than mis-compute."""
