@@ -140,6 +140,16 @@ class TestFusedLogmelPacked:
                                              precision="bf16"))
         np.testing.assert_allclose(out, ref, atol=0)
 
+    def test_auto_pallas_bf16_regime_predicate(self):
+        """The measured decision boundary for auto-routing matmul+bf16 to
+        the fused kernel on real TPU backends: long audio at batch >= 32
+        (the CPU suite never auto-routes — backend-gated)."""
+        from lidbox_tpu.features import _auto_pallas_bf16
+        assert _auto_pallas_bf16(32, 999)      # b32 x 10 s: 1.28x
+        assert _auto_pallas_bf16(256, 999)     # b256 x 10 s: 2.16x
+        assert not _auto_pallas_bf16(512, 299)  # short clips: XLA wins
+        assert not _auto_pallas_bf16(8, 5999)   # small batch: XLA wins
+
     def test_unsupported_config_falls_back(self):
         """Magnitude spectrograms (power=1) can't use the fused power-path
         kernel; the dispatcher must fall back rather than mis-compute."""
