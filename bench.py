@@ -610,7 +610,20 @@ def main():
         long_sig = jnp.asarray(rng.normal(
             0, 0.1, (long_b, int(SAMPLE_RATE * long_secs))).astype(np.float32))
 
+        from lidbox_tpu.features import audio as _audio
+
         def segment_logmel(sig, sr, precision="highest"):
+            # raw XLA path via the audio layer: extract_features would
+            # AUTO-route matmul+bf16 long audio to the pallas kernel
+            # (features/__init__._auto_pallas_bf16), which is measured
+            # separately below
+            S = _audio.spectrograms(sig, sr, method="matmul",
+                                    precision=precision)
+            mel = _audio.linear_to_mel(S, sr, num_mel_bins=NUM_MEL,
+                                       precision=precision)
+            return jnp.log(mel + 1e-6)
+
+        def auto_logmel(sig, sr, precision="bf16"):
             return F.extract_features(sig, sr,
                                       feature_type="logmelspectrogram",
                                       melspectrogram={"num_mel_bins": NUM_MEL},
@@ -628,9 +641,11 @@ def main():
         # 3.3 vs 5.4 ms) — the XLA path is bandwidth-bound and the kernel
         # halves its traffic again.
         del logmel_reference
-        for name, fn in (("segment-matmul", segment_logmel),
-                         ("pallas", fused_logmel_packed)):
-            for precision in ("highest", "bf16"):
+        for name, fn, precisions in (
+                ("xla-segment", segment_logmel, ("highest", "bf16")),
+                ("pallas", fused_logmel_packed, ("highest", "bf16")),
+                ("auto-dispatch", auto_logmel, ("bf16",))):
+            for precision in precisions:
                 @jax.jit
                 def long_step(carry, f=fn, p=precision):
                     return jnp.mean(f(long_sig + carry * 1e-20, SAMPLE_RATE,
