@@ -309,7 +309,8 @@ def main():
                   jnp.concatenate([targets256, targets256]), 4, 16,
                   dsp="bf16")
     except Exception as e:
-        log(f"  bf16 train-step section failed: {type(e).__name__}: {e}")
+        if not isinstance(e, TimeoutError):  # deadline skips already logged
+            log(f"  bf16 train-step section failed: {type(e).__name__}: {e}")
 
     # --- BASELINE config 5: augmented train step (VAD-free path:
     # noise bank mix + FIR + SpecAugment + log-Mel + xvector fwd/bwd) -----
@@ -596,7 +597,8 @@ def main():
             f"synchronous staging)")
         decode_pool.shutdown()
     except Exception as e:
-        log(f"  host-loader section failed: {type(e).__name__}: {e}")
+        if not isinstance(e, TimeoutError):  # deadline skips already logged
+            log(f"  host-loader section failed: {type(e).__name__}: {e}")
 
     # --- long-audio memory profile: Pallas fused kernel vs XLA gather path.
     # The XLA lowering materializes a [B, frames, 400] f32 frame tensor in
@@ -610,19 +612,11 @@ def main():
         long_sig = jnp.asarray(rng.normal(
             0, 0.1, (long_b, int(SAMPLE_RATE * long_secs))).astype(np.float32))
 
-        from lidbox_tpu.features import audio as _audio
-
-        def segment_logmel(sig, sr, precision="highest"):
-            # raw XLA path via the audio layer: extract_features would
-            # AUTO-route matmul+bf16 long audio to the pallas kernel
-            # (features/__init__._auto_pallas_bf16), which is measured
-            # separately below
-            S = _audio.spectrograms(sig, sr, method="matmul",
-                                    precision=precision)
-            mel = _audio.linear_to_mel(S, sr, num_mel_bins=NUM_MEL,
-                                       precision=precision)
-            return jnp.log(mel + 1e-6)
-
+        # raw XLA line: logmel_reference goes through the audio layer and
+        # is never auto-routed; extract_features WOULD auto-route
+        # matmul+bf16 long audio to the pallas kernel
+        # (features/__init__._auto_pallas_bf16) — measured as its own
+        # "auto-dispatch" line below.
         def auto_logmel(sig, sr, precision="bf16"):
             return F.extract_features(sig, sr,
                                       feature_type="logmelspectrogram",
@@ -640,9 +634,8 @@ def main():
         # VMEM tiles. At "bf16" the fused kernel also WINS ON TIME (r03:
         # 3.3 vs 5.4 ms) — the XLA path is bandwidth-bound and the kernel
         # halves its traffic again.
-        del logmel_reference
         for name, fn, precisions in (
-                ("xla-segment", segment_logmel, ("highest", "bf16")),
+                ("xla-segment", logmel_reference, ("highest", "bf16")),
                 ("pallas", fused_logmel_packed, ("highest", "bf16")),
                 ("auto-dispatch", auto_logmel, ("bf16",))):
             for precision in precisions:
@@ -662,7 +655,8 @@ def main():
                     f"{long_secs:.0f}s]: {dt_long * 1e3:.3f} ms, "
                     f"peak temp {temp_mb:,.0f} MB")
     except Exception as e:
-        log(f"  long-audio section failed: {type(e).__name__}: {e}")
+        if not isinstance(e, TimeoutError):  # deadline skips already logged
+            log(f"  long-audio section failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": f"utterances/sec/chip waveform->logMel->xvector "

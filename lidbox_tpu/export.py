@@ -97,8 +97,16 @@ def export_stablehlo(model, directory, batch_size=None, platforms=None):
     else:
         b = int(batch_size)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
-    exported = jax_export.export(jax.jit(forward), **kwargs)(
-        jax.ShapeDtypeStruct((b,) + shape, jnp.float32))
+    try:
+        exported = jax_export.export(jax.jit(forward), **kwargs)(
+            jax.ShapeDtypeStruct((b,) + shape, jnp.float32))
+    except Exception as e:
+        if batch_size is None:
+            raise RuntimeError(
+                f"symbolic-batch export failed ({type(e).__name__}: {e}) — "
+                f"this model's lowering may need a static batch; retry "
+                f"with export_stablehlo(..., batch_size=N)") from e
+        raise
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, STABLEHLO_NAME)
     with open(path, "wb") as f:

@@ -226,6 +226,14 @@ def _pallas_available(feature_type, spectrogram):
         return False
 
 
+# Escape hatch for the bf16 long-audio auto-route below. The routing
+# gate checks jax.default_backend() at TRACE time, which cannot see a
+# caller lowering for a different device on a TPU host (e.g.
+# jax.jit(fn, backend="cpu") to featurize host-side) — set this False in
+# that situation to pin the XLA path.
+AUTO_PALLAS_BF16 = True
+
+
 def _auto_pallas_bf16(batch, num_frames):
     """Shape regime where the bf16 Pallas kernel beats the bf16-stored XLA
     path on a v5e (measured, two interleaved passes per shape): long audio
@@ -233,7 +241,7 @@ def _auto_pallas_bf16(batch, num_frames):
     b32x10s, 2.16x at b256x10s, 2.35x at b32x30s, 1.65x at b32x60s; XLA
     keeps short clips (1.4x the other way at b512x3s) and small batches
     (b8x60s measured a pallas loss)."""
-    return num_frames > 512 and batch >= 32
+    return AUTO_PALLAS_BF16 and num_frames > 512 and batch >= 32
 
 
 def extract_features(signals, sample_rate, feature_type="logmelspectrogram",

@@ -231,11 +231,15 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
     n_streams = -(-frame_step // 128)
     seg = frame_step // n_streams
     n_seg = -(-frame_length // seg)
-    # The in-kernel tail buffer holds 8 extra stream rows, so segment
-    # shifts only reach d <= 8 streams ahead: frame_length/frame_step
-    # ratios beyond that (e.g. 25 ms / 2 ms) fall back to the XLA parity
-    # path instead of tracing a shape mismatch.
-    if (frame_step % n_streams or seg > 128
+    # Geometry preconditions the kernel's bases assume (callers and the
+    # bf16 auto-route may hold arbitrary configs): (a) tf.signal's
+    # fft_length < frame_length truncation is not built into
+    # _packed_bases, (b) fmax > nyquist leaves nonzero mel weight on the
+    # dropped Nyquist bin (_packed_bases asserts). Both fall back to the
+    # always-correct XLA path, as do (c) frame_length/frame_step ratios
+    # beyond the in-kernel tail budget of 8 stream rows (e.g. 25 ms/2 ms).
+    if (fft_length < frame_length or float(fmax) > sample_rate / 2
+            or frame_step % n_streams or seg > 128
             or (n_seg - 1) // n_streams > 8):
         return logmel_reference(
             signals, sample_rate, frame_length_ms, frame_step_ms, fft_length,
@@ -248,6 +252,10 @@ def fused_logmel_packed(signals, sample_rate, frame_length_ms=25,
     exact = _round_up(num_frames, align)
     if exact <= max(frames_per_tile, 1024):
         frames_per_tile = exact
+    else:
+        # caller-passed tile sizes must also hold the min-tile sublane
+        # alignment (Mosaic rejects e.g. a 200-row bf16 block)
+        frames_per_tile = _round_up(frames_per_tile, align)
     num_tiles = -(-num_frames // frames_per_tile)
 
     W, M = (jnp.asarray(a) for a in _packed_bases(

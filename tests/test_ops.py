@@ -130,6 +130,41 @@ class TestFusedLogmelPacked:
         assert err.mean() < 5e-2, err.mean()
         assert np.median(err) < 3e-2, np.median(err)
 
+    def test_geometry_preconditions_fall_back(self):
+        """Configs the kernel's bases can't represent must return the XLA
+        result, not assert or mis-compute: fmax > nyquist (8 kHz corpora
+        with the 8000 Hz default) and tf.signal's fft_length <
+        frame_length truncation. Matters doubly since matmul+bf16
+        auto-routes here on TPU backends."""
+        from lidbox_tpu.ops import fused_logmel_packed
+        rate8k = 8000
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            0, 0.3, (1, rate8k)).astype(np.float32))
+        ref = np.asarray(logmel_reference(x, rate8k))  # fmax default 8000
+        out = np.asarray(fused_logmel_packed(x, rate8k))
+        np.testing.assert_allclose(out, ref, atol=0)
+
+        x16 = _signals(1, 1.0)
+        ref = np.asarray(logmel_reference(x16, RATE, fft_length=256))
+        out = np.asarray(fused_logmel_packed(x16, RATE, fft_length=256))
+        np.testing.assert_allclose(out, ref, atol=0)
+
+    def test_bf16_caller_tile_size_realigned(self):
+        # caller-passed frames_per_tile not matching the bf16 16-sublane
+        # min tile is rounded up instead of tracing an unmappable block
+        from lidbox_tpu.ops import fused_logmel_packed
+        samples = 16000 * 16  # 1599 frames > the 1024 exact-tile cap
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            0, 0.3, (1, samples)).astype(np.float32))
+        ref = np.asarray(logmel_reference(x, RATE))
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fused_logmel_packed(x, RATE,
+                                                 frames_per_tile=200,
+                                                 precision="bf16"))
+        assert out.shape == ref.shape
+        err = np.abs(out - ref)
+        assert err.mean() < 5e-2, err.mean()
+
     def test_bf16_mode_steep_ratio_falls_back(self):
         # the bf16 fallback must thread precision through the XLA path
         from lidbox_tpu.ops import fused_logmel_packed
