@@ -182,6 +182,30 @@ def main():
     log(f"  e2e[b{MODEL_BATCH}, {SECONDS}s, {best_method}]: {dt * 1e3:.3f} ms/batch "
         f"-> {utt_per_sec:,.1f} utt/s ({utt_per_sec * SECONDS:,.0f}x realtime)")
 
+    # saturation inference: 1-pass bf16-stored DSP + bf16 model at b512 —
+    # the serving throughput ceiling (the headline e2e above stays
+    # f32-parity-graded features)
+    try:
+        sat_signals = jnp.concatenate([signals, signals])
+
+        @jax.jit
+        def e2e_sat(carry):
+            feats = F.extract_features(
+                sat_signals + carry * 1e-20, SAMPLE_RATE,
+                feature_type="logmelspectrogram",
+                melspectrogram={"num_mel_bins": NUM_MEL},
+                stft_method=best_method, precision="bf16")
+            out = model.apply(variables, feats, train=False,
+                              compute_dtype=jnp.bfloat16)
+            return jnp.mean(out)
+        dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=5, n2=25)
+        sat_b = sat_signals.shape[0]
+        log(f"  e2e-saturation[b{sat_b}, bf16 DSP+model]: "
+            f"{dt_sat * 1e3:.3f} ms/batch -> {sat_b / dt_sat:,.1f} utt/s "
+            f"({sat_b / dt_sat * SECONDS:,.0f}x realtime)")
+    except Exception as e:
+        log(f"  e2e-saturation failed: {type(e).__name__}: {e}")
+
     # --- x-vector training step (features + fwd + bwd + adam) -------------
     import optax
     from lidbox_tpu.losses import nll_loss
