@@ -206,6 +206,34 @@ def main():
     except Exception as e:
         log(f"  e2e-saturation failed: {type(e).__name__}: {e}")
 
+    # --- model zoo: waveform -> features -> forward across families ------
+    # (bf16 DSP + bf16 model, b128 x 3 s — shows the zoo is fast, not just
+    # correct; the recurrent families are scan-bound by design)
+    if not past_deadline("model-zoo section"):
+        zoo_signals = signals[:128]
+        for key in ("cnn", "clstm", "bi_gru", "multilevel_attention"):
+            try:
+                zoo_model = models.create(key, (frames, NUM_MEL), NUM_LANGS)
+                zoo_model.init(jax.random.PRNGKey(0))
+                zoo_vars = zoo_model.variables
+
+                @jax.jit
+                def zoo_step(carry, m=zoo_model, v=zoo_vars):
+                    feats = F.extract_features(
+                        zoo_signals + carry * 1e-20, SAMPLE_RATE,
+                        feature_type="logmelspectrogram",
+                        melspectrogram={"num_mel_bins": NUM_MEL},
+                        stft_method=best_method, precision="bf16")
+                    out = m.apply(v, feats, train=False,
+                                  compute_dtype=jnp.bfloat16)
+                    return jnp.mean(out)
+                dt_zoo = _time(zoo_step, jnp.float32(0.0), n1=4, n2=16,
+                               reps=5)
+                log(f"  zoo-forward[{key}, b128 bf16]: {dt_zoo * 1e3:.3f} "
+                    f"ms -> {128 / dt_zoo:,.1f} utt/s")
+            except Exception as e:
+                log(f"  zoo-forward[{key}] failed: {type(e).__name__}: {e}")
+
     # --- x-vector training step (features + fwd + bwd + adam) -------------
     import optax
     from lidbox_tpu.losses import nll_loss
