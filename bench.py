@@ -76,7 +76,7 @@ def main():
     # checks the clock and is skipped — with a log line — rather than
     # risking the whole run producing no JSON at all.
     t_start = time.perf_counter()
-    deadline = float(os.environ.get("LIDBOX_BENCH_DEADLINE_S", 2100))
+    deadline = float(os.environ.get("LIDBOX_BENCH_DEADLINE_S", 2700))
 
     def past_deadline(section):
         if time.perf_counter() - t_start > deadline:
