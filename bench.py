@@ -562,7 +562,12 @@ def main():
         dt_dev = _time(dev_resident, jnp.float32(0.0))
         device_rate = MODEL_BATCH / dt_dev
 
-        for spd in (1, 4):
+        # grouped dispatch measures over 2x the batches: at spd=4 the
+        # run is only num_batches/4 dispatch groups, and pipeline
+        # fill/drain (first group: decode+stage 4 batches before any
+        # compute) costs ~1/groups of the rate — 24 batches under-reports
+        # spd=4 by ~15-25%
+        for spd, nb in ((1, num_batches), (4, 2 * num_batches)):
             on_device.fit_signals(trainer_fed, clean_fn,
                                   lambda: int16_batches(2 * spd), epochs=1,
                                   verbose=False,
@@ -573,10 +578,10 @@ def main():
             t_before = measure_stream()
             t0 = time.perf_counter()
             on_device.fit_signals(trainer_fed, clean_fn,
-                                  lambda: int16_batches(num_batches),
+                                  lambda: int16_batches(nb),
                                   epochs=1, verbose=False,
                                   steps_per_dispatch=spd)
-            fed_rate = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
+            fed_rate = nb * MODEL_BATCH / (time.perf_counter() - t0)
             t_after = measure_stream()
             xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
             bound = min(loader_rate, xfer_now, device_rate)
