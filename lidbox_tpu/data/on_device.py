@@ -220,10 +220,7 @@ def random_fir(key, signals, num_coefs):
     reference: lidbox/features/audio.py:63-74): each example gets its own
     taps, vmapped causal convolution."""
     firs = jax.random.normal(key, (signals.shape[0], num_coefs), signals.dtype)
-
-    def one(sig, fir):
-        return jnp.convolve(jnp.pad(sig, (num_coefs - 1, 0)), fir, mode="valid")
-    return jax.vmap(one)(signals, firs)
+    return jax.vmap(audio.fir_filter)(signals, firs)
 
 
 def spec_augment(key, feats, time_masks=2, time_width=20, freq_masks=2,
@@ -467,27 +464,31 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     on device, keyed by the advancing step counter). ``cache_shuffle``
     re-permutes the cached batch order each epoch (seeded).
     """
-    step = make_fused_train_step(trainer, feature_fn)
+    # fit_signals rebinds trainer.state every step (strictly linear), so
+    # the donating variants apply: in-place param/opt updates halve the
+    # state HBM churn per step
+    step = make_fused_train_step(trainer, feature_fn, donate=True)
     spd = max(1, int(steps_per_dispatch))
     if spd > 1 and trainer.mesh is not None:
         logger.warning("steps_per_dispatch is a single-device feed "
                        "optimization; ignoring it under a mesh")
         spd = 1
-    multi = make_fused_multi_step(trainer, feature_fn) if spd > 1 else None
+    multi = (make_fused_multi_step(trainer, feature_fn, donate=True)
+             if spd > 1 else None)
     if cache_staged is None:
         cache_staged = trainer.cache_staged
     staged_cache = None
     val_staged = None  # staged validation batches, cached alongside
     if trainer.state is None:
         trainer.create_state()
+    # a fresh fit starts training anew even if a previous fit on this
+    # trainer was stopped early (mirrors Trainer.fit / Keras)
+    trainer.stop_training = False
     validating = val_batches is not None or val_feature_batches is not None
     eval_cache = None
     if val_batches is not None:
         vfn = val_feature_fn if val_feature_fn is not None else feature_fn
         val_feats = jax.jit(lambda key, s: vfn(key, signals_to_float(s)))
-        if val_feature_fn is not None:
-            # the clean fn is deterministic: featurize the val set ONCE
-            eval_cache = _featurize_val(val_feats, val_batches)
 
     def _stage(signals, targets):
         signals = stage_signals(signals, trainer.stage_dtype)
@@ -624,10 +625,14 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 eval_batches = list(val_feature_batches()
                                     if callable(val_feature_batches)
                                     else val_feature_batches)
-            elif eval_cache is not None:
-                eval_batches = eval_cache
             else:
-                eval_batches = _featurize_val(val_feats, val_batches)
+                # featurize the val set ONCE: the key is fixed, so the
+                # result is identical every epoch whether the fn is the
+                # clean val fn or the (then-frozen-noise) train fn —
+                # re-running the chain + readback per epoch buys nothing
+                if eval_cache is None:
+                    eval_cache = _featurize_val(val_feats, val_batches)
+                eval_batches = eval_cache
             if cache_staged:
                 # stage the validation set ONCE; later epochs evaluate the
                 # device-resident copy (frozen to epoch-1 contents, same
@@ -655,8 +660,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
 def _featurize_val(val_feats, val_batches):
     eval_batches = []
     vit = val_batches() if callable(val_batches) else val_batches
-    for signals, targets in vit:
-        out = val_feats(jax.random.PRNGKey(0), jnp.asarray(signals))
+    for i, (signals, targets) in enumerate(vit):
+        # per-batch key: when the fn augments, batches must not all draw
+        # the same noise/SNR pattern (clean fns ignore the key)
+        out = val_feats(jax.random.fold_in(jax.random.PRNGKey(0), i),
+                        jnp.asarray(signals))
         batch = {"target": np.asarray(targets)}
         if isinstance(out, tuple):
             batch["input"], batch["input_mask"] = (np.asarray(out[0]),
@@ -667,7 +675,7 @@ def _featurize_val(val_feats, val_batches):
     return eval_batches
 
 
-def make_fused_train_step(trainer, feature_fn):
+def make_fused_train_step(trainer, feature_fn, donate=False):
     """One jit program: raw waveforms -> on-device augmentation -> features
     -> model forward/backward -> optax update.
 
@@ -682,17 +690,23 @@ def make_fused_train_step(trainer, feature_fn):
     high-round-trip feed links (each separate array pays its own round;
     see fit_signals' int16 staging).
 
-    The returned step is cached per (trainer, feature_fn): repeated
-    fit_signals/fit_fused calls reuse the SAME jitted program instead of
-    re-tracing.
+    ``donate=True`` donates the incoming state's buffers (in-place param/
+    opt-state updates, half the state HBM churn — same as
+    Trainer._jit_train_step); only for strictly linear callers like
+    fit_signals, which rebind ``trainer.state`` every step. The default
+    stays non-donating because direct callers commonly hold onto the
+    pre-step state.
+
+    The returned step is cached per (trainer, feature_fn, donate):
+    repeated fit_signals/fit_fused calls reuse the SAME jitted program
+    instead of re-tracing.
     """
     cache = trainer.__dict__.setdefault("_fused_step_cache", {})
-    key = id(feature_fn)
+    key = (id(feature_fn), bool(donate))
     if key in cache:
         return cache[key][1]
 
-    @jax.jit
-    def step(state, signals, targets, rng, example_mask=None):
+    def step_fn(state, signals, targets, rng, example_mask=None):
         if targets is None:  # packed layout: last row carries the targets
             b = signals.shape[0] - 1
             targets = signals[-1, :b].astype(jnp.int32)
@@ -708,12 +722,14 @@ def make_fused_train_step(trainer, feature_fn):
         if example_mask is not None:
             batch["example_mask"] = example_mask
         return trainer._train_step(state, batch, rng)
+    step = jax.jit(step_fn, donate_argnums=(0,)) if donate \
+        else jax.jit(step_fn)
     # hold the feature_fn reference so id() stays unique for the cache key
     cache[key] = (feature_fn, step)
     return step
 
 
-def make_fused_multi_step(trainer, feature_fn):
+def make_fused_multi_step(trainer, feature_fn, donate=False):
     """Grouped dispatch for high-round-trip feed links: ONE jit program
     runs K fused train steps (lax.scan) over a [K, ...] stack of staged
     batches, so K steps cost one host->device transfer round and one
@@ -724,16 +740,16 @@ def make_fused_multi_step(trainer, feature_fn):
     step(state, signals_k, targets_k, rng) -> (state, losses [K]);
     ``targets_k=None`` selects the packed layout ([K, B+1, T], targets in
     each stack's last row). jit re-specializes per distinct K (the full
-    group size and one tail size in practice).
+    group size and one tail size in practice). ``donate`` as in
+    make_fused_train_step (state buffers only).
     """
     cache = trainer.__dict__.setdefault("_fused_multi_cache", {})
-    key = id(feature_fn)
+    key = (id(feature_fn), bool(donate))
     if key in cache:
         return cache[key][1]
     single = make_fused_train_step(trainer, feature_fn)
 
-    @jax.jit
-    def multi(state, signals_k, targets_k, rng):
+    def multi_fn(state, signals_k, targets_k, rng):
         def body(st, xs):
             if targets_k is None:
                 sig, tgt = xs, None
@@ -743,5 +759,7 @@ def make_fused_multi_step(trainer, feature_fn):
             return st, loss
         xs = signals_k if targets_k is None else (signals_k, targets_k)
         return jax.lax.scan(body, state, xs)
+    multi = jax.jit(multi_fn, donate_argnums=(0,)) if donate \
+        else jax.jit(multi_fn)
     cache[key] = (feature_fn, multi)
     return multi

@@ -83,20 +83,34 @@ class ModelCheckpoint(Callback):
         self._orbax = None
 
     def on_epoch_end(self, trainer, epoch, logs):
-        value = logs.get(self.monitor, logs.get("val_loss", 0.0))
-        if self.save_best_only and self.best is not None:
-            better = value < self.best if self.mode == "min" else value > self.best
-            if not better:
+        value = logs.get(self.monitor)
+        if self.save_best_only:
+            if value is None:
+                # mirror Keras: without the monitored metric there is no
+                # "best" ordering — warn and skip, rather than comparing
+                # a constant placeholder (which would save epoch 1 and
+                # then silently never checkpoint again)
+                logger.warning(
+                    "ModelCheckpoint: monitored metric %r not in epoch "
+                    "logs %s; skipping save", self.monitor, sorted(logs))
                 return
-        self.best = value
+            if self.best is not None:
+                better = (value < self.best if self.mode == "min"
+                          else value > self.best)
+                if not better:
+                    return
+            self.best = value
+        # filename metric: val_loss when present, else the train loss (a
+        # validation-free run still gets resumable, ordered checkpoints)
+        fname_val = logs.get("val_loss", logs.get("loss", 0.0))
         if self.backend == "orbax":
             if self._orbax is None:
                 self._orbax = ckpt_lib.OrbaxCheckpointer(use_async=True)
             self._orbax.save(self.checkpoints_dir, trainer.state,
-                             epoch=epoch, val_loss=logs.get("val_loss", 0.0))
+                             epoch=epoch, val_loss=fname_val)
             return
         ckpt_lib.save_checkpoint(self.checkpoints_dir, trainer.state,
-                                 epoch=epoch, val_loss=logs.get("val_loss", 0.0))
+                                 epoch=epoch, val_loss=fname_val)
 
     def on_train_end(self, trainer):
         if self._orbax is not None:
@@ -291,6 +305,17 @@ class Trainer:
         variables = {"params": self.state.params}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
+        leaves = jax.tree_util.tree_leaves(variables)
+        if any(isinstance(a, jax.Array) and not a.is_fully_addressable
+               for a in leaves):
+            # multi-process tensor-parallel shardings: some param shards
+            # live on other hosts, and device_get on a non-addressable
+            # array raises — allgather each leaf to every process first
+            from jax.experimental import multihost_utils
+            variables = jax.tree_util.tree_map(
+                lambda a: multihost_utils.process_allgather(a, tiled=True)
+                if isinstance(a, jax.Array) and not a.is_fully_addressable
+                else a, variables)
         self.model.variables = jax.device_get(variables)
 
     def current_learning_rate(self):
@@ -408,6 +433,15 @@ class Trainer:
             batch["input"] = x.astype(dt)
         return batch
 
+    @staticmethod
+    def _batch_rows(batch):
+        """Leading dim of a batch dict — from ``target`` when present, else
+        ``input`` (predict() feeds unlabeled batches), else any value."""
+        for key in ("target", "input"):
+            if key in batch:
+                return int(np.shape(batch[key])[0])
+        return int(np.shape(next(iter(batch.values())))[0])
+
     def _put(self, batch):
         """Stage a host batch onto the device/mesh. The transfer is started
         EXPLICITLY here (device_put) so _staged's background threads overlap
@@ -426,7 +460,7 @@ class Trainer:
             # the same number of rows per step (pad to the local device
             # multiple; padded rows are masked out of loss and metrics).
             n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
-            n = np.shape(batch["target"])[0]
+            n = self._batch_rows(batch)
             if n % n_local_dev:
                 target_n = -(-n // n_local_dev) * n_local_dev
                 batch, valid = parallel.pad_batch_to(batch, target_n)
@@ -435,7 +469,7 @@ class Trainer:
                                          else np.logical_and(mask, valid))
             return parallel.global_batch_from_local(batch, self.mesh)
         n_dev = self.mesh.devices.size
-        n = np.shape(batch["target"])[0]
+        n = self._batch_rows(batch)
         if n % n_dev:
             target_n = -(-n // n_dev) * n_dev
             batch, valid = parallel.pad_batch_to(batch, target_n)
@@ -465,7 +499,7 @@ class Trainer:
             buffer_size = self.prefetch
         buffer_size = max(1, buffer_size)
         if count_fn is None:
-            count_fn = lambda b: int(np.shape(b["target"])[0])
+            count_fn = self._batch_rows
         if put is None:
             put = self._put
         # the bounded queue holds futures: the producer races ahead
@@ -511,7 +545,11 @@ class Trainer:
                 yield n, fut.result()
         finally:
             stop.set()
-            pool.shutdown(wait=False)
+            # cancel_futures: queued-but-unstarted transfers must not run —
+            # on a serializing feed link dead device_puts would delay the
+            # next consumer (e.g. validation staging) by up to
+            # buffer_size transfer times
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def fit(self, train_batches, validation_batches=None, epochs=1,
             steps_per_epoch=None, verbose=True, cache_staged=None,
@@ -537,6 +575,10 @@ class Trainer:
         """
         if self.state is None:
             self.create_state()
+        # a fresh fit() starts training anew even if a previous fit on this
+        # trainer was stopped early (Keras resets the flag on fit entry —
+        # without this a reused trainer silently trains zero epochs)
+        self.stop_training = False
         if cache_staged is None:
             cache_staged = self.cache_staged
         staged_cache = None
@@ -563,7 +605,11 @@ class Trainer:
                 batches = (train_batches() if callable(train_batches)
                            else train_batches)
                 source = self._staged(batches)
-                collecting = [] if cache_staged else None
+                # a steps_per_epoch-truncated epoch can never populate the
+                # cache (see docstring) — don't pin its batches in HBM
+                # only to discard the list at truncation
+                collecting = ([] if cache_staged and steps_per_epoch is None
+                              else None)
             truncated = False
             for i, (n, batch) in enumerate(source):
                 if steps_per_epoch is not None and i >= steps_per_epoch:

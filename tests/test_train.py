@@ -104,6 +104,41 @@ class TestTrainer:
         assert out.shape == (32, N_CLASSES)
         np.testing.assert_allclose(np.exp(out).sum(axis=1), 1.0, rtol=1e-4)
 
+    def test_predict_accepts_unlabeled_batches(self):
+        # serving-style inference has no 'target' key; the staging layer
+        # must size batches from 'input' instead of crashing
+        trainer = make_trainer()
+        labeled = toy_batches(2)
+        unlabeled = [{"input": b["input"]} for b in labeled]
+        out = trainer.predict(lambda: unlabeled)
+        assert out.shape == (32, N_CLASSES)
+
+    def test_save_best_only_without_monitor_warns_not_freezes(self, tmp_path):
+        # a validation-free run has no val_loss: save_best_only must skip
+        # with a warning (Keras semantics) — the old 0.0-placeholder
+        # comparison saved epoch 1 and then silently never saved again
+        ckpt_dir = str(tmp_path / "ckpts")
+        trainer = make_trainer(
+            tmp_path, callbacks=[ModelCheckpoint(ckpt_dir,
+                                                 save_best_only=True)])
+        trainer.fit(lambda: toy_batches(2), epochs=2)  # no validation
+        assert glob.glob(os.path.join(ckpt_dir, "*.ckpt")) == []
+        # with save_best_only=False the run still checkpoints, named by
+        # the train loss
+        ckpt_dir2 = str(tmp_path / "ckpts2")
+        trainer2 = make_trainer(
+            tmp_path, callbacks=[ModelCheckpoint(ckpt_dir2)])
+        trainer2.fit(lambda: toy_batches(2), epochs=2)
+        assert len(glob.glob(os.path.join(ckpt_dir2, "*.ckpt"))) == 2
+
+    def test_stop_training_resets_on_new_fit(self):
+        # a trainer stopped early must train again on the next fit() call
+        trainer = make_trainer()
+        trainer.fit(lambda: toy_batches(2), epochs=1)
+        trainer.stop_training = True  # as EarlyStopping would leave it
+        history = trainer.fit(lambda: toy_batches(2), epochs=3)
+        assert len(history) == 3
+
 
 class TestDataParallel:
     def test_mesh_training_runs_and_matches_single_device(self):
