@@ -478,6 +478,40 @@ class TestCacheStaged:
         # the cached waveform batches are identical
         assert len({round(float(h), 6) for h in hist}) == 3
 
+    def test_validation_featurized_once(self, monkeypatch):
+        # the val-featurize key is fixed, so recomputing per epoch is
+        # byte-identical work: _featurize_val must run exactly once per
+        # fit, with or without an explicit clean val_feature_fn
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(3)
+        sr, t_len, b = 16000, 4000, 8
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(2)]
+        val = batches[:1]
+        frames = 1 + (t_len - 400) // 160
+        fn = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig(specaug_time_masks=1))
+        calls = {"n": 0}
+        real = on_device._featurize_val
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+        monkeypatch.setattr(on_device, "_featurize_val", counting)
+        for val_fn in (None,):
+            calls["n"] = 0
+            trainer = Trainer(models.create("dnn", (frames, 16), N_CLASSES),
+                              optax.adam(1e-3), nll_loss)
+            hist = on_device.fit_signals(trainer, fn, lambda: batches,
+                                         epochs=3, val_batches=val,
+                                         val_feature_fn=val_fn,
+                                         verbose=False)
+            assert calls["n"] == 1, calls["n"]
+            assert all("val_loss" in h for h in hist)
+
 
 class TestSignalStaging:
     def test_raw_pcm_to_float_staging_rescales(self):
