@@ -133,6 +133,24 @@ def main():
     report = util.classification_report(as_xy(emb_test)["y"], preds, label2target)
     print(f"back-end accuracy: {report['accuracy']:.3f}, "
           f"C_avg: {report['avg_detection_cost']:.3f}")
+
+    # Deployment export: spec+weights plus an AOT StableHLO forward with
+    # a SYMBOLIC batch dim (one artifact serves every batch size) —
+    # reloaded and checked against the live model.
+    from lidbox_tpu import export as export_mod
+    deploy = os.path.join(workdir, "deploy")
+    export_mod.save_model(wrapper.model, "xvector", deploy,
+                          model_kwargs={"num_outputs": len(LABELS)})
+    hlo_path = export_mod.export_stablehlo(wrapper.model, deploy)
+    fn = export_mod.load_stablehlo(hlo_path)
+    x = np.zeros((2, 98, 40), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(fn(x)),
+        np.asarray(wrapper.model.apply(wrapper.model.variables, x,
+                                       train=False)),
+        rtol=1e-5, atol=1e-6)
+    print(f"exported deployment artifacts to {deploy} "
+          f"(StableHLO forward verified against the live model)")
     print("done; artifacts in", workdir)
 
 
