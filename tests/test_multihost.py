@@ -119,6 +119,55 @@ print("PSUM %.8f" % checksum)
 """
 
 
+TP_CHILD = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import optax
+import lidbox_tpu.models as models
+import lidbox_tpu.parallel as parallel
+from lidbox_tpu.losses import nll_loss
+from lidbox_tpu.train import Trainer
+
+assert parallel.initialize_distributed(), "env-var initialization failed"
+pid = jax.process_index()
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+T, F, N = 20, 8, 3
+mesh = parallel.get_mesh_2d(data_size=2, model_size=2)
+model = models.create("xvector", (T, F), N)
+model.init(jax.random.PRNGKey(0))
+trainer = Trainer(model, optax.adam(1e-2), nll_loss, mesh=mesh,
+                  param_sharding=parallel.column_parallel_rule(mesh))
+trainer.create_state()
+
+# the regime under test: column-parallel kernels replicated over the data
+# axis span devices of BOTH processes, so some param leaves are NOT fully
+# addressable and sync_model_variables must allgather before device_get
+leaves = jax.tree_util.tree_leaves(trainer.state.params)
+assert any(not l.is_fully_addressable for l in leaves), "TP did not shard"
+
+rng = np.random.default_rng(7)
+X = rng.normal(0, 1, (8, T, F)).astype(np.float32)
+y = rng.integers(0, N, 8).astype(np.int32)
+local = {"input": X[4 * pid:4 * pid + 4], "target": y[4 * pid:4 * pid + 4]}
+trainer.fit(lambda: [local] * 2, epochs=1)  # ends with sync_model_variables
+
+v = trainer.model.variables["params"]
+host_leaves = jax.tree_util.tree_leaves(v)
+# synced weights are host numpy arrays with FULL (unsharded) shapes
+state_leaves = jax.tree_util.tree_leaves(trainer.state.params)
+for h, s in zip(host_leaves, state_leaves):
+    assert isinstance(h, np.ndarray), type(h)
+    assert h.shape == s.shape, (h.shape, s.shape)
+checksum = sum(float(np.asarray(l, np.float64).sum()) for l in host_leaves)
+print("TPSYNC %.8f" % checksum)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -188,6 +237,21 @@ def test_two_process_distributed_training_step(tmp_path):
     w = np.ones(3, np.float32)
     grads = 2.0 / 8.0 * X.T @ (X @ w - y)
     np.testing.assert_allclose(a["params"], w - 0.1 * grads, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_sync_model_variables(tmp_path):
+    """Tensor-parallel params span BOTH processes' devices (column-parallel
+    kernels replicated over data, sharded over model): fit() must end with
+    sync_model_variables allgathering the non-addressable leaves — both
+    hosts land identical full-shape host weights."""
+    outs = _run_two_processes(TP_CHILD, tmp_path)
+    vals = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("TPSYNC")]
+        assert lines, out
+        vals.append(float(lines[0].split()[1]))
+    assert vals[0] == vals[1], vals
 
 
 @pytest.mark.slow
