@@ -74,7 +74,8 @@ def load_metadata(config):
     import pandas as pd
     meta_conf = config["metadata"]
     if "csv" in meta_conf:
-        meta = pd.read_csv(meta_conf["csv"]).set_index("id", drop=True)
+        from lidbox_tpu.meta import set_unique_index
+        meta = set_unique_index(pd.read_csv(meta_conf["csv"]))
     elif "common_voice" in meta_conf:
         from lidbox_tpu.meta import common_voice
         cv = meta_conf["common_voice"]

@@ -86,16 +86,24 @@ def export_stablehlo(model, directory, batch_size=None, platforms=None):
     if model.variables is None:
         model.init()
     variables = model.variables
-    shape = tuple(d if d is not None else 16 for d in model.input_shape)
     output = model.output
+    kwargs_apply = dict(model.apply_kwargs)
+    kwargs_apply["output"] = output
 
     def forward(x):
-        return model.module.apply(variables, x, train=False, output=output)
+        return model.module.apply(variables, x, train=False, **kwargs_apply)
 
-    if batch_size is None:
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = int(batch_size)
+    # every None (variable) input dim gets its own symbolic dimension —
+    # freezing them to the init-time dummy would export an artifact that
+    # only accepts that one shape. All symbolic dims must share ONE
+    # symbolic_shape call (one scope), batch included.
+    sym_names = ([] if batch_size is not None else ["b"]) + [
+        f"d{i}" for i, d in enumerate(model.input_shape) if d is None]
+    syms = dict(zip(sym_names, jax_export.symbolic_shape(
+        ",".join(sym_names)))) if sym_names else {}
+    shape = tuple(syms[f"d{i}"] if d is None else d
+                  for i, d in enumerate(model.input_shape))
+    b = syms["b"] if batch_size is None else int(batch_size)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     try:
         exported = jax_export.export(jax.jit(forward), **kwargs)(

@@ -11,5 +11,6 @@ from .utils import (  # noqa: F401
     random_undersampling,
     random_undersampling_on_split,
     read_audio_durations,
+    set_unique_index,
     verify_integrity,
 )

@@ -10,16 +10,10 @@ import os
 
 import pandas as pd
 
+from lidbox_tpu.meta.utils import set_unique_index as _set_unique_index
+
 SPLIT_NAMES = ("train", "dev", "test")
 USE_COLUMNS = ("client_id", "path", "sentence")
-
-
-def _set_unique_index(df, col="id"):
-    df = df.set_index(col, drop=True)
-    if not df.index.is_unique:
-        dupes = df.index[df.index.duplicated()].unique()[:5]
-        raise ValueError(f"duplicate utterance ids, e.g. {list(dupes)}")
-    return df
 
 
 def load_split(corpus_dir, lang, split, usecols=USE_COLUMNS):
@@ -32,7 +26,10 @@ def load_split(corpus_dir, lang, split, usecols=USE_COLUMNS):
     df = pd.read_csv(os.path.join(corpus_dir, lang, split + ".tsv"),
                      sep="\t", usecols=list(usecols))
     df = df.assign(label=lang, split=split)
-    df["id"] = df["path"].str.split(".mp3", n=1).str[0]
+    # filename stem, NOT str.split(".mp3"): pandas treats multi-char
+    # split patterns as regex, so '.mp3' would match e.g. 'imp3' inside
+    # a filename and corrupt the utterance id
+    df["id"] = df["path"].str.rsplit(".", n=1).str[0]
     df["path"] = [os.path.join(corpus_dir, lang, "clips", p) for p in df["path"]]
     df["client_id"] = lang + "_" + df["client_id"].astype(str)
     return df

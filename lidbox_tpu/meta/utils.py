@@ -18,6 +18,17 @@ import pandas as pd
 REQUIRED_COLUMNS = ("path", "label", "split")
 
 
+def set_unique_index(df, col="id"):
+    """set_index + uniqueness check with a readable error (pandas
+    deprecated the built-in verify_integrity keyword). Shared by the
+    metadata loaders and the prediction-DataFrame builders."""
+    df = df.set_index(col, drop=True)
+    if not df.index.is_unique:
+        dupes = df.index[df.index.duplicated()].unique()[:5]
+        raise ValueError(f"duplicate utterance ids, e.g. {list(dupes)}")
+    return df
+
+
 def verify_integrity(meta, max_threads=None):
     """Raise unless: all required columns present, no NaNs, every audio path
     exists on disk (checked with a thread pool), and splits are disjoint by

@@ -48,9 +48,12 @@ class Classifier:
             model.init()
         self.model = model
         self.labels = list(labels)
-        self.extractor = DeviceFeatureExtractor(dict(feature_config or {
+        # keep the FULL feature config: extract_features must see every
+        # field (stft_method, precision, validate_finite, buckets, ...),
+        # not a rebuilt subset — serving numerics must match training
+        self.feature_config = dict(feature_config or {
             "type": "logmelspectrogram",
-            "melspectrogram": {"num_mel_bins": 64}}))
+            "melspectrogram": {"num_mel_bins": 64}})
         self.chunk_length_ms = chunk_length_ms
         self.chunk_step_ms = chunk_step_ms
         self.batch_size = batch_size
@@ -71,13 +74,22 @@ class Classifier:
                        "sample_rate": np.int32(rate)}
         ds = Dataset(gen)
         if self.chunk_length_ms:
+            def _pad_short(x):
+                # a serving input shorter than one chunk must still be
+                # scored: pad it to exactly one chunk (otherwise the
+                # chunker emits nothing and the utterance silently
+                # vanishes from the output)
+                chunk_len = int(int(x["sample_rate"]) * 1e-3
+                                * self.chunk_length_ms)
+                if x["signal"].size < chunk_len:
+                    x = dict(x, signal=np.pad(
+                        x["signal"], (0, chunk_len - x["signal"].size)))
+                return x
             ds = steps_mod.create_signal_chunks(
-                ds, self.chunk_length_ms,
+                ds.map(_pad_short), self.chunk_length_ms,
                 self.chunk_step_ms or self.chunk_length_ms)
         return steps_mod.extract_features(
-            ds, {**self.extractor.feature_kwargs,
-                 "type": self.extractor.feature_type,
-                 "batch_size": self.batch_size})
+            ds, {**self.feature_config, "batch_size": self.batch_size})
 
     def scores(self, paths, ids=None):
         """id-indexed DataFrame of per-utterance score vectors (chunk
@@ -93,6 +105,8 @@ class Classifier:
     def classify(self, paths, ids=None):
         """DataFrame with predicted ``label`` and per-label score columns."""
         df = self.scores(paths, ids)
+        if len(df) == 0:
+            raise ValueError("no utterances produced scores (empty input?)")
         scores = np.stack(list(df.prediction))
         out = df.drop(columns=["prediction"])
         out["label"] = [self.labels[i] for i in scores.argmax(axis=1)]

@@ -4,6 +4,7 @@ readers (reference: lidbox/system.py).
 """
 import hashlib
 import json
+import shlex
 import shutil
 import subprocess
 from concurrent.futures import ThreadPoolExecutor
@@ -24,7 +25,10 @@ def run_for_files(cmd, filepaths, batch_size=MAX_BATCH_SIZE):
     filepaths = list(filepaths)
     for begin in range(0, len(filepaths), batch_size):
         batch = filepaths[begin:begin + batch_size]
-        _, out, _ = run_command(f"{cmd} {' '.join(str(p) for p in batch)}")
+        # quote every path: spaces/metacharacters in filenames must not
+        # split arguments or reach the shell as syntax
+        _, out, _ = run_command(
+            f"{cmd} {' '.join(shlex.quote(str(p)) for p in batch)}")
         yield out
 
 
@@ -41,8 +45,10 @@ def all_md5sums(paths, num_workers=32):
     """MD5 of many files in parallel (reference: lidbox/system.py:50-53 used
     a 32-process pool; a thread pool suffices since hashing releases the
     GIL during IO)."""
-    with ThreadPoolExecutor(max_workers=min(num_workers, max(1, len(list(paths))))) as pool:
-        paths = list(paths)
+    paths = list(paths)  # before sizing the pool: len() must not consume
+    # a generator argument (it previously did, returning [])
+    with ThreadPoolExecutor(
+            max_workers=min(num_workers, max(1, len(paths)))) as pool:
         return list(pool.map(md5sum, paths))
 
 

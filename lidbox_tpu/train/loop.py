@@ -220,6 +220,22 @@ class Trainer:
         self.rng = rng if rng is not None else jax.random.PRNGKey(RANDOM_SEED)
         self.metrics_logger = MetricsLogger(log_dir) if log_dir else None
         self.state = None
+        self._step_config_key = None
+        self._refresh_step_fns()
+
+    def _refresh_step_fns(self):
+        """(Re)build the jitted step functions when trace-time config
+        changed. The steps read remat/compute_dtype/loss_fn/score_fn/
+        metrics at TRACE time; without this, mutating those fields after
+        the first step would silently keep the old compiled program. Called
+        at every fit/evaluate/predict entry — cheap when nothing changed
+        (the compiled executables live in each jit wrapper's cache)."""
+        key = (self.remat, self.compute_dtype, id(self.loss_fn),
+               id(self.score_fn),
+               tuple((name, id(m)) for name, m in sorted(self.metrics.items())))
+        if key == self._step_config_key:
+            return
+        self._step_config_key = key
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_apply_eval = jax.jit(
@@ -575,6 +591,7 @@ class Trainer:
         """
         if self.state is None:
             self.create_state()
+        self._refresh_step_fns()  # pick up post-construction config edits
         # a fresh fit() starts training anew even if a previous fit on this
         # trainer was stopped early (Keras resets the flag on fit entry —
         # without this a reused trainer silently trains zero epochs)
@@ -659,6 +676,7 @@ class Trainer:
         already on device — the cache_staged reuse path)."""
         if self.state is None:
             self.create_state()
+        self._refresh_step_fns()  # pick up post-construction config edits
         metric_states = {name: m.init_state() for name, m in self.metrics.items()}
         if self.mesh is not None:
             metric_states = parallel.put_replicated(metric_states, self.mesh)
@@ -689,6 +707,7 @@ class Trainer:
         device memory (at most two result buffers live)."""
         if self.state is None:
             self.create_state()
+        self._refresh_step_fns()  # pick up post-construction config edits
         outs = []
         prev = None
         for n, batch in self._staged(batches):

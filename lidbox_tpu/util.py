@@ -10,17 +10,8 @@ import jax
 
 import lidbox_tpu.data.steps as data_steps
 from lidbox_tpu.data.dataset import padded_batch
+from lidbox_tpu.meta.utils import set_unique_index as _set_unique_index
 from lidbox_tpu.metrics import SparseAverageDetectionCost
-
-
-def _set_unique_index(df, col="id"):
-    """set_index + uniqueness check (pandas deprecated the built-in
-    verify_integrity keyword)."""
-    df = df.set_index(col, drop=True)
-    if not df.index.is_unique:
-        dupes = df.index[df.index.duplicated()].unique()[:5]
-        raise ValueError(f"duplicate utterance ids, e.g. {list(dupes)}")
-    return df
 
 
 def predictions_to_dataframe(ids, predictions):
@@ -258,8 +249,11 @@ def classification_report(true_sparse, pred_dense, label2target,
     for label, i in label2target.items():
         report[label]["equal_error_rate"] = eer[i]
 
+    # labels= keeps the matrix [N, N] and row i == class i even when a
+    # class is absent from the test set (otherwise sklearn shrinks the
+    # matrix and rows silently shift to the wrong language)
     report["confusion_matrix"] = sklearn.metrics.confusion_matrix(
-        true_sparse, pred_sparse)
+        true_sparse, pred_sparse, labels=list(range(len(label2target))))
     return report
 
 
@@ -292,10 +286,15 @@ def model2function(model):
     if model.variables is None:
         model.init()
     variables = model.variables
+    # honor the Model's configured head and module kwargs: an
+    # embedding-extractor Model must export an embedding function, not
+    # fall back to the module's default logits head
+    kwargs = dict(model.apply_kwargs)
+    kwargs["output"] = model.output
 
     @jax.jit
     def model_fn(x):
-        return model.module.apply(variables, x, train=False)
+        return model.module.apply(variables, x, train=False, **kwargs)
     return model_fn
 
 

@@ -47,6 +47,13 @@ def draw_confusion_matrix(cm, label_names, title="", cmap=None, no_legend=True):
     return fig, ax
 
 
+def _require_seaborn():
+    if sns is None:
+        raise ImportError(
+            "seaborn is required for the distribution plots "
+            "(plot_sample_distribution / plot_duration_distribution)")
+
+
 def _categorical_plot_kwargs(metadata):
     return {"data": metadata, "x": "split",
             "order": sorted(metadata.split.unique()),
@@ -55,6 +62,7 @@ def _categorical_plot_kwargs(metadata):
 
 def plot_sample_distribution(metadata):
     """Sample counts per split/label (reference: visualize.py:60-63)."""
+    _require_seaborn()
     ax = sns.countplot(**_categorical_plot_kwargs(metadata))
     ax.set_title("Total amount of samples")
     return ax.get_figure()
@@ -63,6 +71,7 @@ def plot_sample_distribution(metadata):
 def plot_duration_distribution(metadata, figsize=(8, 6)):
     """Median and total audio duration per split/label
     (reference: visualize.py:66-78)."""
+    _require_seaborn()
     kwargs = _categorical_plot_kwargs(metadata)
     fig1, ax1 = plt.subplots(figsize=figsize)
     sns.boxplot(**kwargs, y="duration", ax=ax1)

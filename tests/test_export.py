@@ -63,3 +63,17 @@ def test_stablehlo_multi_platform_artifact(tmp_path):
                                    platforms=("cpu", "tpu"))
     out = np.asarray(export.load_stablehlo(path)(x))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_symbolic_time_dim(tmp_path):
+    """A model declared with a variable (None) time dimension must export
+    an artifact accepting ANY time length, not the init-time dummy."""
+    model = models.create("dnn", (None, 8), 3).init()
+    path = export.export_stablehlo(model, str(tmp_path))
+    fn = export.load_stablehlo(path)
+    rng = np.random.default_rng(4)
+    for b, t in ((2, 10), (3, 57)):
+        x = rng.normal(0, 1, (b, t, 8)).astype(np.float32)
+        ref = np.asarray(model(x))
+        np.testing.assert_allclose(np.asarray(fn(x)), ref,
+                                   rtol=1e-5, atol=1e-6)

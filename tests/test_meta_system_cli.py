@@ -105,6 +105,21 @@ class TestSystem:
         sums = system.all_md5sums([p1, p2])
         assert sums[0] == sums[1] == system.md5sum(p1)
 
+    def test_md5sums_generator_input(self, tmp_path):
+        """A generator argument must not be exhausted by the pool sizing
+        (it once was, silently returning [])."""
+        p1 = tmp_path / "a"; p1.write_bytes(b"hello")
+        p2 = tmp_path / "b"; p2.write_bytes(b"world")
+        sums = system.all_md5sums(p for p in (p1, p2))
+        assert sums == [system.md5sum(p1), system.md5sum(p2)]
+
+    def test_run_for_files_quotes_paths(self, tmp_path):
+        """Paths with spaces/metacharacters must survive the shell."""
+        p = tmp_path / "my file; echo pwned.txt"
+        p.write_text("content")
+        outs = list(system.run_for_files("cat", [str(p)]))
+        assert "".join(outs) == "content"
+
     def test_total_duration(self, audio_fixtures):
         total = system.get_total_duration_sec(
             [audio_fixtures[k] for k in sorted(audio_fixtures)])
@@ -140,6 +155,18 @@ class TestCommonVoice:
                 lines.append(f"spk{split}{i}\t{lang}_{split}_{i}.mp3\thello")
             (d / f"{split}.tsv").write_text("\n".join(lines) + "\n")
         return tmp_path
+
+    def test_id_stem_not_regex(self, tmp_path):
+        """'.mp3' in the filename stem must not be regex-matched away
+        (pandas str.split treats multi-char patterns as regex: 'ximp3x.mp3'
+        once became id 'x')."""
+        from lidbox_tpu.meta import common_voice
+        d = tmp_path / "fi"
+        (d / "clips").mkdir(parents=True)
+        (d / "train.tsv").write_text(
+            "client_id\tpath\tsentence\nspk0\tximp3x.mp3\thello\n")
+        df = common_voice.load_split(str(tmp_path), "fi", "train")
+        assert list(df["id"]) == ["ximp3x"]
 
     def test_load(self, tmp_path):
         from lidbox_tpu.meta import common_voice

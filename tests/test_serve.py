@@ -134,3 +134,50 @@ class TestStreamingClassifier:
         assert out is not None and out.shape == (len(LABELS),)
         assert np.all(out <= 0.0)  # -theta scores over N classes, not D
         assert sc.label() in LABELS
+
+
+def test_classify_pads_sub_chunk_utterances(tmp_path):
+    """An input shorter than one chunk must still be scored (padded to one
+    full chunk), not silently dropped from the output."""
+    frames = 1 + (2 * RATE - 400) // 160
+    model = models.create("dnn", (frames, 24), len(LABELS)).init()
+    clf = serve.Classifier(model, LABELS,
+                           feature_config={"type": "logmelspectrogram",
+                                           "melspectrogram": {"num_mel_bins": 24}},
+                           chunk_length_ms=2000, chunk_step_ms=1000)
+    long_paths = _wavs(tmp_path, n=1, seconds=3.0)
+    short = testutil.noisy_sinewave(150, RATE, 0.1, 1.2, seed=42)
+    short_path = tmp_path / "short.wav"
+    audio_io.write_mono_wav(short_path, short, RATE)
+    out = clf.classify(long_paths + [str(short_path)], ids=["long", "short"])
+    assert list(out.index) == ["long", "short"]
+    assert out.loc["short", "label"] in LABELS
+
+
+def test_classifier_forwards_full_feature_config(monkeypatch, tmp_path):
+    """Every field of the serving feature_config must reach the device
+    feature extractor (stft_method/precision/etc. were once dropped)."""
+    from lidbox_tpu.data import steps as steps_mod
+    seen = {}
+    real = steps_mod.DeviceFeatureExtractor
+
+    class Recording(real):
+        def __init__(self, config):
+            seen.update(dict(config))
+            super().__init__(config)
+
+    monkeypatch.setattr(steps_mod, "DeviceFeatureExtractor", Recording)
+    frames = 1 + (2 * RATE - 400) // 160
+    model = models.create("dnn", (frames, 24), len(LABELS)).init()
+    clf = serve.Classifier(
+        model, LABELS,
+        feature_config={"type": "logmelspectrogram",
+                        "melspectrogram": {"num_mel_bins": 24},
+                        "stft_method": "matmul",
+                        "precision": "highest",
+                        "validate_finite": True})
+    clf.scores(_wavs(tmp_path, n=1), ids=["u0"])
+    assert seen["stft_method"] == "matmul"
+    assert seen["precision"] == "highest"
+    assert seen["validate_finite"] is True
+    assert seen["melspectrogram"] == {"num_mel_bins": 24}

@@ -968,6 +968,27 @@ class TestMixedPrecision:
         bs_leaves = jax.tree_util.tree_leaves(trainer.state.batch_stats)
         assert all(l.dtype == np.float32 for l in bs_leaves)
 
+    def test_config_edits_after_first_trace_retrace(self):
+        """Mutating trace-time Trainer config (loss_fn, compute_dtype,
+        remat) after steps have compiled must take effect on the next
+        fit/evaluate/predict — the jitted steps are rebuilt when the
+        config fingerprint changes (formerly a documented limitation:
+        read at first trace only)."""
+        import jax.numpy as jnp
+        trainer = make_trainer()
+        batches = toy_batches(2)
+        first = trainer.evaluate(lambda: batches)
+        assert first["val_loss"] > 0
+        trainer.loss_fn = lambda targets, outputs: jnp.zeros(
+            targets.shape[0], jnp.float32)
+        second = trainer.evaluate(lambda: batches)
+        assert second["val_loss"] == 0.0
+        # and remat toggling retraces the TRAIN step without error
+        trainer.loss_fn = nll_loss
+        trainer.remat = True
+        h = trainer.fit(lambda: batches, epochs=1)
+        assert np.isfinite(h[-1]["loss"])
+
     def test_clipnorm_clipvalue(self):
         opt, _ = optimizer_from_config({
             "cls": "Adam", "kwargs": {"learning_rate": 1.0, "clipnorm": 0.1}})

@@ -143,6 +143,18 @@ class TestUtil:
         for label in label2target:
             assert "equal_error_rate" in report[label]
 
+    def test_classification_report_absent_class_keeps_matrix_shape(self):
+        """A class absent from both true and predicted labels must not
+        shrink the confusion matrix (sklearn shrinks without labels=,
+        silently shifting rows to the wrong language)."""
+        true = np.array([0, 1, 1, 0])
+        pred = np.full((4, N), -5.0)
+        pred[np.arange(4), true] = -0.1  # class 2 never appears
+        label2target = {"aa": 0, "bb": 1, "cc": 2}
+        report = util.classification_report(true, pred, label2target)
+        assert report["confusion_matrix"].shape == (N, N)
+        assert report["confusion_matrix"][2].sum() == 0
+
     def test_predict_with_model_and_evaluate(self):
         rng = np.random.default_rng(0)
         model = models.create("dnn", (10, 4), N).init()
@@ -167,6 +179,20 @@ class TestUtil:
         fn = util.model2function(model)
         out = fn(np.zeros((2, 10, 4), np.float32))
         assert out.shape == (2, N)
+
+    def test_model2function_embedding_extractor(self):
+        """The exported function must honor the Model's configured head:
+        an embedding extractor exports embeddings, not logits."""
+        from lidbox_tpu.models.model_api import as_embedding_extractor
+        model = as_embedding_extractor(
+            models.create("xvector", (30, 20), N).init())
+        fn = util.model2function(model)
+        out = fn(np.zeros((2, 30, 20), np.float32))
+        assert out.shape == (2, 512)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(model(np.zeros((2, 30, 20),
+                                                       np.float32))),
+            rtol=1e-6, atol=1e-6)
 
     def test_standard_scaler(self):
         rng = np.random.default_rng(0)

@@ -57,3 +57,18 @@ def test_3d_pca_scatter():
     labels = ["a"] * 15 + ["b"] * 15
     fig, ax = visualize.draw_3d_pca_scatterplot(data, labels)
     assert fig is not None
+
+
+def test_distribution_plots_raise_cleanly_without_seaborn(monkeypatch):
+    """With seaborn absent the module imports, and the two plots that need
+    it raise an informative ImportError instead of AttributeError."""
+    import pandas as pd
+    import pytest
+    from lidbox_tpu import visualize
+    monkeypatch.setattr(visualize, "sns", None)
+    meta = pd.DataFrame({"split": ["train"], "label": ["aa"],
+                         "duration": [1.0]})
+    with pytest.raises(ImportError, match="seaborn"):
+        visualize.plot_sample_distribution(meta)
+    with pytest.raises(ImportError, match="seaborn"):
+        visualize.plot_duration_distribution(meta)
