@@ -47,7 +47,10 @@ class Dataset:
         keys = list(init_data.keys())
         n = len(init_data[keys[0]])
         for k in keys:
-            assert len(init_data[k]) == n, f"ragged init_data column {k}"
+            if len(init_data[k]) != n:  # data validation must survive -O
+                raise ValueError(
+                    f"ragged init_data column {k!r}: "
+                    f"{len(init_data[k])} rows vs {n}")
 
         def gen():
             for i in range(n):
@@ -177,25 +180,48 @@ class Dataset:
             q = queue.Queue(maxsize=max(1, buffer_size))
             done = object()
             err = []
+            stop = threading.Event()  # consumer abandoned the stream
+
+            def _put(item):
+                # never block forever: an abandoned consumer (e.g. .take()
+                # stopping early) would otherwise pin this thread — and the
+                # whole suspended upstream (decode pools, open files) — on
+                # a full queue for the life of the process
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def worker():
                 try:
                     for x in self._gen_factory():
-                        q.put(x)
+                        if not _put(x):
+                            return  # closes the upstream generator chain
                 except BaseException as e:  # propagate into consumer
                     err.append(e)
                 finally:
-                    q.put(done)
+                    _put(done)
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()
-            while True:
-                x = q.get()
-                if x is done:
-                    if err:
-                        raise err[0]
-                    return
-                yield x
+            try:
+                while True:
+                    x = q.get()
+                    if x is done:
+                        if err:
+                            raise err[0]
+                        return
+                    yield x
+            finally:
+                stop.set()
+                try:  # unblock a put stuck on the full queue right now
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
         return Dataset(gen)
 
     def take(self, n):
@@ -218,7 +244,14 @@ class Dataset:
             if loaded.is_set():
                 yield from store
                 return
-            with lock:
+            # only ONE iterator fills the cache; a concurrent second pass
+            # streams the source independently instead of blocking on the
+            # filler (which may be slow, or abandoned mid-epoch — holding a
+            # lock across yields deadlocks any concurrent reader)
+            if not lock.acquire(blocking=False):
+                yield from self._gen_factory()
+                return
+            try:
                 if loaded.is_set():
                     yield from store
                     return
@@ -228,6 +261,8 @@ class Dataset:
                     yield x
                 store.extend(tmp)
                 loaded.set()
+            finally:
+                lock.release()
         return Dataset(gen)
 
     def cache_to_file(self, path, batch_size=64):
@@ -327,6 +362,20 @@ def _batch_len(batch):
     raise ValueError("cannot infer batch length")
 
 
+def pick_bucket(value, buckets):
+    """Smallest bucket >= value; values beyond the largest bucket round up
+    to the next multiple of it (so oversized batches/signals still fit, at
+    the cost of an extra compiled shape). The ONE bucketing policy shared
+    by host padded batching and the device-program shape cache — the two
+    must agree on compiled XLA shapes. Tolerates unsorted bucket lists."""
+    buckets = sorted(int(b) for b in buckets)
+    for b in buckets:
+        if value <= b:
+            return b
+    top = buckets[-1]
+    return -(-int(value) // top) * top
+
+
 def padded_batch(elements, key, pad_axis=0, buckets=None):
     """Stack ragged arrays under ``key`` by right-padding along ``pad_axis``
     to the max (or next bucket) length; adds ``<key>_length`` with the
@@ -335,14 +384,7 @@ def padded_batch(elements, key, pad_axis=0, buckets=None):
     lengths = np.asarray([e[key].shape[pad_axis] for e in elements], np.int32)
     target = int(lengths.max())
     if buckets is not None:
-        larger = [b for b in buckets if b >= target]
-        if larger:
-            target = larger[0]
-        else:
-            # beyond the largest bucket: round up to a multiple of it (a new
-            # compiled shape) rather than silently truncating data
-            top = int(buckets[-1])
-            target = -(-target // top) * top
+        target = pick_bucket(target, buckets)
     out = []
     for e in elements:
         arr = e[key]

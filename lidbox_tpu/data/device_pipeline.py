@@ -18,6 +18,9 @@ import numpy as np
 
 import lidbox_tpu.features as F
 from lidbox_tpu import get_logger
+from lidbox_tpu.data.dataset import pick_bucket  # noqa: F401  (one shared
+# bucketing policy: host padded batching and the device-program shape
+# cache must agree on compiled XLA shapes)
 from lidbox_tpu.features import audio
 
 logger = get_logger("data.device")
@@ -28,17 +31,6 @@ DEFAULT_BATCH_BUCKETS = (1, 8, 32, 64)
 
 FEATURE_KWARG_KEYS = ("spectrogram", "melspectrogram", "mfcc", "db_spectrogram",
                       "sample_minmax_scaling", "window_normalization")
-
-
-def pick_bucket(value, buckets):
-    """Smallest bucket >= value; values beyond the largest bucket round up
-    to the next multiple of it (so oversized batches/signals still fit, at
-    the cost of an extra compiled shape)."""
-    for b in buckets:
-        if value <= b:
-            return b
-    top = buckets[-1]
-    return -(-value // top) * top
 
 
 class DeviceFeatureExtractor:

@@ -22,7 +22,9 @@ def _get_cache_steps(config, split):
     yield Step("cache", {
         "directory": os.path.join(config["directory"], "dataset", split),
         "cache_key": config.get("key"),
-        "batch_size": config.get("batch_size", 1)})
+        # default matches steps.cache/cache_to_file (batched pickle
+        # records; per-element dumps are pickle-overhead-bound)
+        "batch_size": config.get("batch_size", 64)})
     if config.get("consume", True):
         yield Step("consume", {"log_interval": config.get("log_interval", -1)})
 
@@ -83,7 +85,8 @@ def create_dataset(split, labels, init_data, config):
             steps.extend(_get_cache_steps(pre["cache"], split))
 
     if features_conf:
-        if features_conf["type"] == "kaldi":
+        if features_conf.get("type") == "kaldi":  # 'type' is optional
+            # (DeviceFeatureExtractor defaults to logmelspectrogram)
             steps.append(Step("load_kaldi_data",
                               {"shape": features_conf["kaldi"]["shape"]}))
         elif "on_device_augment" in features_conf:

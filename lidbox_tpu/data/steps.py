@@ -368,8 +368,13 @@ def augment_by_additive_noise(ds, noise_datadir, snr_list,
             if not paths:
                 continue
             noise, noise_rate = audio_io.read_audio(paths[rng.integers(len(paths))])
-            assert noise_rate == int(x["sample_rate"]), \
-                "noise sample rate must match speech sample rate"
+            if noise_rate != int(x["sample_rate"]):
+                # ValueError, not assert: silently mixing rate-mismatched
+                # noise under python -O would corrupt augmentation
+                raise ValueError(
+                    f"noise sample rate {noise_rate} != speech sample "
+                    f"rate {int(x['sample_rate'])} (resample the noise "
+                    f"corpus first)")
             snr = float(rng.uniform(snr_low, snr_high))
             sig = x["signal"]
             reps = 1 + sig.size // max(noise.size, 1)
@@ -400,14 +405,19 @@ def augment_signals(ds, augment_configs):
 # Features
 # ---------------------------------------------------------------------------
 
-def group_by_axis_length(ds, element_key, max_batch_size, min_batch_size=0, axis=0):
+def group_by_axis_length(ds, element_key, max_batch_size, min_batch_size=0,
+                         axis=0, extra_key_fn=None):
     """Batches where all tensors under ``element_key`` share the size of
     ``axis`` (reference: lidbox/data/steps.py:751-773). Groups are emitted
-    as they fill, remainder groups at the end."""
+    as they fill, remainder groups at the end. ``extra_key_fn(element)``
+    optionally extends the grouping key (e.g. sample rate, so equal-length
+    signals at different rates never share a batch)."""
     def gen():
         groups = {}
         for x in ds:
             length = np.shape(x[element_key])[axis]
+            if extra_key_fn is not None:
+                length = (length, extra_key_fn(x))
             bucket = groups.setdefault(length, [])
             bucket.append(x)
             if len(bucket) >= max_batch_size:
@@ -438,11 +448,17 @@ def extract_features(ds, config):
 
     if "group_by_input_length" in config:
         max_bs = config["group_by_input_length"]["max_batch_size"]
-        grouped = group_by_axis_length(ds, "signal", max_bs, axis=0)
+        # rate is part of the grouping key: equal-length signals at
+        # different sample rates must never share a batch (one mel
+        # filterbank per batch)
+        grouped = group_by_axis_length(
+            ds, "signal", max_bs, axis=0,
+            extra_key_fn=lambda x: int(x.get("sample_rate", 0)))
 
         def _extract_equal(batch):
             rates = np.atleast_1d(batch["sample_rate"])
-            assert np.all(rates == rates[0]), "one sample rate per batch required"
+            if not np.all(rates == rates[0]):
+                raise ValueError("one sample rate per batch required")
             feats = extractor(np.stack(list(batch["signal"])), int(rates[0]))
             return dict(batch, input=feats,
                         feature_type=[feature_type] * len(feats))
@@ -655,7 +671,7 @@ def consume(ds, log_interval=-1):
     last_i, last_t = 0, t0
     i = 0
     for i, _ in enumerate(ds, start=1):
-        if log_interval > -1 and i % log_interval == 0:
+        if log_interval > 0 and i % log_interval == 0:
             now = time.perf_counter()
             logger.info("%d done, %.3f elements per second.",
                         i, (i - last_i) / max(now - last_t, 1e-9))
@@ -834,7 +850,9 @@ def unstable_reduce_features_mean_variance(ds, axis=0, key="input"):
         s = v.sum(axis=axis, keepdims=True)
         sums = s if sums is None else sums + s
         num_frames += v.shape[axis]
-    assert num_frames > 1, "need more than one frame to compute variance"
+    if num_frames <= 1:  # data validation must survive python -O
+        raise ValueError(
+            f"need more than one frame to compute variance, got {num_frames}")
     means = sums / num_frames
     sq = None
     for x in ds:
@@ -843,6 +861,22 @@ def unstable_reduce_features_mean_variance(ds, axis=0, key="input"):
         sq = s if sq is None else sq + s
     variances = sq / (num_frames - 1)
     return num_frames, means, variances
+
+
+def unstable_reduce_features_mean_variance_step(ds, axis=0, key="input"):
+    """Step-contract wrapper for the registry: computes the stats, stashes
+    them on ``.last_result`` (like reduce_stats) and returns the dataset
+    unchanged. The reference registered the raw reducer, whose tuple
+    return value broke the from_steps fold contract (reference:
+    lidbox/data/steps.py:1109 — fixed here per SURVEY.md §7)."""
+    result = unstable_reduce_features_mean_variance(ds, axis=axis, key=key)
+    unstable_reduce_features_mean_variance_step.last_result = result
+    logger.info("dataset feature stats over %d frames: mean shape %s",
+                result[0], np.shape(result[1]))
+    return ds
+
+
+unstable_reduce_features_mean_variance_step.last_result = None
 
 
 def lambda_fn(ds, fn):
@@ -886,6 +920,7 @@ VALID_STEP_FUNCTIONS = {
     "repeat_too_short_signals": repeat_too_short_signals,
     "shuffle": shuffle,
     "show_all_elements": show_all_elements,
-    "unstable_reduce_features_mean_variance": unstable_reduce_features_mean_variance,
+    "unstable_reduce_features_mean_variance":
+        unstable_reduce_features_mean_variance_step,
     "write_to_kaldi_files": write_to_kaldi_files,
 }

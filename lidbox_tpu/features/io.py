@@ -131,16 +131,31 @@ def resample(signal, in_rate, out_rate):
 
 
 def wav_header_is_valid(path):
-    """RIFF magic + body-size-vs-file-size check
-    (reference: lidbox/features/audio.py:377-396)."""
+    """RIFF magic + declared-data-fits-in-file check
+    (reference: lidbox/features/audio.py:377-396).
+
+    Chunk-aware on both paths: real-world wavs carry extra RIFF chunks
+    (LIST/INFO, fact), so the header is NOT always 44 bytes — the check
+    validates that the declared data chunk fits inside the file (catching
+    truncation) without demanding an exact minimal-header layout. Uses the
+    native validator when available; the Python fallback parses via the
+    stdlib wave module and never reads the file body."""
+    from lidbox_tpu import native
+    if native.available():
+        try:
+            return native.wav_header_is_valid(path)
+        except Exception:
+            pass  # fall through to the Python check
+    import os
     try:
         with open(path, "rb") as f:
-            contents = f.read()
-        if contents[:4] != b"RIFF":
-            return False
+            if f.read(4) != b"RIFF":
+                return False
         with wave.open(str(path), "rb") as f_in:
             body = f_in.getnframes() * f_in.getnchannels() * f_in.getsampwidth()
-        return body + 44 == len(contents)
+        # the minimal RIFF/fmt/data framing is 44 bytes; extra chunks only
+        # grow the header, so >= catches truncation without rejecting them
+        return body + 44 <= os.path.getsize(path)
     except (OSError, wave.Error, EOFError):
         return False
 

@@ -72,6 +72,49 @@ class TestDataset:
         assert first == second == [0, 1, 2, 3, 4]
         assert len(calls) == 5  # second pass came from disk
 
+    def test_prefetch_abandoned_consumer_releases_worker(self):
+        """Stopping early (e.g. .take) must not leave the prefetch worker
+        blocked forever on the full queue, pinning the upstream."""
+        import gc
+        import threading
+        import time
+        before = threading.active_count()
+        ds = Dataset.from_elements(
+            [{"v": i} for i in range(1000)]).prefetch(2)
+        it = iter(ds)
+        assert next(it)["v"] == 0
+        it.close()
+        del it
+        gc.collect()
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_cache_to_memory_concurrent_second_pass_not_blocked(self):
+        """A second iteration started while the first (filling) pass is
+        mid-stream must stream independently, not block on the filler."""
+        ds_src = Dataset.from_elements([{"v": i} for i in range(6)])
+        ds = ds_src.cache_to_memory()
+        first = iter(ds)
+        next(first)  # first pass holds the fill slot, paused mid-stream
+        import threading
+        got = []
+        t = threading.Thread(
+            target=lambda: got.extend(x["v"] for x in ds), daemon=True)
+        t.start()
+        t.join(timeout=5.0)
+        assert not t.is_alive() and got == list(range(6))
+        # finish the first pass; the cache then serves later iterations
+        assert [x["v"] for x in first] == list(range(1, 6))
+        assert [x["v"] for x in ds] == list(range(6))
+
+    def test_pick_bucket_tolerates_unsorted_buckets(self):
+        from lidbox_tpu.data.dataset import pick_bucket
+        assert pick_bucket(9, [16, 4, 8]) == 16
+        assert pick_bucket(3, (16, 4)) == 4
+        assert pick_bucket(40, [16, 4, 8]) == 48  # multiple of the top
+
     def test_unordered_parallel_map_avoids_straggler_stall(self):
         """deterministic=False yields completed results past a straggler
         (VERDICT r1 weak #8: ordered windows idle all workers once a slow
@@ -170,6 +213,47 @@ class TestDataset:
 
 
 class TestSteps:
+    def test_mean_variance_step_honors_fold_contract(self):
+        """The registered step must return the DATASET (stats go to
+        .last_result) — the reference registered the raw tuple-returning
+        reducer, which broke the from_steps fold."""
+        from lidbox_tpu.data.steps import (
+            VALID_STEP_FUNCTIONS, unstable_reduce_features_mean_variance_step)
+        ds = Dataset.from_elements(
+            [{"input": np.full((4, 3), i, np.float32)} for i in range(5)])
+        fn = VALID_STEP_FUNCTIONS["unstable_reduce_features_mean_variance"]
+        out = fn(ds)
+        assert isinstance(out, Dataset)
+        n, means, variances = (
+            unstable_reduce_features_mean_variance_step.last_result)
+        assert n == 20
+        np.testing.assert_allclose(np.ravel(means), [2.0] * 3)
+        assert [x["input"].shape for x in out] == [(4, 3)] * 5
+
+    def test_group_by_length_separates_sample_rates(self):
+        """Equal-length signals at different sample rates must never share
+        a feature batch (one mel filterbank per batch)."""
+        from lidbox_tpu.data.steps import extract_features
+        elems = []
+        for i, rate in enumerate([16000, 8000, 16000, 8000]):
+            elems.append({"id": f"u{i}",
+                          "signal": np.random.default_rng(i).normal(
+                              0, 0.1, 16000).astype(np.float32),
+                          "sample_rate": np.int32(rate)})
+        ds = extract_features(
+            Dataset.from_elements(elems),
+            {"type": "logmelspectrogram",
+             "melspectrogram": {"num_mel_bins": 20},
+             "group_by_input_length": {"max_batch_size": 8}})
+        out = {x["id"]: x["input"] for x in ds}
+        assert len(out) == 4
+        # same sample count = 2x the duration at 8 kHz -> ~2x the frames
+        assert out["u1"].shape[0] > 1.5 * out["u0"].shape[0]
+
+    def test_consume_log_interval_zero(self):
+        from lidbox_tpu.data.steps import consume
+        consume(Dataset.from_elements([{"v": 1}] * 3), log_interval=0)
+
     def test_registry_has_all_reference_steps(self):
         """Registry parity with reference lidbox/data/steps.py:1077-1111."""
         expected = {
@@ -402,6 +486,25 @@ class TestPipelineCompiler:
         for x in elems:
             assert x["input"].shape[1] == 40
             assert np.all(np.isfinite(x["input"]))
+
+
+class TestPipelineCompilerDefaults:
+    def test_features_type_optional(self, meta):
+        """A features section without 'type' compiles with the default
+        logmelspectrogram (it used to KeyError at the kaldi guard)."""
+        from lidbox_tpu.data.pipelines import create_dataset
+        config = {"features": {"melspectrogram": {"num_mel_bins": 24},
+                               "batch_size": 8}}
+        steps = create_dataset("train", LABELS, meta, config)
+        ds = from_steps(steps)
+        elems = ds.collect()
+        assert len(elems) > 0
+        assert all(x["input"].shape[1] == 24 for x in elems)
+
+    def test_cache_step_default_batch_size_matches_cache(self, tmp_path):
+        from lidbox_tpu.data.pipelines import _get_cache_steps
+        steps = list(_get_cache_steps({"directory": str(tmp_path)}, "train"))
+        assert steps[0].kwargs["batch_size"] == 64
 
 
 class TestPreInitialize:

@@ -122,6 +122,37 @@ class TestNativeDecode:
         truncated.write_bytes(p.read_bytes()[:-100])
         assert not native.wav_header_is_valid(truncated)
 
+    def test_header_validation_accepts_extra_riff_chunks(self, tmp_path):
+        """Real-world wavs (ffmpeg/sox) carry LIST/INFO chunks, so the
+        header is not 44 bytes — both the native and the pure-Python
+        validators must accept them (the Python one once required an
+        exact 44-byte layout and dropped every such file)."""
+        p = _write(tmp_path, testutil.sinewave(100, RATE, 0.1))
+        raw = bytearray(p.read_bytes())
+        # splice a LIST/INFO chunk between fmt and data
+        extra = b"LIST" + (12).to_bytes(4, "little") + b"INFOISFT" + b"x\x00\x00\x00"
+        data_at = raw.index(b"data")
+        spliced = bytes(raw[:data_at]) + extra + bytes(raw[data_at:])
+        spliced = (b"RIFF" + (len(spliced) - 8).to_bytes(4, "little")
+                   + spliced[8:])
+        q = tmp_path / "chunked.wav"
+        q.write_bytes(spliced)
+        sig, rate = audio_io.read_wav(q)  # decodes fine
+        assert rate == RATE and sig.size > 0
+        assert native.wav_header_is_valid(q)
+        assert audio_io.wav_header_is_valid(q)
+        # and the Python fallback itself (native dispatch bypassed)
+        import lidbox_tpu.native as native_mod
+        orig = native_mod.available
+        try:
+            native_mod.available = lambda: False
+            assert audio_io.wav_header_is_valid(q)
+            trunc = tmp_path / "chunked_trunc.wav"
+            trunc.write_bytes(spliced[:-200])
+            assert not audio_io.wav_header_is_valid(trunc)
+        finally:
+            native_mod.available = orig
+
     def test_decode_error_returns_cleanly(self, tmp_path):
         bad = tmp_path / "nope.wav"
         bad.write_bytes(b"\x00" * 64)
