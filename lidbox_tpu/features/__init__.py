@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lidbox_tpu import get_logger
+
 from . import audio
 from . import mel_ops  # noqa: F401  (re-export)
 
@@ -222,8 +224,21 @@ def _pallas_available(feature_type, spectrogram):
         holder = _jax_config.pallas_tpu_interpret_mode_context_manager
         from jax._src.pallas.mosaic.interpret import InterpretParams
         return isinstance(holder.get_local(), InterpretParams)
-    except Exception:
+    except Exception as e:
+        # private-API probe (no public "am I under interpret mode?" hook):
+        # warn ONCE if a jax upgrade breaks it, so the CPU suite losing
+        # kernel coverage is visible rather than silent
+        if not _pallas_available._warned:
+            _pallas_available._warned = True
+            get_logger("features").warning(
+                "Pallas interpret-mode probe failed (%s: %s) — "
+                "stft_method='pallas' is unavailable off-TPU until the "
+                "probe is updated for this jax version",
+                type(e).__name__, e)
         return False
+
+
+_pallas_available._warned = False
 
 
 # Escape hatch for the bf16 long-audio auto-route below. The routing
@@ -273,7 +288,12 @@ def extract_features(signals, sample_rate, feature_type="logmelspectrogram",
                                     or not _pallas_available(feature_type,
                                                              spectrogram)):
         # the Pallas kernel implements f32 parity + the 1-pass bf16 mode;
-        # multi-pass split modes route to the XLA matmul path
+        # multi-pass split modes route to the XLA matmul path. Logged: an
+        # explicit pallas request must not downgrade invisibly.
+        get_logger("features").info(
+            "stft_method='pallas' unavailable for this request "
+            "(feature_type=%s, precision=%s, backend=%s) — using 'matmul'",
+            feature_type, precision, jax.default_backend())
         stft_method = "matmul"
     if (stft_method == "matmul" and precision == "bf16"
             and _pallas_available(feature_type, spectrogram)):

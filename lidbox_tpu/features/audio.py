@@ -51,9 +51,11 @@ def log10(x):
 
 def peak_normalize(signal, dBFS=0.0):
     """Scale so the peak amplitude sits at the given dBFS level
-    (reference: lidbox/features/audio.py:55-60)."""
+    (reference: lidbox/features/audio.py:55-60). An all-zero (silent or
+    fully padded) signal returns zeros instead of 0/0 = NaN."""
     peak = jnp.max(jnp.abs(signal))
-    return dBFS_to_linear(dBFS) * (signal / peak)
+    safe = jnp.where(peak == 0, 1.0, peak)
+    return dBFS_to_linear(dBFS) * jnp.where(peak == 0, 0.0, signal / safe)
 
 
 def root_mean_square(x, axis=-1, keepdims=False):
@@ -406,10 +408,11 @@ def mfcc(log_mel, coef_begin=1, coef_end=13):
     n = np.arange(num_mel, dtype=np.float64)
     k = np.arange(num_mel, dtype=np.float64)
     basis = 2.0 * np.cos(np.pi * k[None, :] * (2.0 * n[:, None] + 1.0) / (2.0 * num_mel))
-    # tf.signal uses dct type-II scaled by 1/sqrt(2*N) with sqrt(2) correction
-    # on the first coefficient (orthonormal).
+    # tf.signal scales the type-II DCT by 1/sqrt(2*N) and applies NO
+    # sqrt(2) correction to coefficient 0 (a deliberate deviation from
+    # scipy's 'ortho' norm — verified against the TF oracle; an ortho c0
+    # correction here measured exactly sqrt(2) off).
     basis *= 1.0 / np.sqrt(2.0 * num_mel)
-    basis[:, 0] *= 1.0 / np.sqrt(2.0)
     coeffs = jnp.matmul(log_mel, jnp.asarray(basis, jnp.float32),
                         precision=jax.lax.Precision.HIGHEST)
     return coeffs[..., coef_begin:coef_end]

@@ -87,11 +87,36 @@ def nll_loss_from_probs(y_true_sparse, probs):
     return nll_loss(y_true_sparse, jnp.log(jnp.clip(probs, eps, 1.0 - eps)))
 
 
+def _no_kwargs(loss_fn, name):
+    """Registry factory for losses that take no construction options —
+    unknown config kwargs must raise, not be silently swallowed (e.g. a
+    Keras-style ``from_logits: true`` carried over from a reference config
+    would otherwise be dropped and train the wrong loss)."""
+    def factory(**kw):
+        if kw:
+            raise TypeError(f"loss {name!r} takes no options, got "
+                            f"{sorted(kw)}")
+        return loss_fn
+    return factory
+
+
+def _sparse_categorical_crossentropy(from_logits=False, **kw):
+    """Keras-kwarg-compatible factory: ``from_logits: true`` selects the
+    logits-head cross entropy; the default keeps the lidbox convention of
+    log-softmax model outputs (reference models end in log_softmax,
+    keras_utils.py:139-142)."""
+    if kw:
+        raise TypeError("loss 'sparse_categorical_crossentropy' only "
+                        f"accepts from_logits, got {sorted(kw)}")
+    return cross_entropy_with_logits if from_logits else nll_loss
+
+
 LOSS_REGISTRY = {
-    "sparse_categorical_crossentropy": lambda **kw: nll_loss,
-    "nll": lambda **kw: nll_loss,
-    "nll_from_probs": lambda **kw: nll_loss_from_probs,
-    "cross_entropy_with_logits": lambda **kw: cross_entropy_with_logits,
+    "sparse_categorical_crossentropy": _sparse_categorical_crossentropy,
+    "nll": _no_kwargs(nll_loss, "nll"),
+    "nll_from_probs": _no_kwargs(nll_loss_from_probs, "nll_from_probs"),
+    "cross_entropy_with_logits": _no_kwargs(
+        cross_entropy_with_logits, "cross_entropy_with_logits"),
     "sparse_angular_proximity": lambda **kw: AngularProximity(**kw),
 }
 

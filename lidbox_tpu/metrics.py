@@ -17,10 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _divide_no_nan(x, y):
-    safe = jnp.where(y == 0, 1.0, y)
-    return jnp.where(y == 0, 0.0, x / safe)
+from lidbox_tpu.features import divide_no_nan as _divide_no_nan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,23 +65,28 @@ class AverageDetectionCost:
         padded examples in bucketed batches (TPU static-shape addition).
         """
         thresholds = jnp.asarray(self.thresholds, jnp.float32)      # [T]
-        true_positives = true_positives.astype(jnp.float32)
-        if weights is not None:
-            true_positives = true_positives * weights.astype(jnp.float32)[:, None]
-        true_negatives = 1.0 - true_positives
+        onehot = true_positives.astype(jnp.float32)                 # [B, N]
+        w = (jnp.ones(onehot.shape[0], jnp.float32) if weights is None
+             else weights.astype(jnp.float32))
+        # weight the POSITIVE/NEGATIVE masses separately — weighting the
+        # one-hot and complementing it (1 - w*onehot) leaves (1-w) fake
+        # negative mass on the true class, polluting the pair-counter
+        # diagonal for any fractional weight
+        weighted_pos = onehot * w[:, None]
+        weighted_neg = (1.0 - onehot) * w[:, None]
         scores = predictions.astype(jnp.float32)[:, :, None]        # [B, N, 1]
         pred_pos = (scores >= thresholds).astype(jnp.float32)       # [B, N, T]
         pred_neg = 1.0 - pred_pos
 
-        tp = pred_pos * true_positives[:, :, None]
-        fn = pred_neg * true_positives[:, :, None]
-        fp = pred_pos * true_negatives[:, :, None]
-        tn = pred_neg * true_negatives[:, :, None]
+        tp = pred_pos * weighted_pos[:, :, None]
+        fn = pred_neg * weighted_pos[:, :, None]
+        fp = pred_pos * weighted_neg[:, :, None]
+        tn = pred_neg * weighted_neg[:, :, None]
 
-        # Pair counters are scattered by true-label index; with one-hot
-        # labels this is an einsum over the batch axis (vs scatter_nd_add in
-        # the reference) — a dense [B,N]x[B,N,T] contraction on the MXU.
-        onehot = true_positives                                      # [B, N]
+        # Pair counters are scattered by the RAW true-label one-hot (the
+        # example weight already rides fp/tn); with one-hot labels this is
+        # an einsum over the batch axis (vs scatter_nd_add in the
+        # reference) — a dense [B,N]x[B,N,T] contraction on the MXU.
         return {
             "fn": state["fn"] + jnp.sum(fn, axis=0),
             "tp": state["tp"] + jnp.sum(tp, axis=0),
@@ -138,19 +140,30 @@ class SparseAverageDetectionCost(AverageDetectionCost):
 
 
 def equal_error_rate(scores, labels):
-    """Per-class EER from ROC, numpy host-side (matches the fpr ~= fnr
-    selection of reference util.py:91-98). scores: [B] for one class,
-    labels: [B] binary."""
-    order = np.argsort(-np.asarray(scores))
-    labels = np.asarray(labels)[order]
+    """Per-class EER from ROC, numpy host-side. scores: [B] for one class,
+    labels: [B] binary.
+
+    Only DISTINCT scores define thresholds: tied scores are collapsed to
+    one ROC point (as sklearn.metrics.roc_curve does), because operating
+    points inside a tie block are not achievable by any threshold —
+    without this, the result depends on the argsort order of tied trials.
+    Returns the midpoint (fnr+fpr)/2 at the closest point; the report path
+    (util.classification_report) keeps the reference's fpr-at-closest
+    convention via sklearn for parity (reference: lidbox/util.py:91-98)."""
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    order = np.argsort(-scores, kind="stable")
+    s = scores[order]
+    labels = labels[order]
     P = labels.sum()
     Nn = len(labels) - P
     if P == 0 or Nn == 0:
         return float("nan")
     tps = np.cumsum(labels)
     fps = np.cumsum(1 - labels)
-    fnr = 1.0 - tps / P
-    fpr = fps / Nn
+    distinct = np.r_[s[1:] != s[:-1], True]  # last index of each tie block
+    fnr = 1.0 - tps[distinct] / P
+    fpr = fps[distinct] / Nn
     i = np.nanargmin(np.abs(fnr - fpr))
     return float((fnr[i] + fpr[i]) / 2.0)
 

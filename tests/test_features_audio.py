@@ -247,6 +247,21 @@ class TestSpectrograms:
         ours = np.asarray(audio.mfcc(jnp.asarray(logmel.numpy()), 1, 13))
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
+    def test_mfcc_coefficient_zero_matches_tf_signal(self):
+        """tf.signal applies NO sqrt(2) ortho correction to c0 — a slice
+        from coefficient 0 must still match (it was once sqrt(2) off)."""
+        x = _signals()
+        S = tf.math.square(tf.math.abs(tf.signal.stft(x, 400, 160, fft_length=512)))
+        mel_w = tf.signal.linear_to_mel_weight_matrix(40, 257, RATE, 20.0, 7000.0)
+        logmel = tf.math.log(tf.tensordot(S, mel_w, 1) + 1e-6)
+        ref = tf.signal.mfccs_from_log_mel_spectrograms(logmel).numpy()[..., :13]
+        ours = np.asarray(audio.mfcc(jnp.asarray(logmel.numpy()), 0, 13))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_peak_normalize_all_zero_signal(self):
+        out = np.asarray(audio.peak_normalize(jnp.zeros(100), dBFS=-3.0))
+        assert np.all(out == 0.0)  # not NaN
+
     def test_power_to_db(self):
         x = _signals()
         S = np.asarray(audio.spectrograms(jnp.asarray(x), RATE))

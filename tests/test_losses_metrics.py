@@ -85,6 +85,17 @@ class TestAngularProximity:
         ap = get_loss("sparse_angular_proximity", N=3, D=10)
         assert isinstance(ap, AngularProximity)
 
+    def test_registry_rejects_unknown_kwargs(self):
+        import pytest
+        with pytest.raises(TypeError, match="takes no options"):
+            get_loss("nll", from_logits=True)
+
+    def test_sparse_categorical_crossentropy_from_logits_routes(self):
+        from lidbox_tpu.losses import cross_entropy_with_logits
+        assert get_loss("sparse_categorical_crossentropy") is nll_loss
+        assert (get_loss("sparse_categorical_crossentropy", from_logits=True)
+                is cross_entropy_with_logits)
+
 
 class TestNLL:
     def test_matches_manual(self):
@@ -169,6 +180,22 @@ class TestAverageDetectionCost:
         diag_tn = np.asarray(state["tn_pairs"])[np.arange(3), np.arange(3)]
         assert diag_fp.sum() == 0 and diag_tn.sum() == 0
 
+    def test_fractional_weights_keep_diagonal_zero_and_scale_counts(self):
+        """Per-example weights scale positive AND negative mass: weighting
+        the one-hot and complementing it used to leave (1-w) fake
+        negative mass on the true class (fp_pairs diagonal pollution)."""
+        m = AverageDetectionCost(3, self.THRESHOLDS)
+        w = jnp.full(len(self.TRUE), 0.5)
+        state = m.update(m.init_state(), jnp.asarray(self.TRUE),
+                         jnp.asarray(self.SCORES), weights=w)
+        diag_fp = np.asarray(state["fp_pairs"])[np.arange(3), np.arange(3)]
+        assert diag_fp.sum() == 0
+        # uniform weights = uniformly scaled counters = identical C_avg
+        full = m.update(m.init_state(), jnp.asarray(self.TRUE),
+                        jnp.asarray(self.SCORES))
+        np.testing.assert_allclose(float(m.result(state)),
+                                   float(m.result(full)), rtol=1e-6)
+
     def test_update_is_jittable(self):
         m = AverageDetectionCost(3, self.THRESHOLDS)
         upd = jax.jit(m.update)
@@ -213,6 +240,15 @@ class TestEER:
         labels = rng.integers(0, 2, 2000)
         scores = rng.uniform(0, 1, 2000)
         assert abs(equal_error_rate(scores, labels) - 0.5) < 0.05
+
+    def test_tied_scores_are_order_invariant(self):
+        """Tied trials must collapse to one ROC point: permuting identical
+        (score, label) multisets cannot change the EER, and unachievable
+        operating points inside a tie block must not be reported."""
+        a = equal_error_rate([0.9, 0.5, 0.5], [1, 0, 1])
+        b = equal_error_rate([0.9, 0.5, 0.5], [1, 1, 0])
+        assert a == b
+        assert a > 0.0  # (fnr=0, fpr=0) inside the tie block is not real
 
     def test_thresholds_helper(self):
         th = cavg_thresholds(10, -5.0, 0.0)
