@@ -297,9 +297,20 @@ def feature_fn_from_config(sample_rate, features_conf):
             p for ext in ("wav", "mp3")
             for p in glob.glob(os.path.join(datadir, "**", f"*.{ext}"),
                                recursive=True))
+        if not paths:
+            # a configured-but-empty noise dir must not silently train an
+            # entire run without the noise augmentation the user asked for
+            raise ValueError(
+                f"on_device_augment.noise_datadir {datadir!r} contains no "
+                "wav/mp3 files (typo in the path?)")
     if paths:
         noise_bank, noise_lengths = build_noise_bank(paths, sample_rate,
                                                      max_seconds=max_seconds)
+    elif aug.get("snr_range") is not None:
+        raise ValueError(
+            "on_device_augment.snr_range is set but no noise source was "
+            "given — configure noise_paths or noise_datadir, or remove "
+            "snr_range")
     return make_augmented_feature_fn(
         sample_rate, features_conf, augment_config_from_dict(aug),
         noise_bank=noise_bank, noise_lengths=noise_lengths)
@@ -440,8 +451,10 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     batches shard over the data axis (ragged tails padded with an
     example mask, exactly like Trainer.fit).
 
-    ``signal_batches``: callable or iterable of (signals [B, T], targets [B])
-    numpy pairs. Validation after every epoch comes from either
+    ``signal_batches``: callable or RE-ITERABLE collection of
+    (signals [B, T], targets [B]) numpy pairs — with ``epochs > 1`` a
+    one-shot generator raises after epoch 1 instead of silently training
+    on nothing. Validation after every epoch comes from either
     ``val_batches`` (same signal-pair shape, featurized through
     ``val_feature_fn`` — default ``feature_fn``; pass a clean,
     augmentation-free fn for standard validation) or
@@ -602,6 +615,15 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 meter.update(n, samples / sr if sr else 0.0)
         if collecting is not None:
             staged_cache = collecting
+        if not losses and not validating:
+            # a one-shot iterator (generator) exhausts after epoch 1 and
+            # would silently "train" on zero batches with loss=nan for
+            # every remaining epoch
+            raise ValueError(
+                f"fused epoch {epoch} received no training batches — "
+                "signal_batches must be a CALLABLE (or re-iterable "
+                "collection) when epochs > 1; a generator is consumed by "
+                "the first epoch")
         mean_loss = (float(jnp.mean(jnp.concatenate(
             [jnp.atleast_1d(l) for l in losses]))) if losses
             else float("nan"))

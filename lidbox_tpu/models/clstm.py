@@ -33,16 +33,28 @@ class CLSTM(nn.Module):
 
         if self.use_conv2d:
             # Conv2D front-end: [B, T, F, 1] -> stride (1, 6) twice, then max
-            # over the frequency axis (reference clstm.py:51-60).
+            # over the frequency axis (reference clstm.py:51-60). The time
+            # kernel is SAME (non-causal), so invalid time columns must be
+            # re-zeroed around every stage — bias/BN/relu of a zero input is
+            # nonzero, and the next SAME kernel would read that garbage at
+            # the valid boundary (the same fix crnn applies per conv).
+            tmask = (None if mask is None
+                     else mask[:, :, None, None].astype(x.dtype))
             img = x[..., None]
+            if tmask is not None:
+                img = img * tmask
             img = nn.Conv(128, (3, 9), strides=(1, 6), padding="SAME",
                           name="conv2d_1")(img)
             img = batch_norm(train, name="conv2d_1_bn")(img)
             img = nn.relu(img)
+            if tmask is not None:
+                img = img * tmask
             img = nn.Conv(256, (3, 9), strides=(1, 6), padding="SAME",
                           name="conv2d_2")(img)
             img = batch_norm(train, name="conv2d_2_bn")(img)
             img = nn.relu(img)
+            if tmask is not None:
+                img = img * tmask
             x = jnp.max(img, axis=2)
 
         x = FrameLayer(512, 5, 1, name="frame1")(x)

@@ -21,6 +21,13 @@ class CNN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,
                  output: str = "logits"):
+        if mask is not None and self.padding != "CAUSAL":
+            # subsample_frame_mask's validity derivation only holds for
+            # causal left-padding (layers.py:63-79); SAME convs read past
+            # the valid prefix and would contaminate "valid" frames
+            raise ValueError(
+                "CNN masked forwards require padding='CAUSAL' "
+                f"(got {self.padding!r})")
         if self.channel_dropout_rate > 0:
             x = SpatialDropout1D(self.channel_dropout_rate,
                                  name="channel_dropout")(x, train=train)

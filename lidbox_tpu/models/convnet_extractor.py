@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from .layers import batch_norm, global_avg_pool_1d
 from .model_api import Model
@@ -115,24 +116,42 @@ class ConvnetExtractor(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Optional[jax.Array] = None,
                  output: str = "logits"):
+        """``mask`` support is APPROXIMATE for this model (unlike the
+        causal zoo, which is masked-vs-trimmed exact): the image trunks
+        use SAME-padded 2-D convs, so boundary frames within one receptive
+        field of the pad edge differ from a trimmed forward. The input's
+        padded frames are zeroed and the final pooling runs over a
+        stride-subsampled mask, which removes the dominant error (pooling
+        over pure padding) — it used to be silently ignored entirely."""
         if self.channel_dropout_rate > 0:
             x = nn.Dropout(self.channel_dropout_rate, broadcast_dims=(1,),
                            deterministic=not train, name="channel_dropout")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
         img = x[..., None]
         trunk = {"resnet50_v2": ResNet50V2, "mobilenet_v2": MobileNetV2}[self.core]
         img = trunk(name=self.core)(img, train=train)
         b, t, f, c = img.shape
         seq = img.reshape(b, t, f * c)
+        pooled_mask = None
+        if mask is not None:
+            # both trunks downsample time by 32 (SAME/ceil); a coarse
+            # frame is valid iff any of its input frames is valid
+            t_in = mask.shape[-1]
+            pad = t * 32 - t_in
+            m = jnp.broadcast_to(mask, (b, t_in)).astype(jnp.int32)
+            m = jnp.pad(m, ((0, 0), (0, max(pad, 0))))
+            pooled_mask = m[:, :t * 32].reshape(b, t, 32).max(axis=2) > 0
         # Time-distributed embedding layer (reference convnet_extractor.py:38-42).
         emb = nn.Dense(self.embedding_dim, name="embedding")(seq)
         if output == "embedding":
             # Reference extract_embeddings cuts at the "embedding" layer
             # output, keeping the timesteps (convnet_extractor.py:52-54);
             # we pool it for a fixed-size vector.
-            return global_avg_pool_1d(emb)
+            return global_avg_pool_1d(emb, mask=pooled_mask)
         emb = nn.relu(emb)
         emb = batch_norm(train, name="embedding_bn")(emb)
-        pooled = global_avg_pool_1d(emb)
+        pooled = global_avg_pool_1d(emb, mask=pooled_mask)
         out = nn.Dense(self.num_outputs, name="output")(pooled)
         if self.output_activation:
             out = getattr(nn, self.output_activation)(out)

@@ -43,21 +43,30 @@ class GlobalMeanStddevPooling1D(nn.Module):
             means = jnp.squeeze(means, TIME_AXIS)
         else:
             m = mask[..., None].astype(x.dtype)                      # [B, T, 1]
-            count = jnp.maximum(jnp.sum(m, axis=TIME_AXIS), 1.0)     # [B, 1]
-            means = jnp.sum(x * m, axis=TIME_AXIS) / count
+            # count in f32: summing bf16 ones saturates at 256, skewing
+            # every masked mean on >256-frame clips under compute_dtype
+            count = jnp.maximum(jnp.sum(
+                mask.astype(jnp.float32), axis=TIME_AXIS), 1.0)[:, None]
+            means = (jnp.sum(x * m, axis=TIME_AXIS).astype(jnp.float32)
+                     / count).astype(x.dtype)
             deltas = (x - means[:, None, :]) * m
-            variances = jnp.sum(jnp.square(deltas), axis=TIME_AXIS) / count
+            variances = (jnp.sum(jnp.square(deltas),
+                                 axis=TIME_AXIS).astype(jnp.float32)
+                         / count).astype(x.dtype)
         stddevs = jnp.sqrt(jnp.clip(variances, STDDEV_SQRT_MIN_CLIP, None))
         return jnp.concatenate([means, stddevs], axis=-1)
 
 
 def global_avg_pool_1d(x, mask: Optional[jax.Array] = None):
-    """Masked GlobalAveragePooling1D over the time axis."""
+    """Masked GlobalAveragePooling1D over the time axis. The valid-frame
+    count accumulates in f32 (a bf16 sum of ones saturates at 256)."""
     if mask is None:
         return jnp.mean(x, axis=TIME_AXIS)
     m = mask[..., None].astype(x.dtype)
-    count = jnp.maximum(jnp.sum(m, axis=TIME_AXIS), 1.0)
-    return jnp.sum(x * m, axis=TIME_AXIS) / count
+    count = jnp.maximum(jnp.sum(
+        mask.astype(jnp.float32), axis=TIME_AXIS), 1.0)[:, None]
+    return (jnp.sum(x * m, axis=TIME_AXIS).astype(jnp.float32)
+            / count).astype(x.dtype)
 
 
 def subsample_frame_mask(mask, total_stride, num_frames):

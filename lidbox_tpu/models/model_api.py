@@ -89,6 +89,11 @@ class Model:
             out, updates = self.module.apply(
                 variables, x, train=True, rngs=rngs,
                 mutable=["batch_stats"], **kwargs)
+            if compute_dtype is not None:
+                # keep running BatchNorm stats in f32, like Trainer._apply:
+                # bf16 EMA increments below the mantissa are silently lost
+                updates = jax.tree_util.tree_map(
+                    lambda s: s.astype(jnp.float32), updates)
             return upcast(out), updates
         return upcast(self.module.apply(variables, x, train=False, **kwargs))
 

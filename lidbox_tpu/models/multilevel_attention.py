@@ -28,7 +28,11 @@ class Attention(nn.Module):
             # zero padded frames BEFORE the over-time renormalization, so
             # padded buckets reproduce trimmed numerics exactly
             query = query * mask[..., None].astype(query.dtype)
-        query = query / jnp.sum(query, axis=1, keepdims=True)
+        # clamped denominator: an all-False mask row (silent clip, ragged
+        # mesh pad row) must yield zeros, not 0/0 = NaN that poisons the
+        # whole batch loss through sum(losses * example_mask)
+        query = query / jnp.maximum(jnp.sum(query, axis=1, keepdims=True),
+                                    1e-9)
         value = nn.sigmoid(x)
         return jnp.sum(query * value, axis=1)
 

@@ -264,3 +264,105 @@ def test_zoo_masked_forward_matches_trimmed(key, T, F):
                                      train=False, mask=mask))
         np.testing.assert_allclose(out, trimmed, rtol=1e-4, atol=1e-5,
                                    err_msg=f"{key} at length {n}")
+
+
+def test_clstm_conv2d_masked_forward_matches_trimmed():
+    """The SAME-padded Conv2D front-end re-zeroes invalid time columns
+    between stages (bias/BN/relu of zero input is nonzero, and the next
+    SAME kernel reads it at the valid boundary)."""
+    import jax.numpy as jnp
+    T, F = 48, 36
+    model = models.create("clstm", (T, F), NUM_OUTPUTS, use_conv2d=True).init()
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2, T, F)).astype(np.float32)
+    for n in (T - 7, T // 2 + 1):
+        trimmed = np.asarray(model.apply(model.variables,
+                                         jnp.asarray(x[:, :n]), train=False))
+        xp = np.zeros_like(x)
+        xp[:, :n] = x[:, :n]
+        mask = jnp.arange(T)[None, :] < n
+        out = np.asarray(model.apply(model.variables, jnp.asarray(xp),
+                                     train=False, mask=mask))
+        np.testing.assert_allclose(out, trimmed, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"length {n}")
+
+
+def test_multilevel_attention_all_false_mask_row_is_finite():
+    """A silent clip (all-False mask row, e.g. a ragged mesh pad row) must
+    yield finite outputs, not 0/0 = NaN that poisons the batch loss."""
+    import jax.numpy as jnp
+    model = models.create("multilevel_attention", (20, 12), NUM_OUTPUTS).init()
+    x = np.random.default_rng(0).normal(0, 1, (3, 20, 12)).astype(np.float32)
+    mask = np.ones((3, 20), bool)
+    mask[1] = False
+    out = np.asarray(model.apply(model.variables, jnp.asarray(x),
+                                 train=False, mask=jnp.asarray(mask)))
+    assert np.all(np.isfinite(out))
+
+
+def test_cnn_same_padding_rejects_mask():
+    import pytest
+    model = models.create("cnn", (40, 20), NUM_OUTPUTS, padding="same").init()
+    x = np.zeros((2, 40, 20), np.float32)
+    with pytest.raises(ValueError, match="CAUSAL"):
+        model.apply(model.variables, x, train=False,
+                    mask=np.ones((2, 40), bool))
+
+
+def test_convnet_extractor_mask_excludes_padding():
+    """The image-trunk model's mask support is approximate (SAME trunk),
+    but the dominant error — pooling over pure padding — must be gone:
+    growing the padding changes the masked output far less than the
+    unmasked one."""
+    import jax.numpy as jnp
+    T, F = 64, 32
+    model = models.create("convnet_extractor", (None, F), NUM_OUTPUTS,
+                          core="mobilenet_v2").init()
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, T, F)).astype(np.float32)
+    n = 33
+
+    def fwd(pad_value, masked):
+        xp = np.full((2, T, F), pad_value, np.float32)
+        xp[:, :n] = x[:, :n]
+        mask = (jnp.arange(T)[None, :] < n) if masked else None
+        return np.asarray(model.apply(model.variables, jnp.asarray(xp),
+                                      train=False, mask=mask,
+                                      output="embedding"))
+
+    # with a mask, padding CONTENT cannot leak (input frames are zeroed):
+    # garbage-padded == zero-padded exactly
+    np.testing.assert_allclose(fwd(0.0, True), fwd(100.0, True),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.isfinite(fwd(0.0, True)))
+    # without a mask the garbage dominates the pooled output
+    assert np.abs(fwd(100.0, False) - fwd(0.0, True)).max() > 1e-2
+
+
+def test_masked_pooling_count_is_exact_in_bf16():
+    """The valid-frame count must accumulate in f32: a bf16 sum of ones
+    saturates at 256, skewing masked means ~17% on 300-frame clips."""
+    import jax.numpy as jnp
+    from lidbox_tpu.models.layers import global_avg_pool_1d
+    T = 300
+    x32 = np.random.default_rng(7).normal(0, 1, (2, T, 8)).astype(np.float32)
+    mask = jnp.ones((2, T), bool)
+    ref = np.asarray(global_avg_pool_1d(jnp.asarray(x32), mask))
+    out = np.asarray(global_avg_pool_1d(
+        jnp.asarray(x32, jnp.bfloat16), mask).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.02)
+
+
+def test_model_apply_bf16_keeps_batch_stats_f32():
+    """Model.apply(train=True, compute_dtype=bf16) must return f32
+    batch_stats updates (bf16 EMA increments below the mantissa vanish) —
+    same semantics as Trainer._apply."""
+    import jax
+    import jax.numpy as jnp
+    model = models.create("multilevel_attention", (20, 12), NUM_OUTPUTS).init()
+    x = np.random.default_rng(0).normal(0, 1, (4, 20, 12)).astype(np.float32)
+    out, updates = model.apply(model.variables, x, train=True,
+                               compute_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float32
+    leaves = jax.tree_util.tree_leaves(updates.get("batch_stats", {}))
+    assert leaves and all(l.dtype == jnp.float32 for l in leaves)

@@ -363,3 +363,47 @@ class TestVadAndResample:
             losses.append(float(loss))
         assert all(np.isfinite(losses))
         assert int(jax.device_get(state.step)) == 6
+
+
+def test_fit_signals_rejects_exhausted_generator():
+    """A one-shot generator with epochs > 1 must raise (it used to train
+    on zero batches with loss=nan for every epoch after the first)."""
+    import pytest
+    frames = 1 + (RATE - 400) // 160
+    model = models.create("dnn", (frames, 24), 3)
+    trainer = Trainer(model, optax.adam(2e-3), nll_loss)
+    feature_fn = on_device.make_augmented_feature_fn(
+        RATE, {"type": "logmelspectrogram",
+               "melspectrogram": {"num_mel_bins": 24}},
+        on_device.AugmentConfig(snr_range=None), noise_bank=None)
+    rng = np.random.default_rng(0)
+    signals = np.stack([testutil.noisy_sinewave(200, RATE, 0.1, 1.0, seed=i)
+                        for i in range(6)])
+    targets = (np.arange(6) % 3).astype(np.int32)
+    gen = iter([(signals, targets)])
+    with pytest.raises(ValueError, match="re-iterable"):
+        on_device.fit_signals(trainer, feature_fn, gen, epochs=3,
+                              verbose=False)
+
+
+class TestNoiseConfigValidation:
+    def _features(self, **aug):
+        return {"type": "logmelspectrogram",
+                "melspectrogram": {"num_mel_bins": 24},
+                "on_device_augment": aug}
+
+    def test_empty_noise_datadir_raises(self, tmp_path):
+        import pytest
+        with pytest.raises(ValueError, match="contains no"):
+            on_device.feature_fn_from_config(
+                RATE, self._features(noise_datadir=str(tmp_path)))
+
+    def test_snr_range_without_noise_source_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="no noise source"):
+            on_device.feature_fn_from_config(
+                RATE, self._features(snr_range=[5, 20]))
+
+    def test_defaults_without_noise_are_fine(self):
+        fn = on_device.feature_fn_from_config(RATE, self._features())
+        assert callable(fn)
