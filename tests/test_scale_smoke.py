@@ -66,6 +66,14 @@ def test_1k_corpus_full_config_journey(tmp_path, corpus):
     csv = tmp_path / "meta.csv"
     balanced.reset_index().to_csv(csv, index=False)
 
+    # a real noise source: snr_range without one is now a config error
+    # (it used to silently skip the noise stage)
+    from lidbox_tpu.features import io as audio_io
+    noise_path = tmp_path / "noise.wav"
+    audio_io.write_mono_wav(
+        str(noise_path),
+        np.random.default_rng(9).normal(0, 0.1, SR).astype(np.float32), SR)
+
     frames = 1 + (int(SR * SECONDS) - 400) // 160
     config = {
         "metadata": {"csv": str(csv)},
@@ -79,7 +87,9 @@ def test_1k_corpus_full_config_journey(tmp_path, corpus):
             "group_by_input_length": {"max_batch_size": 64},
             # fused on-device augmentation: train compiles augment +
             # features into the train step (BASELINE config-5 route)
-            "on_device_augment": {"snr_range": [15, 30], "fir_coefs": 10,
+            "on_device_augment": {"snr_range": [15, 30],
+                                  "noise_paths": [str(noise_path)],
+                                  "fir_coefs": 10,
                                   "specaug": {"time_masks": 1,
                                               "freq_masks": 1}}},
         "experiment": {
