@@ -159,10 +159,15 @@ def l2_normalize(x, axis=-1, epsilon=1e-12):
     return x * jax.lax.rsqrt(jnp.maximum(sq, epsilon))
 
 
-# lax.scan unroll factor for recurrent layers: partially unrolling the scan
-# lets XLA pipeline the per-step matmuls on the MXU (measured 1.66x on a
-# GRU layer on v5e; higher factors regress from code bloat).
-RNN_UNROLL = 4
+# lax.scan unroll factor for recurrent layers. Re-measured 2026-08-18
+# (tools/exp_rnn_unroll.py, alternating in-process A/B on v5e): unroll=1
+# is fastest for GRU layers — 1.15-1.2x over the old default of 4, with
+# time increasing monotonically through unroll=16 in both f32 and bf16 —
+# and LSTM 1-vs-4 is within measurement noise (the earlier "1.66x at 4"
+# reading does not reproduce on the current toolchain; it was likely a
+# contended-window artifact). Unrolling is numerics-identical, so this
+# is purely a codegen choice.
+RNN_UNROLL = 1
 
 
 def _final_step(y, lengths):
