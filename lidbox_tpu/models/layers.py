@@ -161,12 +161,12 @@ def l2_normalize(x, axis=-1, epsilon=1e-12):
 
 # lax.scan unroll factor for recurrent layers. Re-measured 2026-08-18
 # (tools/exp_rnn_unroll.py, alternating in-process A/B on v5e): unroll=1
-# is fastest for GRU layers — 1.15-1.2x over the old default of 4, with
-# time increasing monotonically through unroll=16 in both f32 and bf16 —
-# and LSTM 1-vs-4 is within measurement noise (the earlier "1.66x at 4"
-# reading does not reproduce on the current toolchain; it was likely a
-# contended-window artifact). Unrolling is numerics-identical, so this
-# is purely a codegen choice.
+# is 1.15-1.2x faster than 4 on a small-input GRU layer (F=64), monotone
+# through unroll=16 in f32 and bf16; LSTM 1-vs-4 and the full bi_gru
+# model (dominated by its F=1024 second layer) are within noise. The
+# earlier "1.66x at 4" reading does not reproduce on the current
+# toolchain. unroll=1 is kept as the default: never slower, smaller
+# compiled code. Unrolling is numerics-identical codegen.
 RNN_UNROLL = 1
 
 
