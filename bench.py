@@ -620,13 +620,20 @@ def main():
                 epoch_walls[-1].append(time.perf_counter())
         trainer_fed.callbacks.append(_EpochTimer())
         try:
+            # steps_per_dispatch amortizes the per-step tunnel dispatch on
+            # the cached replay epochs (one lax.scan program per 4 cached
+            # batches) — without it the replay is dispatch-latency-bound
+            # (measured 22% of the device rate; ~3.8 ms/step of tunnel
+            # dispatch against a 1.1 ms device step)
             on_device.fit_signals(trainer_fed, clean_fn,
                                   lambda: int16_batches(num_batches),
-                                  epochs=3, verbose=False, cache_staged=True)
+                                  epochs=3, verbose=False, cache_staged=True,
+                                  steps_per_dispatch=4)
         finally:
             trainer_fed.callbacks.pop()
         rates = [num_batches * MODEL_BATCH / (b - a) for a, b in epoch_walls]
-        log(f"  fed-cached[b{MODEL_BATCH} int16, 3 epochs]: epoch1 "
+        log(f"  fed-cached[b{MODEL_BATCH} int16, 3 epochs, 4 step/"
+            f"dispatch]: epoch1 "
             f"{rates[0]:,.0f} -> epoch3 {rates[-1]:,.0f} utt/s "
             f"(device-resident cache; {100 * rates[-1] / device_rate:.0f}% "
             f"of device rate after the one-time feed)")

@@ -641,6 +641,40 @@ class TestSignalStaging:
         hist3, _ = run(3, None)
         assert np.all(np.isfinite(hist3))
 
+    def test_grouped_dispatch_composes_with_cache_staged(self):
+        """cache_staged replays the GROUPED device-resident entries on
+        later epochs; with cache_shuffle off the trajectory must equal the
+        uncached grouped run batch-for-batch."""
+        import jax.numpy as jnp
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(6)
+        sr, t_len, b = 16000, 4000, 8
+        frames = 1 + (t_len - 400) // 160
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(4)]
+        feature_conf = {"type": "logmelspectrogram",
+                        "melspectrogram": {"num_mel_bins": 16}}
+
+        def run(cache_staged):
+            model = models.create("dnn", (frames, 16), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(model, optax.adam(1e-3), nll_loss,
+                              stage_dtype="int16")
+            fn = on_device.make_augmented_feature_fn(
+                sr, feature_conf, on_device.AugmentConfig())
+            hist = on_device.fit_signals(
+                trainer, fn, lambda: batches, epochs=3, verbose=False,
+                steps_per_dispatch=2, cache_staged=cache_staged,
+                cache_shuffle=False)
+            return hist, jax.device_get(trainer.state.params)
+
+        hist_c, params_c = run(True)
+        hist_u, params_u = run(False)
+        np.testing.assert_allclose(hist_c, hist_u, rtol=1e-6)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               params_c, params_u)
+
     def test_fused_fit_with_int16_staging_trains(self):
         import jax.numpy as jnp
         from lidbox_tpu.data import on_device
