@@ -515,8 +515,27 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if packed is not None:
                 return jax.device_put(packed), None, mask
         if trainer.mesh is not None:
+            import jax as _jax
             from lidbox_tpu import parallel
             n = targets.shape[0]
+            if _jax.process_count() > 1:
+                # multi-host: this process feeds its LOCAL slice, rows
+                # assemble into one globally-sharded array — mirroring
+                # Trainer._put (plain shard_batch would device_put to
+                # non-addressable devices and raise)
+                n_local = max(1, trainer.mesh.devices.size
+                              // _jax.process_count())
+                if n % n_local:
+                    padded, valid = parallel.pad_batch_to(
+                        {"signals": signals, "targets": targets},
+                        -(-n // n_local) * n_local)
+                    signals, targets = padded["signals"], padded["targets"]
+                    mask = valid
+                put = parallel.global_batch_from_local(
+                    {"signals": signals, "targets": targets,
+                     **({"mask": mask} if mask is not None else {})},
+                    trainer.mesh)
+                return put["signals"], put["targets"], put.get("mask")
             n_dev = trainer.mesh.devices.size
             if n % n_dev:
                 padded, valid = parallel.pad_batch_to(

@@ -15,6 +15,7 @@ import os
 import tempfile
 
 import jax
+import numpy as np
 from flax import serialization
 
 from lidbox_tpu import get_logger
@@ -52,9 +53,22 @@ def get_best_checkpoint_path(checkpoints_dir, key=None, mode=None):
         return None
     if key == "epoch":
         return max(ckpts, key=lambda p: int(parse_checkpoint_value(p, key)))
-    assert mode in ("min", "max"), f"mode must be min or max, got {mode}"
+    if mode not in ("min", "max"):
+        raise ValueError(f"mode must be min or max, got {mode}")
+    # NaN metric values (diverged epochs write val_lossnan filenames) must
+    # never win: min()/max() comparisons against NaN are order-dependent,
+    # so a NaN entry scanned first would be returned as "best" and serving
+    # would silently load diverged weights
+    finite = [p for p in ckpts
+              if np.isfinite(float(parse_checkpoint_value(p, key)))]
+    if not finite:
+        logger.warning("all %d checkpoints in %s have non-finite %r; "
+                       "falling back to the greatest epoch",
+                       len(ckpts), checkpoints_dir, key)
+        return max(ckpts,
+                   key=lambda p: int(parse_checkpoint_value(p, "epoch")))
     pick = min if mode == "min" else max
-    return pick(ckpts, key=lambda p: float(parse_checkpoint_value(p, key)))
+    return pick(finite, key=lambda p: float(parse_checkpoint_value(p, key)))
 
 
 def save_checkpoint(checkpoints_dir, state, epoch, val_loss=0.0,

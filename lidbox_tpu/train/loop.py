@@ -118,9 +118,19 @@ class ModelCheckpoint(Callback):
 
 
 class EarlyStopping(Callback):
+    """Stop training when the monitored metric stops improving by
+    ``min_delta`` for ``patience`` epochs (Keras EarlyStopping semantics;
+    the reference exposed the Keras class through its callback config,
+    reference: lidbox/models/keras_utils.py:74-78). State resets on every
+    train begin, so a reused trainer gets the full patience window again
+    instead of inheriting the previous run's counter."""
+
     def __init__(self, monitor="val_loss", mode="min", patience=5, min_delta=0.0):
         self.monitor, self.mode = monitor, mode
         self.patience, self.min_delta = patience, min_delta
+        self.best, self.wait = None, 0
+
+    def on_train_begin(self, trainer):
         self.best, self.wait = None, 0
 
     def on_epoch_end(self, trainer, epoch, logs):
@@ -226,14 +236,21 @@ class Trainer:
     def _refresh_step_fns(self):
         """(Re)build the jitted step functions when trace-time config
         changed. The steps read remat/compute_dtype/loss_fn/score_fn/
-        metrics at TRACE time; without this, mutating those fields after
-        the first step would silently keep the old compiled program. Called
-        at every fit/evaluate/predict entry — cheap when nothing changed
-        (the compiled executables live in each jit wrapper's cache)."""
-        key = (self.remat, self.compute_dtype, id(self.loss_fn),
-               id(self.score_fn),
-               tuple((name, id(m)) for name, m in sorted(self.metrics.items())))
-        if key == self._step_config_key:
+        optimizer/metrics/model at TRACE time; without this, mutating
+        those fields after the first step would silently keep the old
+        compiled program. Called at every fit/evaluate/predict entry —
+        cheap when nothing changed (the compiled executables live in each
+        jit wrapper's cache).
+
+        The key holds REFERENCES to the config objects (compared with ==,
+        which is identity for functions/modules): storing bare id()s
+        invites the id-reuse hazard where a new function allocated at a
+        freed object's address compares equal and keeps a stale program.
+        """
+        key = (self.remat, self.compute_dtype, self.loss_fn, self.score_fn,
+               self.optimizer, self.model.module,
+               tuple(sorted(self.metrics.items())))
+        if self._step_config_key is not None and key == self._step_config_key:
             return
         self._step_config_key = key
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
@@ -561,11 +578,36 @@ class Trainer:
                 yield n, fut.result()
         finally:
             stop.set()
+            # drain the queue so a producer blocked in q.put wakes now
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
             # cancel_futures: queued-but-unstarted transfers must not run —
             # on a serializing feed link dead device_puts would delay the
             # next consumer (e.g. validation staging) by up to
             # buffer_size transfer times
             pool.shutdown(wait=False, cancel_futures=True)
+            # bounded join: the abandoned producer must stop pulling the
+            # loader before the next consumer reuses it (an epoch-2
+            # cache-file writer interleaving with epoch 1's still-running
+            # pass corrupts the cache). Bounded so one wedged transfer
+            # cannot hang the close path.
+            t.join(timeout=10.0)
+            if t.is_alive():
+                logger.warning("staging producer did not stop within 10 s "
+                               "(wedged transfer?); continuing without it")
+            # detach the pool's worker threads from concurrent.futures'
+            # atexit join, so a transfer wedged on a dead link cannot hang
+            # PROCESS EXIT (the producer is daemon for the same reason);
+            # private API, so best-effort
+            try:
+                from concurrent.futures import thread as _cf_thread
+                for worker in pool._threads:
+                    _cf_thread._threads_queues.pop(worker, None)
+            except Exception:
+                pass
 
     def fit(self, train_batches, validation_batches=None, epochs=1,
             steps_per_epoch=None, verbose=True, cache_staged=None,
@@ -628,23 +670,36 @@ class Trainer:
                 collecting = ([] if cache_staged and steps_per_epoch is None
                               else None)
             truncated = False
-            for i, (n, batch) in enumerate(source):
-                if steps_per_epoch is not None and i >= steps_per_epoch:
-                    truncated = True
-                    break
-                if collecting is not None:
-                    collecting.append((n, batch))
-                self.state, loss = self._jit_train_step(
-                    self.state, batch, self.rng)
-                losses.append(loss)
-                meter.update(n)
-            if truncated and hasattr(source, "close"):
-                # close the staging generator NOW: its finally releases
-                # the producer thread, transfer pool, and the ~prefetch
-                # staged batches it holds — otherwise they stay alive in
-                # device memory through validation and callbacks
-                source.close()
+            try:
+                for i, (n, batch) in enumerate(source):
+                    if steps_per_epoch is not None and i >= steps_per_epoch:
+                        truncated = True
+                        break
+                    if collecting is not None:
+                        collecting.append((n, batch))
+                    self.state, loss = self._jit_train_step(
+                        self.state, batch, self.rng)
+                    losses.append(loss)
+                    meter.update(n)
+            finally:
+                if hasattr(source, "close"):
+                    # close the staging generator on EVERY exit (normal,
+                    # truncation, or a raising train step): its finally
+                    # releases the producer thread, transfer pool, and the
+                    # ~prefetch staged batches it holds — an exception
+                    # path that skipped this pinned those device buffers
+                    # for as long as the traceback lived
+                    source.close()
             if collecting is not None and not truncated:
+                if not collecting:
+                    # freezing an EMPTY epoch-1 cache would make every
+                    # later epoch silently train on nothing (fit_signals
+                    # raises for the same condition)
+                    raise ValueError(
+                        "cache_staged: the first epoch produced no "
+                        "training batches — train_batches must be a "
+                        "callable or re-iterable collection that yields "
+                        "at least one batch")
                 staged_cache = collecting
             train_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) \
                 if losses else float("nan")
@@ -684,11 +739,16 @@ class Trainer:
         # evaluate() instead of two tunnel round-trips per batch.
         total = count = None
         it = batches() if callable(batches) else batches
-        for _, batch in (it if staged else self._staged(it)):
-            loss_sum, n, metric_states = self._jit_eval_step(
-                self.state, batch, metric_states)
-            total = loss_sum if total is None else total + loss_sum
-            count = n if count is None else count + n
+        source = it if staged else self._staged(it)
+        try:
+            for _, batch in source:
+                loss_sum, n, metric_states = self._jit_eval_step(
+                    self.state, batch, metric_states)
+                total = loss_sum if total is None else total + loss_sum
+                count = n if count is None else count + n
+        finally:
+            if hasattr(source, "close"):
+                source.close()  # release staging on any exit path
         results = {name: metric.result(metric_states[name])
                    for name, metric in self.metrics.items()}
         results, total, count = jax.device_get((results, total, count))
@@ -710,14 +770,23 @@ class Trainer:
         self._refresh_step_fns()  # pick up post-construction config edits
         outs = []
         prev = None
-        for n, batch in self._staged(batches):
-            out, _ = self._jit_apply_eval(self.state.params,
-                                          self.state.batch_stats, batch)
-            if prev is not None:
-                outs.append(np.asarray(jax.device_get(prev[1]))[:prev[0]])
-            prev = (n, out)
+        source = self._staged(batches)
+        try:
+            for n, batch in source:
+                out, _ = self._jit_apply_eval(self.state.params,
+                                              self.state.batch_stats, batch)
+                if prev is not None:
+                    outs.append(np.asarray(jax.device_get(prev[1]))[:prev[0]])
+                prev = (n, out)
+        finally:
+            if hasattr(source, "close"):
+                source.close()  # release staging on any exit path
         if prev is not None:
             outs.append(np.asarray(jax.device_get(prev[1]))[:prev[0]])
+        if not outs:
+            raise ValueError(
+                "predict() received no batches (empty iterable, or a "
+                "one-shot generator that was already consumed)")
         return np.concatenate(outs, axis=0)
 
 

@@ -116,6 +116,29 @@ print("CAVG %.8f" % logs["val_C_avg"])
 checksum = sum(float(jax.device_get(l).astype(np.float64).sum())
                for l in jax.tree_util.tree_leaves(trainer.state.params))
 print("PSUM %.8f" % checksum)
+
+# fused raw-waveform path: fit_signals' _stage multi-process branch must
+# assemble the global batch from local slices (mirroring Trainer._put;
+# plain shard_batch would device_put to non-addressable devices)
+from lidbox_tpu.data import on_device
+sr, t_len = 16000, 2000
+fframes = 1 + (t_len - 400) // 160
+fmodel = models.create("dnn", (fframes, 8), N)
+fmodel.init(jax.random.PRNGKey(1))
+ftrainer = Trainer(fmodel, optax.adam(1e-2), nll_loss, mesh=mesh)
+ffn = on_device.make_augmented_feature_fn(
+    sr, {"type": "logmelspectrogram",
+         "melspectrogram": {"num_mel_bins": 8}},
+    on_device.AugmentConfig())
+frng = np.random.default_rng(11)
+fsigs = frng.uniform(-0.5, 0.5, (8, t_len)).astype(np.float32)
+ftg = (np.arange(8) % N).astype(np.int32)
+fh = on_device.fit_signals(
+    ftrainer, ffn,
+    lambda: [(fsigs[4 * pid:4 * pid + 4], ftg[4 * pid:4 * pid + 4])],
+    epochs=1, verbose=False)
+fl = fh[0]["loss"] if isinstance(fh[0], dict) else fh[0]
+print("FUSEDLOSS %.8f" % fl)
 """
 
 
@@ -267,12 +290,14 @@ def test_two_process_real_trainer_matches_single_process(tmp_path):
         vals = {}
         for line in out.splitlines():
             parts = line.split()
-            if parts and parts[0] in ("LOSS", "VALLOSS", "CAVG", "PSUM"):
+            if parts and parts[0] in ("LOSS", "VALLOSS", "CAVG", "PSUM",
+                                      "FUSEDLOSS"):
                 vals[parts[0]] = float(parts[1])
         return vals
 
     a, b = parse(outs[0]), parse(outs[1])
-    assert set(a) == {"LOSS", "VALLOSS", "CAVG", "PSUM"}, outs[0]
+    assert set(a) == {"LOSS", "VALLOSS", "CAVG", "PSUM",
+                      "FUSEDLOSS"}, outs[0]
     # both hosts ran the identical replicated program
     for k in a:
         assert a[k] == b[k], (k, a, b)

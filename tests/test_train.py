@@ -1032,3 +1032,62 @@ class TestMixedPrecision:
         updates, _ = opt.update(huge, state, params)
         # clipped global norm bounds the adam pre-normalized input
         assert np.all(np.isfinite(updates["w"]))
+
+
+class TestLifecycleAndRetrace:
+    def test_optimizer_rebind_retraces(self):
+        """Rebinding trainer.optimizer after compiled steps must take
+        effect (the fingerprint once omitted it: a same-pytree adam kept
+        applying the OLD learning rate while the log showed the new)."""
+        trainer = make_trainer()
+        batches = toy_batches(2)
+        trainer.fit(lambda: batches, epochs=1)
+        before = jax.device_get(trainer.state.params)
+        trainer.optimizer = optax.sgd(0.0)  # zero-lr: params must freeze
+        trainer.fit(lambda: batches, epochs=1)
+        after = jax.device_get(trainer.state.params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
+
+    def test_early_stopping_resets_between_fits(self):
+        """A reused trainer's second fit gets the full patience window
+        (Keras resets callback state on train begin; inheriting wait/best
+        used to stop the 'fresh' run after one epoch)."""
+        from lidbox_tpu.train.loop import EarlyStopping
+        es = EarlyStopping(monitor="loss", patience=2, min_delta=10.0)
+        trainer = make_trainer(callbacks=[es])
+        batches = toy_batches(2)
+        trainer.fit(lambda: batches, epochs=10)
+        assert es.wait >= 2  # first run exhausted its patience
+        h = trainer.fit(lambda: batches, epochs=4)
+        # fresh window: epochs 1..3 run before patience (2) re-triggers
+        assert len(h) >= 3, len(h)
+
+    def test_predict_empty_iterable_raises_clearly(self):
+        trainer = make_trainer()
+        with pytest.raises(ValueError, match="no batches"):
+            trainer.predict(lambda: [])
+
+    def test_cache_staged_empty_first_epoch_raises(self):
+        trainer = make_trainer()
+        with pytest.raises(ValueError, match="no\n?.*training batches|no "
+                           "training batches"):
+            trainer.fit(lambda: [], epochs=3, cache_staged=True)
+
+    def test_best_checkpoint_ignores_nan_metrics(self, tmp_path):
+        """Diverged epochs write val_lossnan filenames; best-by-metric
+        selection must never return one (min/max against NaN is scan-order
+        dependent)."""
+        from lidbox_tpu.train import get_best_checkpoint_path
+        from lidbox_tpu.train.checkpoint import save_checkpoint
+        state = {"w": np.zeros(2, np.float32)}
+        save_checkpoint(str(tmp_path), state, epoch=1, val_loss=0.5)
+        save_checkpoint(str(tmp_path), state, epoch=2, val_loss=float("nan"))
+        save_checkpoint(str(tmp_path), state, epoch=3, val_loss=0.4)
+        best = get_best_checkpoint_path(str(tmp_path), "val_loss", "min")
+        assert "0.4" in best.replace("0.400000000000", "0.4"), best
+        # all-NaN directory: fall back to the greatest epoch, not NaN-pick
+        nan_dir = tmp_path / "allnan"
+        save_checkpoint(str(nan_dir), state, epoch=1, val_loss=float("nan"))
+        save_checkpoint(str(nan_dir), state, epoch=2, val_loss=float("nan"))
+        best = get_best_checkpoint_path(str(nan_dir), "val_loss", "min")
+        assert "epoch000002" in best
