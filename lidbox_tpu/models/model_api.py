@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from lidbox_tpu import RANDOM_SEED
 
 
+def concrete_input_shape(input_shape, placeholder=16):
+    """Substitute variable (None) dims with a dummy extent for init /
+    tabulate — the ONE place this policy lives."""
+    return tuple(d if d is not None else placeholder for d in input_shape)
+
+
 @dataclasses.dataclass
 class Model:
     """A Flax module bound to an input signature and (optionally) variables."""
@@ -43,7 +49,7 @@ class Model:
         """Initialize variables from a dummy batch of the declared shape."""
         if rng is None:
             rng = jax.random.PRNGKey(RANDOM_SEED)
-        shape = tuple(d if d is not None else 16 for d in self.input_shape)
+        shape = concrete_input_shape(self.input_shape)
         dummy = jnp.zeros((1,) + shape, jnp.float32)
         self.variables = self.module.init(
             {"params": rng, "dropout": rng, "noise": rng},

@@ -33,7 +33,16 @@ logger = get_logger("models.utils")
 
 
 def experiment_cache_from_config(config):
-    """(reference: keras_utils.py:19-24)"""
+    """(reference: keras_utils.py:19-24 — sklearn_experiment takes
+    precedence over experiment when both exist, reference parity)."""
+    if config.get("sklearn_experiment") and config.get("experiment"):
+        logger.warning(
+            "config defines both 'experiment' and 'sklearn_experiment': "
+            "the cache/checkpoint directory resolves under "
+            "sklearn_experiment (name=%r), matching the reference's "
+            "precedence — embeddings sections pointing at the experiment "
+            "name will not find these checkpoints",
+            config["sklearn_experiment"].get("name"))
     experiment_config = config.get("sklearn_experiment") or config["experiment"]
     return os.path.join(experiment_config["cache_directory"],
                         experiment_config["model"]["key"],
@@ -75,6 +84,16 @@ def init_loss_from_config(config, output_activation="log_softmax"):
     cls = config["cls"]
     kwargs = dict(config.get("kwargs", {}))
     if cls in ("SparseCategoricalCrossentropy", "sparse_categorical_crossentropy"):
+        # honor an explicit Keras-style from_logits directive; anything
+        # else unknown must raise, not be silently swallowed (the same
+        # contract as losses.LOSS_REGISTRY)
+        from_logits = kwargs.pop("from_logits", None)
+        if kwargs:
+            raise TypeError(
+                "SparseCategoricalCrossentropy only accepts from_logits, "
+                f"got {sorted(kwargs)}")
+        if from_logits:
+            return cross_entropy_with_logits
         if output_activation == "softmax":
             return nll_loss_from_probs
         if not output_activation:  # raw logits head
@@ -98,15 +117,33 @@ def init_callback_from_config(config, cache_dir):
     """(reference: keras_utils.py:55-78)"""
     cls = config["cls"]
     kwargs = dict(config.get("kwargs", {}))
+    def _take(supported, cosmetic=()):
+        """Split kwargs into supported / tolerated-Keras-cosmetic /
+        unknown; unknown (typos, unimplemented behavior switches) RAISE
+        instead of being silently dropped."""
+        ignored = sorted(k for k in kwargs if k in cosmetic)
+        if ignored:
+            logger.warning("callback %s: ignoring Keras-only options %s",
+                           cls, ignored)
+        unknown = sorted(k for k in kwargs
+                         if k not in supported and k not in cosmetic)
+        if unknown:
+            raise TypeError(f"callback {cls} got unsupported options "
+                            f"{unknown} (supported: {sorted(supported)})")
+        return {k: v for k, v in kwargs.items() if k in supported}
+
     if cls == "ModelCheckpoint":
         kwargs.setdefault("checkpoints_dir", os.path.join(cache_dir, "checkpoints"))
         kwargs.pop("filepath", None)
-        return ModelCheckpoint(**{k: v for k, v in kwargs.items()
-                                  if k in ("checkpoints_dir", "monitor", "mode",
-                                           "save_best_only", "backend")})
+        return ModelCheckpoint(**_take(
+            ("checkpoints_dir", "monitor", "mode", "save_best_only",
+             "backend"),
+            cosmetic=("verbose", "save_weights_only", "save_freq")))
     if cls == "EarlyStopping":
-        return EarlyStopping(**{k: v for k, v in kwargs.items()
-                                if k in ("monitor", "mode", "patience", "min_delta")})
+        return EarlyStopping(**_take(
+            ("monitor", "mode", "patience", "min_delta",
+             "restore_best_weights"),
+            cosmetic=("verbose", "baseline")))
     if cls == "LearningRateDateLogger":
         return LearningRateDateLogger()
     if cls == "TensorBoard":
@@ -122,10 +159,20 @@ class ModelWrapper:
         self.model = model
         self.model_key = model_key
         self.trainer = trainer
-        self.initial_epoch = 0
         self.config = None  # set by from_config (fit_fused needs it)
         self.score_fn = None  # outputs -> [B, N] scores; set by from_config
         self.steps_per_dispatch = 1  # feed.steps_per_dispatch from config
+
+    @property
+    def initial_epoch(self):
+        """Resume epoch, live from the Trainer (the reference's
+        KerasWrapper tracked this on the wrapper, keras_utils.py:179-202;
+        a detached copy here would silently read 0 after restore)."""
+        return self.trainer.initial_epoch
+
+    @initial_epoch.setter
+    def initial_epoch(self, value):
+        self.trainer.initial_epoch = int(value)
 
     @classmethod
     def from_config(cls, config, mesh=None):
@@ -156,7 +203,13 @@ class ModelWrapper:
         metrics = {}
         for mconf in experiment.get("metrics", []):
             metric = init_metric_from_config(mconf)
-            metrics[mconf.get("name", mconf["cls"])] = metric
+            name = mconf.get("name", mconf["cls"])
+            if name in metrics:  # the reference kept a LIST: never drop one
+                suffix = 2
+                while f"{name}_{suffix}" in metrics:
+                    suffix += 1
+                name = f"{name}_{suffix}"
+            metrics[name] = metric
         callbacks = [c for c in
                      (init_callback_from_config(c, cache_dir)
                       for c in experiment.get("callbacks", []))
@@ -167,7 +220,8 @@ class ModelWrapper:
             compute_dtype = getattr(jnp, compute_dtype)
         # host->device feed tuning, config-reachable (docs/config.md):
         # staged-transfer depth, feed compression, grouped dispatch
-        feed = experiment.get("feed", {})
+        feed = experiment.get("feed") or {}  # 'feed:' with no children
+        # parses to None in YAML
         # Language-vector losses (AngularProximity) expose ``predict``
         # mapping [B, D] vectors -> [B, N] class scores (-theta, reference
         # losses.py:51-52); wiring it as the trainer's score_fn makes
@@ -260,7 +314,16 @@ class ModelWrapper:
             raise ValueError(
                 "fit_fused needs a features.on_device_augment config section")
         if sample_rate is None:
-            sample_rate = int(features_conf.get("sample_rate", 16000))
+            if "sample_rate" not in features_conf:
+                # a silent 16 kHz default would compute VAD windows, the
+                # resampler, and the mel filterbank for the WRONG rate on
+                # e.g. an 8 kHz telephone corpus — training would complete
+                # with quietly broken features
+                raise ValueError(
+                    "fit_fused needs the audio sample rate: set "
+                    "features.sample_rate in the config (the fused chain "
+                    "compiles rate-dependent stages ahead of the data)")
+            sample_rate = int(features_conf["sample_rate"])
         feature_fn = on_device.feature_fn_from_config(sample_rate,
                                                       features_conf)
         val_feature_fn = None
@@ -283,7 +346,8 @@ class ModelWrapper:
         return self.model.num_params()
 
     def __str__(self):
-        shape = tuple(d if d is not None else 16 for d in self.model.input_shape)
+        from lidbox_tpu.models.model_api import concrete_input_shape
+        shape = concrete_input_shape(self.model.input_shape)
         try:
             return self.model.module.tabulate(
                 jax.random.PRNGKey(0), np.zeros((1,) + shape, np.float32),

@@ -123,15 +123,24 @@ class EarlyStopping(Callback):
     the reference exposed the Keras class through its callback config,
     reference: lidbox/models/keras_utils.py:74-78). State resets on every
     train begin, so a reused trainer gets the full patience window again
-    instead of inheriting the previous run's counter."""
+    instead of inheriting the previous run's counter.
 
-    def __init__(self, monitor="val_loss", mode="min", patience=5, min_delta=0.0):
+    ``restore_best_weights``: when stopping, restore the params and
+    batch_stats from the best-monitored epoch (Keras semantics; the
+    snapshot is a host copy so the donated train-step buffers are never
+    aliased)."""
+
+    def __init__(self, monitor="val_loss", mode="min", patience=5,
+                 min_delta=0.0, restore_best_weights=False):
         self.monitor, self.mode = monitor, mode
         self.patience, self.min_delta = patience, min_delta
+        self.restore_best_weights = bool(restore_best_weights)
         self.best, self.wait = None, 0
+        self._best_state = None
 
     def on_train_begin(self, trainer):
         self.best, self.wait = None, 0
+        self._best_state = None
 
     def on_epoch_end(self, trainer, epoch, logs):
         value = logs.get(self.monitor)
@@ -142,11 +151,29 @@ class EarlyStopping(Callback):
                         else value > self.best + self.min_delta))
         if improved:
             self.best, self.wait = value, 0
+            if self.restore_best_weights:
+                self._best_state = jax.device_get(
+                    (trainer.state.params, trainer.state.batch_stats))
         else:
             self.wait += 1
             if self.wait >= self.patience:
                 logger.info("EarlyStopping: no %s improvement in %d epochs",
                             self.monitor, self.patience)
+                if self.restore_best_weights and self._best_state is not None:
+                    params, batch_stats = self._best_state
+                    # re-apply mesh/TP shardings leaf by leaf (like
+                    # Trainer.restore): plain device_put would drop them
+                    def _place(host, current):
+                        s = getattr(current, "sharding", None)
+                        return (jax.device_put(host, s) if s is not None
+                                else jax.device_put(host))
+                    trainer.state = trainer.state.replace(
+                        params=jax.tree_util.tree_map(
+                            _place, params, trainer.state.params),
+                        batch_stats=jax.tree_util.tree_map(
+                            _place, batch_stats, trainer.state.batch_stats))
+                    logger.info("EarlyStopping: restored best weights "
+                                "(%s=%s)", self.monitor, self.best)
                 trainer.stop_training = True
 
 

@@ -407,6 +407,7 @@ class TestCLI:
             "metadata": {"csv": str(csv)},
             "pre_process": {"chunks": {"length_ms": 500, "step_ms": 500}},
             "features": {"type": "logmelspectrogram",
+                         "sample_rate": 16000,
                          "melspectrogram": {"num_mel_bins": 24},
                          "stft_method": "matmul",
                          "on_device_augment": {

@@ -290,6 +290,7 @@ class TestVadAndResample:
             "pre_process": {"chunks": {"length_ms": 500, "step_ms": 500}},
             "features": {
                 "type": "logmelspectrogram",
+                "sample_rate": RATE,
                 "melspectrogram": {"num_mel_bins": 24},
                 "stft_method": "matmul",
                 "on_device_augment": {

@@ -1091,3 +1091,99 @@ class TestLifecycleAndRetrace:
         save_checkpoint(str(nan_dir), state, epoch=2, val_loss=float("nan"))
         best = get_best_checkpoint_path(str(nan_dir), "val_loss", "min")
         assert "epoch000002" in best
+
+
+class TestModelWrapperConfigEdges:
+    def _config(self, tmp_path, **experiment_extra):
+        return {
+            "metadata": {"csv": "unused.csv"},
+            "features": {"type": "logmelspectrogram",
+                         "melspectrogram": {"num_mel_bins": 8},
+                         "on_device_augment": {}},
+            "experiment": {
+                "cache_directory": str(tmp_path), "name": "t",
+                "input_shape": [T, F], "output_shape": [N_CLASSES],
+                "model": {"key": "dnn"},
+                "optimizer": {"cls": "Adam",
+                              "kwargs": {"learning_rate": 1e-3}},
+                "loss": {"cls": "SparseCategoricalCrossentropy"},
+                **experiment_extra}}
+
+    def test_fit_fused_requires_sample_rate(self, tmp_path):
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        wrapper = ModelWrapper.from_config(self._config(tmp_path))
+        with pytest.raises(ValueError, match="sample_rate"):
+            wrapper.fit_fused(lambda: [], epochs=1)
+
+    def test_empty_feed_section_is_tolerated(self, tmp_path):
+        """'feed:' with all children commented out parses to None."""
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        wrapper = ModelWrapper.from_config(
+            self._config(tmp_path, feed=None))
+        assert wrapper.trainer.prefetch == 4
+
+    def test_duplicate_metric_classes_both_kept(self, tmp_path):
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        metrics = [{"cls": "SparseAverageDetectionCost", "N": N_CLASSES,
+                    "threshold_linspace": {"start": -10.0, "stop": 0.0,
+                                           "num": 20}},
+                   {"cls": "SparseAverageDetectionCost", "N": N_CLASSES,
+                    "threshold_linspace": {"start": -1.0, "stop": 1.0,
+                                           "num": 10}}]
+        wrapper = ModelWrapper.from_config(
+            self._config(tmp_path, metrics=metrics))
+        assert len(wrapper.trainer.metrics) == 2  # the reference kept both
+
+    def test_unknown_callback_kwargs_raise(self, tmp_path):
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        cbs = [{"cls": "EarlyStopping", "kwargs": {"patiense": 3}}]  # typo
+        with pytest.raises(TypeError, match="patiense"):
+            ModelWrapper.from_config(self._config(tmp_path, callbacks=cbs))
+
+    def test_from_logits_config_selects_logits_loss(self, tmp_path):
+        from lidbox_tpu.losses import cross_entropy_with_logits
+        from lidbox_tpu.models.model_utils import init_loss_from_config
+        loss = init_loss_from_config(
+            {"cls": "SparseCategoricalCrossentropy",
+             "kwargs": {"from_logits": True}})
+        assert loss is cross_entropy_with_logits
+        with pytest.raises(TypeError, match="ignore_class"):
+            init_loss_from_config(
+                {"cls": "SparseCategoricalCrossentropy",
+                 "kwargs": {"ignore_class": 0}})
+
+    def test_initial_epoch_proxies_trainer(self, tmp_path):
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        wrapper = ModelWrapper.from_config(self._config(tmp_path))
+        assert wrapper.initial_epoch == 0
+        wrapper.trainer.initial_epoch = 7
+        assert wrapper.initial_epoch == 7
+
+
+class TestEarlyStoppingRestoreBest:
+    def test_restore_best_weights(self):
+        """When stopping, the best-monitored epoch's params come back
+        (Keras restore_best_weights; previously silently dropped from
+        configs)."""
+        from lidbox_tpu.train.loop import EarlyStopping
+
+        class Injector(EarlyStopping):
+            """Feed a scripted metric sequence: improve, then worsen."""
+            SCRIPT = [1.0, 0.5, 0.9, 0.95, 0.99]
+
+            def on_epoch_end(self, trainer, epoch, logs):
+                logs = dict(logs)
+                logs[self.monitor] = self.SCRIPT[epoch - 1]
+                super().on_epoch_end(trainer, epoch, logs)
+
+        es = Injector(monitor="fake", patience=2, restore_best_weights=True)
+        trainer = make_trainer(callbacks=[es])
+        trainer.fit(lambda: toy_batches(2), epochs=5)
+        assert trainer.stop_training
+        # the restored params are the snapshot from the best (2nd) epoch
+        restored = jax.device_get(trainer.state.params)
+        best_params, _ = es._best_state
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               restored, best_params)
+        # and they differ from what epoch 4's update would have left
+        assert es.best == 0.5
