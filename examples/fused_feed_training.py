@@ -70,6 +70,13 @@ def synth_corpus(n_per_lang=16):
 def main():
     frames = 1 + (int(SR * SECONDS) - 400) // 160
     cache = tempfile.mkdtemp(prefix="lidbox_fused_")
+    # a real noise source for the SNR-mixing stage (snr_range without one
+    # is a config error — the stage would otherwise silently not run)
+    from lidbox_tpu.features import io as audio_io
+    noise_path = os.path.join(cache, "noise.wav")
+    audio_io.write_mono_wav(
+        noise_path,
+        np.random.default_rng(7).normal(0, 0.1, SR).astype(np.float32), SR)
     config = {
         "features": {
             "type": "logmelspectrogram",
@@ -79,6 +86,7 @@ def main():
             # compiled INTO the train step, nothing runs on the host
             "on_device_augment": {
                 "snr_range": [10, 25],
+                "noise_paths": [noise_path],
                 "fir_coefs": 10,
                 "specaug": {"time_masks": 2, "freq_masks": 2},
             },
