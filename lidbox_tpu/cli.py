@@ -52,7 +52,26 @@ def validate_config(config):
     meta = config.get("metadata", {})
     if meta and not ("csv" in meta or "common_voice" in meta):
         problems.append("metadata section must define 'csv' or 'common_voice'")
-    feed = config.get("experiment", {}).get("feed", {})
+    features = config.get("features") or {}
+    aug = features.get("on_device_augment")
+    if aug is not None:
+        aug = aug or {}
+        if "sample_rate" not in features:
+            problems.append(
+                "features.on_device_augment requires features.sample_rate "
+                "(the fused chain compiles rate-dependent stages ahead of "
+                "the data)")
+        if (aug.get("snr_range") is not None
+                and not aug.get("noise_paths")
+                and not aug.get("noise_datadir")):
+            problems.append(
+                "on_device_augment.snr_range is set but no noise source is "
+                "configured (noise_paths or noise_datadir)")
+    for cb in config.get("experiment", {}).get("callbacks", []) or []:
+        if cb.get("cls") not in ("ModelCheckpoint", "EarlyStopping",
+                                 "LearningRateDateLogger", "TensorBoard"):
+            problems.append(f"unknown callback cls {cb.get('cls')!r}")
+    feed = config.get("experiment", {}).get("feed") or {}
     if feed:
         known = {"prefetch", "stage_dtype", "steps_per_dispatch",
                  "cache_staged"}

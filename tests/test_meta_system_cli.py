@@ -251,6 +251,29 @@ class TestCLI:
         bad.write_text(json.dumps({"experiment": {}}))
         assert main(["utils", "--validate-config", str(bad)]) == 1
 
+    def test_validate_config_fused_augment_section(self):
+        """Misconfigurations the fused route rejects at runtime surface at
+        validate-config time too: missing sample_rate, snr_range without a
+        noise source, unknown callback classes."""
+        from lidbox_tpu.cli import validate_config
+        config = {"metadata": {"csv": "x.csv"},
+                  "features": {"on_device_augment": {"snr_range": [5, 20]}},
+                  "experiment": None}
+        config.pop("experiment")
+        problems = validate_config(config)
+        assert any("sample_rate" in p for p in problems)
+        assert any("noise source" in p for p in problems)
+        config["features"]["sample_rate"] = 16000
+        config["features"]["on_device_augment"]["noise_paths"] = ["n.wav"]
+        assert validate_config(config) == []
+        config["experiment"] = {
+            "cache_directory": "/c", "name": "n", "model": {},
+            "input_shape": [1], "output_shape": [1],
+            "optimizer": {}, "loss": {},
+            "callbacks": [{"cls": "EarlyStoping"}]}  # typo
+        problems = validate_config(config)
+        assert any("EarlyStoping" in p for p in problems)
+
     def test_validate_config_feed_section(self, tmp_path, capsys):
         from lidbox_tpu.cli import validate_config
         base = {"cache_directory": "/c", "name": "n", "model": {},
