@@ -139,17 +139,31 @@ class SparseAverageDetectionCost(AverageDetectionCost):
                                                   predictions, weights=weights)
 
 
-def equal_error_rate(scores, labels):
+def equal_error_rate(scores, labels, convention="fpr"):
     """Per-class EER from ROC, numpy host-side. scores: [B] for one class,
-    labels: [B] binary.
+    labels: [B] binary. THE single EER implementation — the report path
+    (util.classification_report) calls this too, so both surfaces always
+    agree on shared scores.
 
     Only DISTINCT scores define thresholds: tied scores are collapsed to
     one ROC point (as sklearn.metrics.roc_curve does), because operating
     points inside a tie block are not achievable by any threshold —
     without this, the result depends on the argsort order of tied trials.
-    Returns the midpoint (fnr+fpr)/2 at the closest point; the report path
-    (util.classification_report) keeps the reference's fpr-at-closest
-    convention via sklearn for parity (reference: lidbox/util.py:91-98)."""
+    The all-rejected endpoint (fnr=1, fpr=0) is included, matching the
+    sklearn ROC the reference searched over.
+
+    ``convention`` picks the value reported at the ROC point closest to
+    fnr == fpr:
+
+    - ``"fpr"`` (default): the false-positive rate at that point — the
+      reference's convention (reference: lidbox/util.py:91-98, which took
+      ``fpr[argmin |fnr - fpr|]`` off sklearn's roc_curve).
+    - ``"midpoint"``: (fnr + fpr) / 2 — the symmetric estimate, less
+      biased when the ROC is coarse (small trial counts).
+    """
+    if convention not in ("fpr", "midpoint"):
+        raise ValueError(f"unknown EER convention {convention!r} "
+                         "(expected 'fpr' or 'midpoint')")
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     order = np.argsort(-scores, kind="stable")
@@ -162,9 +176,11 @@ def equal_error_rate(scores, labels):
     tps = np.cumsum(labels)
     fps = np.cumsum(1 - labels)
     distinct = np.r_[s[1:] != s[:-1], True]  # last index of each tie block
-    fnr = 1.0 - tps[distinct] / P
-    fpr = fps[distinct] / Nn
+    fnr = np.r_[1.0, 1.0 - tps[distinct] / P]  # prepend all-rejected point
+    fpr = np.r_[0.0, fps[distinct] / Nn]
     i = np.nanargmin(np.abs(fnr - fpr))
+    if convention == "fpr":
+        return float(fpr[i])
     return float((fnr[i] + fpr[i]) / 2.0)
 
 

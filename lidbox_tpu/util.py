@@ -12,6 +12,7 @@ import lidbox_tpu.data.steps as data_steps
 from lidbox_tpu.data.dataset import padded_batch
 from lidbox_tpu.meta.utils import set_unique_index as _set_unique_index
 from lidbox_tpu.metrics import SparseAverageDetectionCost
+from lidbox_tpu.metrics import equal_error_rate as metrics_eer
 
 
 def predictions_to_dataframe(ids, predictions):
@@ -209,10 +210,16 @@ def merge_chunk_predictions(chunk_predictions, merge_rows_fn=None):
 
 
 def classification_report(true_sparse, pred_dense, label2target,
-                          dense2sparse_fn=None, num_cavg_thresholds=100):
+                          dense2sparse_fn=None, num_cavg_thresholds=100,
+                          eer_convention="fpr"):
     """sklearn classification report + min C_avg over a threshold grid
     spanning the score range + per-class EER from ROC + confusion matrix
-    (reference: util.py:60-105)."""
+    (reference: util.py:60-105).
+
+    Per-class EER comes from ``metrics.equal_error_rate`` — the ONE EER
+    implementation in the package — with ``eer_convention`` forwarded
+    (default ``"fpr"``, the reference's fpr-at-closest-ROC-point
+    convention; ``"midpoint"`` gives the symmetric (fnr+fpr)/2 estimate)."""
     if dense2sparse_fn is None:
         dense2sparse_fn = lambda pred: pred.argmax(axis=1)
     true_sparse = np.asarray(true_sparse)
@@ -235,16 +242,11 @@ def classification_report(true_sparse, pred_dense, label2target,
     true_dense = np.eye(len(label2target))[true_sparse]
     eer = np.zeros(len(label2target))
     for l, label in enumerate(label2target):
-        positives = true_dense[:, l].sum()
-        if positives == 0 or positives == len(true_sparse):
-            # EER undefined for a class absent from (or covering all of)
-            # the test set; the reference crashed here on nanargmin of an
-            # all-NaN ROC — report NaN and average over defined classes.
-            eer[l] = np.nan
-            continue
-        fpr, tpr, _ = sklearn.metrics.roc_curve(true_dense[:, l], pred_dense[:, l])
-        fnr = 1 - tpr
-        eer[l] = fpr[np.nanargmin(np.absolute(fnr - fpr))]
+        # equal_error_rate returns NaN for a class absent from (or covering
+        # all of) the test set — the reference crashed here on nanargmin of
+        # an all-NaN ROC; NaN classes are excluded from the average.
+        eer[l] = metrics_eer(pred_dense[:, l], true_dense[:, l],
+                             convention=eer_convention)
     report["avg_equal_error_rate"] = float(np.nanmean(eer))
     for label, i in label2target.items():
         report[label]["equal_error_rate"] = eer[i]
