@@ -281,6 +281,10 @@ class Trainer:
             return
         self._step_config_key = key
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
+        self._jit_multi_train_step = jax.jit(self._multi_train_step,
+                                             donate_argnums=0)
+        self._jit_replay_train_step = jax.jit(self._replay_train_step,
+                                              donate_argnums=0)
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_apply_eval = jax.jit(
             lambda params, bs, batch: self._apply(params, bs, batch, train=False))
@@ -451,6 +455,34 @@ class Trainer:
                                batch_stats=new_bs, opt_state=new_opt_state)
         return new_state, loss
 
+    def _multi_train_step(self, state, stacked, rng):
+        """K train steps in ONE XLA program: lax.scan over the leading axis
+        of a stacked batch dict [K, B, ...] -> (state, losses [K]). On a
+        serializing high-RTT feed link this amortizes the per-step
+        transfer + dispatch rounds K-fold; per-step numerics are IDENTICAL
+        to K single dispatches (the step RNG folds in state.step, which
+        advances inside the scan). The feature-path analogue of
+        on_device.make_fused_multi_step (reference: the tf.data prefetch
+        pipeline this replaces, lidbox/data/steps.py:803-818)."""
+        def body(st, batch):
+            return self._train_step(st, batch, rng)
+        return jax.lax.scan(body, state, stacked)
+
+    def _replay_train_step(self, state, stacked, rng, order):
+        """Whole-epoch cached replay: ONE XLA program scans ``order`` (a
+        [K] int32 permutation) indexing into the device-resident stacked
+        batches — one dispatch and one loss-vector readback per epoch
+        instead of K dispatch rounds. ``stacked`` is NOT donated (it is
+        reused every epoch); per-step batches come from
+        dynamic_index_in_dim slices, so no permuted copy of the cached
+        corpus ever materializes in HBM."""
+        def body(st, i):
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, keepdims=False),
+                stacked)
+            return self._train_step(st, batch, rng)
+        return jax.lax.scan(body, state, order)
+
     def _eval_step(self, state, batch, metric_states):
         outputs, _ = self._apply(state.params, state.batch_stats, batch,
                                  train=False)
@@ -537,6 +569,82 @@ class Trainer:
             batch["example_mask"] = (valid if mask is None
                                      else np.logical_and(mask, valid))
         return parallel.shard_batch(batch, self.mesh)
+
+    @staticmethod
+    def _grouped_batches(batches, spd, limit=None):
+        """Group consecutive same-signature batch dicts into lists of up
+        to ``spd`` (one staged transfer + one scanned program per list).
+        ``limit`` caps the total number of batches emitted and aligns
+        group boundaries with the truncation point — a stacked program
+        cannot run partially, so steps_per_epoch must land on a group
+        edge."""
+        buf, sig = [], None
+        for b in batches:
+            s = tuple(sorted((k, np.shape(v), np.asarray(v).dtype.str)
+                             for k, v in b.items()))
+            if buf and s != sig:
+                yield buf
+                if limit is not None:
+                    limit -= len(buf)
+                    if limit <= 0:
+                        return
+                buf = []
+            sig = s
+            buf.append(b)
+            if len(buf) == spd or (limit is not None and len(buf) >= limit):
+                yield buf
+                if limit is not None:
+                    limit -= len(buf)
+                    if limit <= 0:
+                        return
+                buf = []
+        if buf:
+            yield buf
+
+    def _put_group(self, group):
+        """Stage a list of same-shape host batches as ONE stacked transfer
+        (dict of [K, B, ...] arrays) for _multi_train_step — K steps cost
+        one feed round instead of K."""
+        group = [self._compress(b) for b in group]
+        stacked = {k: np.stack([np.asarray(b[k]) for b in group])
+                   for k in group[0]}
+        return jax.device_put(stacked)
+
+    def _consolidate_cache(self, items, grouped):
+        """Merge epoch-1's staged cache entries into per-shape device
+        stacks for whole-epoch scan replay (_replay_train_step).
+
+        ``items``: list of (n, batch) with ``batch`` a staged device dict
+        [B, ...] (grouped=False) or a stacked group dict [k, B, ...] with
+        ``n`` a list of per-step row counts (grouped=True). Returns a list
+        of {"stack": dict of [K, B, ...] device arrays, "ns": int64 [K]}
+        groups, one per distinct per-step batch signature (typically one
+        full-size group plus at most one ragged-tail group). The
+        consolidation transiently holds originals + stacks (~2x the cached
+        corpus in HBM); the per-batch entries are released afterwards."""
+        def sig_of(batch, lead):
+            return tuple(sorted((k, tuple(v.shape[lead:]), str(v.dtype))
+                                for k, v in batch.items()))
+        order, by_sig = [], {}
+        for n, batch in items:
+            s = sig_of(batch, 1 if grouped else 0)
+            if s not in by_sig:
+                by_sig[s] = {"batches": [], "ns": []}
+                order.append(s)
+            e = by_sig[s]
+            e["batches"].append(batch)
+            e["ns"].extend(list(n) if grouped else [n])
+        out = []
+        for s in order:
+            e = by_sig[s]
+            if grouped:
+                stack = jax.tree_util.tree_map(
+                    lambda *ls: jnp.concatenate(ls, axis=0), *e["batches"])
+            else:
+                stack = jax.tree_util.tree_map(
+                    lambda *ls: jnp.stack(ls), *e["batches"])
+            out.append({"stack": stack, "ns": np.asarray(e["ns"], np.int64)})
+        return out
 
     def _staged(self, batches, buffer_size=None, count_fn=None, put=None):
         """Iterate ``batches`` with up to ``buffer_size`` (default
@@ -636,9 +744,56 @@ class Trainer:
             except Exception:
                 pass
 
+    def _feed_parity_guard(self, source, what="training"):
+        """Fail fast on uneven multi-host feeds (VERDICT r3 next-step #4).
+
+        Every jitted step under a multi-process mesh is a collective: if
+        one process's loader yields more batches than another's, its extra
+        step blocks forever against hosts that already left the loop — a
+        classic SPMD hang surfacing as a timeout with no diagnostic.
+        Before each step, all processes therefore agree whether EVERY host
+        still has a batch (one scalar allgather per step over DCN, ~100 us
+        class); a mismatch raises the same descriptive error on every
+        process instead of hanging. All processes must feed the same
+        number of batches per epoch — pad or truncate local corpora to a
+        common batch count (meta.utils over/undersampling, or masked pad
+        batches) to satisfy this.
+        """
+        from jax.experimental import multihost_utils
+        it = iter(source)
+        step = 0
+        try:
+            while True:
+                try:
+                    item = next(it)
+                    have = 1
+                except StopIteration:
+                    item, have = None, 0
+                flags = np.asarray(multihost_utils.process_allgather(
+                    np.int32(have))).ravel()
+                if flags.min() != flags.max():
+                    exhausted = [str(i) for i, f in enumerate(flags) if not f]
+                    feeding = [str(i) for i, f in enumerate(flags) if f]
+                    raise RuntimeError(
+                        f"uneven multi-host {what} feed: after {step} "
+                        f"batches, process(es) {', '.join(exhausted)} ran "
+                        f"out while process(es) {', '.join(feeding)} still "
+                        "have batches. Every process must yield the same "
+                        "number of batches per epoch — pad or truncate the "
+                        "local corpora to a common batch count (without "
+                        "this check the extra step would hang in a "
+                        "collective with no diagnostic).")
+                if not have:
+                    return
+                yield item
+                step += 1
+        finally:
+            if hasattr(it, "close"):
+                it.close()
+
     def fit(self, train_batches, validation_batches=None, epochs=1,
             steps_per_epoch=None, verbose=True, cache_staged=None,
-            cache_shuffle=True):
+            cache_shuffle=True, steps_per_dispatch=1):
         """Run the training loop.
 
         ``train_batches``/``validation_batches`` are callables returning an
@@ -646,16 +801,30 @@ class Trainer:
         ``target`` [B] and optional ``input_mask``/``example_mask`` — or
         plain re-iterable collections.
 
+        ``steps_per_dispatch=K`` (single-device feeds only) groups K
+        consecutive same-shape batches into ONE staged transfer and ONE
+        jitted program running K train steps (lax.scan) — on a
+        serializing high-RTT feed link this amortizes the per-step
+        transfer + dispatch rounds K-fold with per-step numerics identical
+        to single dispatches (the fused signal path's grouped dispatch,
+        on_device.fit_signals, lifted to the feature-fed path).
+
         ``cache_staged`` (default: the Trainer's setting) keeps every
         staged training AND validation batch device-resident after epoch 1
         and reuses them for later epochs — no feed traffic, at the cost of
         FREEZING both sets to their epoch-1 contents (loaders that shuffle
         or rotate per epoch are only consulted once) and pinning them in
-        HBM for the whole run. ``cache_shuffle`` (default True) re-permutes
-        the cached BATCH ORDER each epoch (seeded, batch-granular — the
-        within-batch grouping stays fixed), recovering most of the
-        optimization benefit of per-epoch reshuffling at zero feed cost.
-        A ``steps_per_epoch``-truncated first epoch does not populate the
+        HBM for the whole run. On a single device the cached batches are
+        consolidated into per-shape stacks and every later epoch replays
+        each stack in ONE XLA program (_replay_train_step: one dispatch +
+        one loss-vector readback per epoch instead of one round per step);
+        under a mesh the cache replays per-batch. ``cache_shuffle``
+        (default True) re-permutes the cached BATCH ORDER each epoch
+        (seeded, batch-granular — the within-batch grouping stays fixed,
+        and with multiple shape stacks the permutation is within-stack
+        plus stack order), recovering most of the optimization benefit of
+        per-epoch reshuffling at zero feed cost. A
+        ``steps_per_epoch``-truncated first epoch does not populate the
         cache.
         """
         if self.state is None:
@@ -667,6 +836,11 @@ class Trainer:
         self.stop_training = False
         if cache_staged is None:
             cache_staged = self.cache_staged
+        spd = max(1, int(steps_per_dispatch))
+        if spd > 1 and self.mesh is not None:
+            logger.warning("steps_per_dispatch is a single-device feed "
+                           "optimization; ignoring it under a mesh")
+            spd = 1
         staged_cache = None
         val_staged = None  # staged validation batches, cached alongside
         for cb in self.callbacks:
@@ -680,43 +854,90 @@ class Trainer:
             meter = ThroughputMeter()
             losses = []
             if staged_cache is not None:
-                if cache_shuffle:
-                    order = np.random.default_rng(
-                        RANDOM_SEED + epoch).permutation(len(staged_cache))
-                    source = iter([staged_cache[i] for i in order])
-                else:
-                    source = iter(staged_cache)
                 collecting = None
             else:
                 batches = (train_batches() if callable(train_batches)
                            else train_batches)
-                source = self._staged(batches)
+                if spd > 1:
+                    source = self._staged(
+                        self._grouped_batches(batches, spd,
+                                              limit=steps_per_epoch),
+                        count_fn=lambda g: [self._batch_rows(b) for b in g],
+                        put=self._put_group)
+                else:
+                    source = self._staged(batches)
+                if jax.process_count() > 1:
+                    # multi-host: agree on feed exhaustion before every
+                    # step; uneven local corpora raise instead of hanging
+                    source = self._feed_parity_guard(source)
                 # a steps_per_epoch-truncated epoch can never populate the
                 # cache (see docstring) — don't pin its batches in HBM
                 # only to discard the list at truncation
                 collecting = ([] if cache_staged and steps_per_epoch is None
                               else None)
             truncated = False
-            try:
-                for i, (n, batch) in enumerate(source):
-                    if steps_per_epoch is not None and i >= steps_per_epoch:
-                        truncated = True
-                        break
-                    if collecting is not None:
-                        collecting.append((n, batch))
-                    self.state, loss = self._jit_train_step(
-                        self.state, batch, self.rng)
-                    losses.append(loss)
-                    meter.update(n)
-            finally:
-                if hasattr(source, "close"):
-                    # close the staging generator on EVERY exit (normal,
-                    # truncation, or a raising train step): its finally
-                    # releases the producer thread, transfer pool, and the
-                    # ~prefetch staged batches it holds — an exception
-                    # path that skipped this pinned those device buffers
-                    # for as long as the traceback lived
-                    source.close()
+            if staged_cache is not None:
+                # cached replay
+                rng_epoch = np.random.default_rng(RANDOM_SEED + epoch)
+                if self.mesh is None:
+                    # whole-epoch scan: ONE dispatch + ONE loss-vector
+                    # readback per shape stack per epoch
+                    n_groups = len(staged_cache)
+                    gorder = (rng_epoch.permutation(n_groups) if cache_shuffle
+                              else np.arange(n_groups))
+                    for gi in gorder:
+                        g = staged_cache[gi]
+                        K = len(g["ns"])
+                        order = (rng_epoch.permutation(K) if cache_shuffle
+                                 else np.arange(K))
+                        self.state, loss_k = self._jit_replay_train_step(
+                            self.state, g["stack"], self.rng,
+                            jnp.asarray(order, jnp.int32))
+                        losses.append(loss_k)
+                        meter.update(int(g["ns"].sum()))
+                else:
+                    # mesh-sharded cached batches replay per step (their
+                    # shardings are not stackable into one array)
+                    if cache_shuffle:
+                        order = rng_epoch.permutation(len(staged_cache))
+                        replay = [staged_cache[i] for i in order]
+                    else:
+                        replay = staged_cache
+                    for n, batch in replay:
+                        self.state, loss = self._jit_train_step(
+                            self.state, batch, self.rng)
+                        losses.append(loss)
+                        meter.update(n)
+            else:
+                steps_done = 0
+                try:
+                    for n, batch in source:
+                        if (steps_per_epoch is not None
+                                and steps_done >= steps_per_epoch):
+                            truncated = True
+                            break
+                        if collecting is not None:
+                            collecting.append((n, batch))
+                        if spd > 1:
+                            self.state, loss = self._jit_multi_train_step(
+                                self.state, batch, self.rng)
+                            steps_done += len(n)
+                            meter.update(int(sum(n)))
+                        else:
+                            self.state, loss = self._jit_train_step(
+                                self.state, batch, self.rng)
+                            steps_done += 1
+                            meter.update(n)
+                        losses.append(loss)
+                finally:
+                    if hasattr(source, "close"):
+                        # close the staging generator on EVERY exit (normal,
+                        # truncation, or a raising train step): its finally
+                        # releases the producer thread, transfer pool, and
+                        # the ~prefetch staged batches it holds — an
+                        # exception path that skipped this pinned those
+                        # device buffers for as long as the traceback lived
+                        source.close()
             if collecting is not None and not truncated:
                 if not collecting:
                     # freezing an EMPTY epoch-1 cache would make every
@@ -727,8 +948,13 @@ class Trainer:
                         "training batches — train_batches must be a "
                         "callable or re-iterable collection that yields "
                         "at least one batch")
-                staged_cache = collecting
-            train_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) \
+                if self.mesh is None:
+                    staged_cache = self._consolidate_cache(collecting,
+                                                           grouped=spd > 1)
+                else:
+                    staged_cache = collecting
+            train_loss = float(np.mean(jax.device_get(jnp.concatenate(
+                [jnp.atleast_1d(l) for l in losses])))) \
                 if losses else float("nan")
             logs = {"loss": train_loss, **meter.rates(),
                     "learning_rate": self.current_learning_rate()}
@@ -767,6 +993,10 @@ class Trainer:
         total = count = None
         it = batches() if callable(batches) else batches
         source = it if staged else self._staged(it)
+        if not staged and jax.process_count() > 1:
+            # multi-host: eval steps are collectives too — fail fast on
+            # uneven local validation corpora instead of hanging
+            source = self._feed_parity_guard(source, what="validation")
         try:
             for _, batch in source:
                 loss_sum, n, metric_states = self._jit_eval_step(
