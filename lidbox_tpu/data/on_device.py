@@ -614,6 +614,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 count_fn=lambda b: (int(np.shape(b[1])[0]),
                                     int(np.size(b[0]))),
                 put=lambda b: _stage(*b))
+            if jax.process_count() > 1:
+                # multi-host: the fused train step is a collective — agree
+                # on feed exhaustion before every step so uneven local
+                # corpora raise a diagnostic instead of hanging
+                # (Trainer._feed_parity_guard)
+                staged = trainer._feed_parity_guard(staged,
+                                                    what="fused training")
             collecting = [] if cache_staged else None
         if spd > 1:
             for (n, samples), (sig_k, tgt_k) in staged:

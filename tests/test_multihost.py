@@ -191,6 +191,107 @@ print("TPSYNC %.8f" % checksum)
 """
 
 
+UNEVEN_CHILD = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import optax
+import lidbox_tpu.models as models
+import lidbox_tpu.parallel as parallel
+from lidbox_tpu.losses import nll_loss
+from lidbox_tpu.train import Trainer
+
+assert parallel.initialize_distributed(), "env-var initialization failed"
+pid = jax.process_index()
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+T, F, N = 20, 8, 3
+mesh = parallel.get_mesh()
+model = models.create("dnn", (T, F), N)
+model.init(jax.random.PRNGKey(0))
+trainer = Trainer(model, optax.adam(1e-2), nll_loss, mesh=mesh)
+trainer.create_state()
+
+rng = np.random.default_rng(7)
+local = {"input": rng.normal(0, 1, (4, T, F)).astype(np.float32),
+         "target": rng.integers(0, N, 4).astype(np.int32)}
+
+# UNEVEN corpora: process 0 yields 3 batches, process 1 only 2. Without
+# the feed-parity guard, process 0's third step would hang forever in a
+# collective against process 1, which already left the loop.
+n_batches = 3 if pid == 0 else 2
+try:
+    trainer.fit(lambda: [local] * n_batches, epochs=1)
+    print("NOERROR")
+except RuntimeError as e:
+    ok = "uneven multi-host" in str(e) and "2 batches" in str(e)
+    print("UNEVEN_CAUGHT", ok)
+
+# and an even follow-up feed still trains (the guard is not sticky)
+hist = trainer.fit(lambda: [local] * 2, epochs=1)
+print("EVENLOSS %.8f" % hist[0]["loss"])
+"""
+
+
+ORBAX_CHILD = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import optax
+import lidbox_tpu.models as models
+import lidbox_tpu.parallel as parallel
+from lidbox_tpu.losses import nll_loss
+from lidbox_tpu.train import ModelCheckpoint, Trainer, get_best_checkpoint_path
+
+assert parallel.initialize_distributed(), "env-var initialization failed"
+pid = jax.process_index()
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+ckpt_dir = os.path.join(os.environ["LIDBOX_TEST_DIR"], "ckpts")
+T, F, N = 20, 8, 3
+mesh = parallel.get_mesh()
+
+def make_trainer():
+    model = models.create("dnn", (T, F), N)
+    model.init(jax.random.PRNGKey(0))
+    return Trainer(model, optax.adam(1e-2), nll_loss, mesh=mesh,
+                   callbacks=[ModelCheckpoint(ckpt_dir, backend="orbax")])
+
+trainer = make_trainer()
+rng = np.random.default_rng(7)
+X = rng.normal(0, 1, (8, T, F)).astype(np.float32)
+y = rng.integers(0, N, 8).astype(np.int32)
+local = {"input": X[4 * pid:4 * pid + 4], "target": y[4 * pid:4 * pid + 4]}
+
+# orbax saves the replicated TrainState from BOTH processes (sharded/
+# replicated global arrays are exactly where orbax earns its place over
+# msgpack's device_get); on_train_end drains the async write
+trainer.fit(lambda: [local] * 2, epochs=2)
+checksum = sum(float(jax.device_get(l).astype(np.float64).sum())
+               for l in jax.tree_util.tree_leaves(trainer.state.params))
+print("TRAINED %.8f" % checksum)
+
+best = get_best_checkpoint_path(ckpt_dir)
+assert best is not None and os.path.isdir(best), best
+
+fresh = make_trainer()
+fresh.restore(best)
+print("RESUME_EPOCH %d" % fresh.initial_epoch)
+restored = sum(float(jax.device_get(l).astype(np.float64).sum())
+               for l in jax.tree_util.tree_leaves(fresh.state.params))
+print("RESTORED %.8f" % restored)
+# restored params must carry the mesh placement create_state installed
+leaf = jax.tree_util.tree_leaves(fresh.state.params)[0]
+print("SHARDED", leaf.sharding.mesh.devices.size == 4)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -215,6 +316,7 @@ def _run_two_processes(script_text, tmp_path, timeout=300):
         env["NUM_PROCESSES"] = "2"
         env["PROCESS_ID"] = str(pid)
         env["PYTHONPATH"] = REPO
+        env["LIDBOX_TEST_DIR"] = str(tmp_path)  # shared scratch (ckpts)
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -275,6 +377,47 @@ def test_two_process_tensor_parallel_sync_model_variables(tmp_path):
         assert lines, out
         vals.append(float(lines[0].split()[1]))
     assert vals[0] == vals[1], vals
+
+
+@pytest.mark.slow
+def test_two_process_uneven_feed_fails_fast(tmp_path):
+    """VERDICT r3 next-step #4: a process yielding fewer batches than its
+    peers must produce a descriptive error on EVERY process — not a
+    collective hang — and the trainer must keep working on a later even
+    feed."""
+    outs = _run_two_processes(UNEVEN_CHILD, tmp_path)
+    losses = []
+    for out in outs:
+        assert "UNEVEN_CAUGHT True" in out, out
+        assert "NOERROR" not in out, out
+        lines = [ln for ln in out.splitlines() if ln.startswith("EVENLOSS")]
+        assert lines, out
+        losses.append(float(lines[0].split()[1]))
+    assert losses[0] == losses[1], losses
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint_roundtrip(tmp_path):
+    """VERDICT r3 next-step #7: the orbax backend saves the replicated
+    TrainState across 2 processes and a fresh trainer restores it with
+    identical params and resume epoch on both hosts."""
+    outs = _run_two_processes(ORBAX_CHILD, tmp_path)
+    vals = []
+    for out in outs:
+        parsed = {}
+        for line in out.splitlines():
+            parts = line.split()
+            if parts and parts[0] in ("TRAINED", "RESTORED", "RESUME_EPOCH",
+                                      "SHARDED"):
+                parsed[parts[0]] = parts[1]
+        assert set(parsed) == {"TRAINED", "RESTORED", "RESUME_EPOCH",
+                               "SHARDED"}, out
+        assert parsed["SHARDED"] == "True", out
+        assert parsed["RESUME_EPOCH"] == "2", out
+        vals.append(parsed)
+    # both hosts agree, and the restored params equal the trained params
+    assert vals[0] == vals[1], vals
+    assert vals[0]["TRAINED"] == vals[0]["RESTORED"], vals[0]
 
 
 @pytest.mark.slow
