@@ -491,6 +491,8 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     if cache_staged is None:
         cache_staged = trainer.cache_staged
     staged_cache = None
+    replay_groups = None  # consolidated per-shape stacks (single device)
+    replay = None
     val_staged = None  # staged validation batches, cached alongside
     if trainer.state is None:
         trainer.create_state()
@@ -589,9 +591,35 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         # audio-seconds throughput (RTF): samples / sample_rate, with the
         # rate taken from the feature fn (make_augmented_feature_fn tags it)
         sr = float(getattr(feature_fn, "sample_rate", 0) or 0)
-        if staged_cache is not None:
-            # device-resident reuse: zero feed traffic, optionally with a
-            # fresh (seeded) batch order each epoch
+        if staged_cache is not None and replay_groups is not None:
+            # whole-epoch scan replay: zero feed traffic AND one dispatch
+            # + one loss-vector readback per shape stack per epoch
+            # (make_fused_replay_step); augmentation stays fresh — the
+            # step RNG advances inside the scan. With cache_shuffle the
+            # permutation is within-stack plus stack order (batch-
+            # granular, like the per-entry replay it replaces).
+            from lidbox_tpu import RANDOM_SEED
+            if replay is None:
+                replay = make_fused_replay_step(trainer, feature_fn,
+                                                donate=True)
+            rng_epoch = np.random.default_rng(RANDOM_SEED + epoch)
+            gorder = (rng_epoch.permutation(len(replay_groups))
+                      if cache_shuffle else np.arange(len(replay_groups)))
+            for gi in gorder:
+                g = replay_groups[gi]
+                order_k = (rng_epoch.permutation(g["steps"])
+                           if cache_shuffle else np.arange(g["steps"]))
+                trainer.state, loss_k = replay(
+                    trainer.state, g["signals"], g["targets"], trainer.rng,
+                    jnp.asarray(order_k, jnp.int32))
+                losses.append(loss_k)
+                meter.update(g["n"], g["samples"] / sr if sr else 0.0)
+            staged = iter(())
+            collecting = None
+        elif staged_cache is not None:
+            # mesh-sharded cache entries replay per step/group (their
+            # shardings are not stackable into one array); optionally with
+            # a fresh (seeded) batch order each epoch
             if cache_shuffle:
                 from lidbox_tpu import RANDOM_SEED
                 order = np.random.default_rng(
@@ -641,6 +669,10 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 meter.update(n, samples / sr if sr else 0.0)
         if collecting is not None:
             staged_cache = collecting
+            if trainer.mesh is None:
+                # consolidate into per-shape stacks for whole-epoch scan
+                # replay (None when masked entries force per-step replay)
+                replay_groups = _consolidate_signal_cache(collecting, spd)
         if not losses and not validating:
             # a one-shot iterator (generator) exhausts after epoch 1 and
             # would silently "train" on zero batches with loss=nan for
@@ -775,6 +807,80 @@ def make_fused_train_step(trainer, feature_fn, donate=False):
     # hold the feature_fn reference so id() stays unique for the cache key
     cache[key] = (feature_fn, step)
     return step
+
+
+def make_fused_replay_step(trainer, feature_fn, donate=False):
+    """Whole-epoch cached replay for the fused path: ONE jit program scans
+    ``order`` (a [K] int32 permutation) over device-resident stacked
+    waveform batches — one dispatch + one loss-vector readback per epoch
+    instead of one round per step or per K-group. Augmentation stays
+    fresh per epoch: the per-step RNG folds in state.step, which advances
+    inside the scan. The stack is NOT donated (it is reused every epoch);
+    per-step batches come from dynamic_index_in_dim slices.
+
+    step(state, signals_all [K, B(, +1), T], targets_all ([K, B] or None
+    for the packed layout), rng, order [K]) -> (state, losses [K]).
+    """
+    cache = trainer.__dict__.setdefault("_fused_replay_cache", {})
+    key = (id(feature_fn), bool(donate))
+    if key in cache:
+        return cache[key][1]
+    single = make_fused_train_step(trainer, feature_fn)
+
+    def replay_fn(state, signals_all, targets_all, rng, order):
+        def body(st, i):
+            sig = jax.lax.dynamic_index_in_dim(signals_all, i,
+                                               keepdims=False)
+            tgt = (None if targets_all is None
+                   else jax.lax.dynamic_index_in_dim(targets_all, i,
+                                                     keepdims=False))
+            st, loss = single(st, sig, tgt, rng)
+            return st, loss
+        return jax.lax.scan(body, state, order)
+    replay = jax.jit(replay_fn, donate_argnums=(0,)) if donate \
+        else jax.jit(replay_fn)
+    cache[key] = (feature_fn, replay)
+    return replay
+
+
+def _consolidate_signal_cache(entries, spd):
+    """Merge fit_signals' epoch-1 cache entries into per-shape device
+    stacks for whole-epoch replay. Entries: ((n, samples), payload) with
+    payload (signals, targets, mask) at spd == 1 or (sig_k, tgt_k)
+    stacked groups at spd > 1. Returns a list of group dicts, or None
+    when consolidation doesn't apply (masked rows — mesh feeds keep
+    per-step replay)."""
+    order, groups = [], {}
+    for (n, samples), payload in entries:
+        if spd > 1:
+            sig, tgt = payload
+            inner = sig.shape[1:]
+        else:
+            sig, tgt, mask = payload
+            if mask is not None:
+                return None
+            inner = sig.shape
+        key = (tuple(inner), str(sig.dtype), tgt is None)
+        if key not in groups:
+            groups[key] = {"sigs": [], "tgts": [], "n": 0, "samples": 0,
+                           "steps": 0}
+            order.append(key)
+        g = groups[key]
+        g["sigs"].append(sig)
+        if tgt is not None:
+            g["tgts"].append(tgt)
+        g["n"] += int(n)
+        g["samples"] += int(samples)
+        g["steps"] += (sig.shape[0] if spd > 1 else 1)
+    out = []
+    for key in order:
+        g = groups[key]
+        cat = jnp.concatenate if spd > 1 else jnp.stack
+        out.append({
+            "signals": cat(g["sigs"]),
+            "targets": cat(g["tgts"]) if g["tgts"] else None,
+            "n": g["n"], "samples": g["samples"], "steps": g["steps"]})
+    return out
 
 
 def make_fused_multi_step(trainer, feature_fn, donate=False):

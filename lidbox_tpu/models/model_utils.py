@@ -294,7 +294,10 @@ class ModelWrapper:
         return lambda x: predict_fn(np.asarray(x))
 
     def fit(self, train_batches, validation_batches, **kwargs):
-        """(reference: keras_utils.py:191-203)"""
+        """(reference: keras_utils.py:191-203). The config's
+        ``feed.steps_per_dispatch`` applies to the feature-fed path too
+        (Trainer.fit grouped dispatch), overridable per call."""
+        kwargs.setdefault("steps_per_dispatch", self.steps_per_dispatch)
         return self.trainer.fit(train_batches, validation_batches, **kwargs)
 
     def fit_fused(self, signal_batches, epochs=1, sample_rate=None,
