@@ -191,27 +191,36 @@ def main():
     log(f"  e2e[b{MODEL_BATCH}, {SECONDS}s, {best_method}]: {dt * 1e3:.3f} ms/batch "
         f"-> {utt_per_sec:,.1f} utt/s ({utt_per_sec * SECONDS:,.0f}x realtime)")
 
-    # saturation inference: 1-pass bf16-stored DSP + bf16 model at b512 —
-    # the serving throughput ceiling (the headline e2e above stays
-    # f32-parity-graded features)
+    # saturation inference sweep: 1-pass bf16-stored DSP + bf16 model at
+    # b512/b1024/b2048 — shows where serving throughput flattens (VERDICT
+    # r3 next-step #5; the headline e2e above stays f32-parity-graded
+    # features). n1/n2 shrink with batch so each line costs similar wall.
     try:
-        sat_signals = jnp.concatenate([signals, signals])
+        prev_rate = None
+        for mult, (n1, n2) in ((2, (5, 25)), (4, (4, 12)), (8, (3, 7))):
+            sat_signals = jnp.concatenate([signals] * mult)
+            sat_b = sat_signals.shape[0]
 
-        @jax.jit
-        def e2e_sat(carry):
-            feats = F.extract_features(
-                sat_signals + carry * 1e-20, SAMPLE_RATE,
-                feature_type="logmelspectrogram",
-                melspectrogram={"num_mel_bins": NUM_MEL},
-                stft_method=best_method, precision="bf16")
-            out = model.apply(variables, feats, train=False,
-                              compute_dtype=jnp.bfloat16)
-            return jnp.mean(out)
-        dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=5, n2=25)
-        sat_b = sat_signals.shape[0]
-        log(f"  e2e-saturation[b{sat_b}, bf16 DSP+model]: "
-            f"{dt_sat * 1e3:.3f} ms/batch -> {sat_b / dt_sat:,.1f} utt/s "
-            f"({sat_b / dt_sat * SECONDS:,.0f}x realtime)")
+            @jax.jit
+            def e2e_sat(carry, s=sat_signals):
+                feats = F.extract_features(
+                    s + carry * 1e-20, SAMPLE_RATE,
+                    feature_type="logmelspectrogram",
+                    melspectrogram={"num_mel_bins": NUM_MEL},
+                    stft_method=best_method, precision="bf16")
+                out = model.apply(variables, feats, train=False,
+                                  compute_dtype=jnp.bfloat16)
+                return jnp.mean(out)
+            dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=n1, n2=n2)
+            rate = sat_b / dt_sat
+            vs = (f", {rate / prev_rate:.2f}x the previous batch"
+                  if prev_rate else "")
+            log(f"  e2e-saturation[b{sat_b}, bf16 DSP+model]: "
+                f"{dt_sat * 1e3:.3f} ms/batch -> {rate:,.1f} utt/s "
+                f"({rate * SECONDS:,.0f}x realtime{vs})")
+            prev_rate = rate
+            if past_deadline("saturation sweep tail"):
+                break
     except Exception as e:
         log(f"  e2e-saturation failed: {type(e).__name__}: {e}")
 
@@ -220,6 +229,37 @@ def main():
     # correct; the recurrent families are scan-bound by design)
     if not past_deadline("model-zoo section"):
         zoo_signals = signals[:128]
+        # Scan-latency roofline (VERDICT r3 next-step #5): the recurrent
+        # families are bound by T sequential scan iterations, each paying
+        # at least the device's per-iteration scheduling floor regardless
+        # of how small the cell math is. Measure that floor with a
+        # minimal-cell scan (delta between T and 2T iterations), then
+        # report each RNN model's bound = n_sequential_scans x T x floor
+        # so "scan-bound" is a number next to the measured rate.
+        scan_iter_floor = float("nan")
+        try:
+            def minimal_scan(T):
+                @jax.jit
+                def f(carry):
+                    def body(c, _):
+                        return c * 0.999 + 1e-6, None
+                    c, _ = jax.lax.scan(body, carry, None, length=T)
+                    return c
+                return f
+            dt_a = _time(minimal_scan(frames), jnp.float32(0.0),
+                         n1=4, n2=16, reps=5)
+            dt_b = _time(minimal_scan(2 * frames), jnp.float32(0.0),
+                         n1=4, n2=16, reps=5)
+            scan_iter_floor = max((dt_b - dt_a) / frames, 0.0)
+            log(f"  scan-iteration floor: {scan_iter_floor * 1e6:.2f} us "
+                f"(minimal-cell lax.scan, delta {frames} vs {2 * frames} "
+                f"iters)")
+        except Exception as e:
+            log(f"  scan-floor measurement failed: {type(e).__name__}: {e}")
+        # sequential scan chains per model: stacked recurrent layers
+        # (directions of one bidirectional layer run concurrently)
+        zoo_scans = {"cnn": 0, "clstm": 1, "bi_gru": 2,
+                     "multilevel_attention": 0}
         for key in ("cnn", "clstm", "bi_gru", "multilevel_attention"):
             try:
                 zoo_model = models.create(key, (frames, NUM_MEL), NUM_LANGS)
@@ -238,8 +278,16 @@ def main():
                     return jnp.mean(out)
                 dt_zoo = _time(zoo_step, jnp.float32(0.0), n1=4, n2=16,
                                reps=5)
+                bound = ""
+                n_scans = zoo_scans.get(key, 0)
+                if n_scans and np.isfinite(scan_iter_floor):
+                    t_bound = n_scans * frames * scan_iter_floor
+                    bound = (f"; scan roofline >= {t_bound * 1e3:.3f} ms "
+                             f"({n_scans} chains x {frames} iters) -> "
+                             f"at {100 * t_bound / dt_zoo:.0f}% of the "
+                             f"latency bound")
                 log(f"  zoo-forward[{key}, b128 bf16]: {dt_zoo * 1e3:.3f} "
-                    f"ms -> {128 / dt_zoo:,.1f} utt/s")
+                    f"ms -> {128 / dt_zoo:,.1f} utt/s{bound}")
             except Exception as e:
                 log(f"  zoo-forward[{key}] failed: {type(e).__name__}: {e}")
 
@@ -534,11 +582,12 @@ def main():
         # so the pipeline's per-batch cost is the back-to-back transfer
         # time WITHOUT a readback round trip per batch — measure K puts
         # with one completion readback at the end (in-order completion)
-        def measure_stream():
+        def measure_stream(bufs=None):
+            bufs = distinct if bufs is None else bufs
             t0 = time.perf_counter()
-            put_all = [jax.device_put(b) for b in distinct]
+            put_all = [jax.device_put(b) for b in bufs]
             np.asarray(peek(put_all[-1]))
-            return (time.perf_counter() - t0) / len(distinct)
+            return (time.perf_counter() - t0) / len(bufs)
         t_stream = measure_stream()
         transfer_rate = MODEL_BATCH / t_stream
         log(f"  transfer[b{MODEL_BATCH} int16 {batch_mb:.1f}MB]: serial+ack "
@@ -668,6 +717,68 @@ def main():
         log(f"  fed-train-step[b{MODEL_BATCH} f32 features, pipelined "
             f"staging]: {fed_legacy:,.1f} utt/s (r02 measured 114 with "
             f"synchronous staging)")
+
+        # grouped dispatch on the FEATURE-fed path (VERDICT r3 #2):
+        # Trainer.fit(steps_per_dispatch=K) stacks K bf16-staged feature
+        # batches per transfer + one scanned program, the same K-fold
+        # round amortization the fused line gets. Bound against a
+        # feature-batch streamed-transfer probe taken immediately around
+        # each run (the pooled link drifts minute to minute).
+        if past_deadline("feature grouped-dispatch section"):
+            raise TimeoutError("soft deadline")
+        trainer_feat = Trainer(model, optax.adam(1e-3), nll_loss,
+                               stage_dtype="bfloat16", prefetch=8)
+        trainer_feat.create_state()
+        feat_batch0 = next(fed_batches(1))
+        # streamed-transfer probe over the dominant array (the bf16
+        # feature tensor; the int32 targets are noise at this size)
+        feat_input0 = np.asarray(feat_batch0["input"]).astype(jnp.bfloat16)
+        feat_bufs = [feat_input0 + np.asarray(i, feat_input0.dtype)
+                     for i in range(16)]
+        feat_mb = feat_bufs[0].nbytes / 1e6
+        for spd, nb in ((1, num_batches), (4, 2 * num_batches)):
+            trainer_feat.fit(lambda: fed_batches(2 * spd), epochs=1,
+                             verbose=False, steps_per_dispatch=spd)  # warm
+            t_before = measure_stream(feat_bufs)
+            t0 = time.perf_counter()
+            trainer_feat.fit(lambda: fed_batches(nb), epochs=1,
+                             verbose=False, steps_per_dispatch=spd)
+            fed_feat_rate = nb * MODEL_BATCH / (time.perf_counter() - t0)
+            t_after = measure_stream(feat_bufs)
+            xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
+            bound = min(loader_rate, xfer_now)
+            limiter = "loader" if bound == loader_rate else "transfer"
+            log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB, {spd} "
+                f"step/dispatch]: {fed_feat_rate:,.1f} utt/s vs bound "
+                f"min(loader {loader_rate:,.0f}, transfer {xfer_now:,.0f})"
+                f" = {bound:,.0f} [{limiter}-bound] -> achieved "
+                f"{100 * fed_feat_rate / bound:.0f}% of bound")
+
+        # whole-epoch cached replay on the feature path (VERDICT r3 #3):
+        # epochs 2+ run ONE scanned program per epoch over the
+        # consolidated device-resident stack — dispatch count drops from
+        # num_batches to 1
+        if past_deadline("feature cached-replay section"):
+            raise TimeoutError("soft deadline")
+        feat_walls = []
+
+        class _FeatEpochTimer(Callback):
+            def on_epoch_begin(self, t, e):
+                feat_walls.append([time.perf_counter()])
+
+            def on_epoch_end(self, t, e, logs):
+                feat_walls[-1].append(time.perf_counter())
+        trainer_feat2 = Trainer(model, optax.adam(1e-3), nll_loss,
+                                stage_dtype="bfloat16", prefetch=8,
+                                callbacks=[_FeatEpochTimer()])
+        trainer_feat2.fit(lambda: fed_batches(num_batches), epochs=3,
+                          verbose=False, cache_staged=True)
+        f_rates = [num_batches * MODEL_BATCH / (b - a) for a, b in feat_walls]
+        # device-resident yardstick for the feature path: the replay
+        # program itself, timed back-to-back (scan over the cached stack)
+        log(f"  fed-cached[features bf16, 3 epochs, whole-epoch scan]: "
+            f"epoch1 {f_rates[0]:,.0f} -> epoch3 {f_rates[-1]:,.0f} utt/s "
+            f"(1 dispatch + 1 readback per epoch after the one-time feed)")
         decode_pool.shutdown()
     except Exception as e:
         if not isinstance(e, TimeoutError):  # deadline skips already logged
