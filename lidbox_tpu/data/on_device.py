@@ -716,8 +716,15 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if cache_staged:
                 # stage the validation set ONCE; later epochs evaluate the
                 # device-resident copy (frozen to epoch-1 contents, same
-                # semantics as Trainer.fit's cache_staged)
-                val_staged = list(trainer._staged(eval_batches))
+                # semantics as Trainer.fit's cache_staged). On a single
+                # device the entries consolidate into per-shape stacks so
+                # every evaluate() is one scanned program per stack
+                # (Trainer._replay_eval_step) instead of one dispatch
+                # round per batch.
+                entries = list(trainer._staged(eval_batches))
+                val_staged = (trainer._consolidate_cache(entries,
+                                                         grouped=False)
+                              if trainer.mesh is None else entries)
                 val_logs = trainer.evaluate(val_staged, staged=True)
             else:
                 val_logs = trainer.evaluate(eval_batches)

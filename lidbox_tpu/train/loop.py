@@ -286,6 +286,7 @@ class Trainer:
         self._jit_replay_train_step = jax.jit(self._replay_train_step,
                                               donate_argnums=0)
         self._jit_eval_step = jax.jit(self._eval_step)
+        self._jit_replay_eval_step = jax.jit(self._replay_eval_step)
         self._jit_apply_eval = jax.jit(
             lambda params, bs, batch: self._apply(params, bs, batch, train=False))
 
@@ -501,6 +502,23 @@ class Trainer:
                                        scores, weights=weights)
             for name, metric in self.metrics.items()}
         return loss_sum, count, new_metric_states
+
+    def _replay_eval_step(self, state, stacked, metric_states):
+        """Whole-epoch cached validation: ONE XLA program scans a stacked
+        batch dict [K, B, ...], accumulating loss sum/count and metric
+        states on device — one dispatch + one readback per shape stack
+        per evaluate() instead of one dispatch round per batch (the eval
+        analogue of _replay_train_step; no permutation needed, evaluation
+        is order-independent). ``stacked`` is NOT donated — it is the
+        cached validation set, reused every epoch."""
+        def body(carry, batch):
+            total, count, ms = carry
+            loss_sum, n, ms = self._eval_step(state, batch, ms)
+            return (total + loss_sum.astype(jnp.float32),
+                    count + n.astype(jnp.float32), ms), None
+        init = (jnp.float32(0.0), jnp.float32(0.0), metric_states)
+        (total, count, ms), _ = jax.lax.scan(body, init, stacked)
+        return total, count, ms
 
     # -- host loop ----------------------------------------------------------
 
@@ -961,7 +979,14 @@ class Trainer:
             if validation_batches is not None:
                 if cache_staged:
                     if val_staged is None:
-                        val_staged = list(self._staged(validation_batches))
+                        entries = list(self._staged(validation_batches))
+                        # single device: consolidate into per-shape stacks
+                        # so every later evaluate() is one scanned program
+                        # per stack (_replay_eval_step) instead of one
+                        # dispatch round per batch
+                        val_staged = (
+                            self._consolidate_cache(entries, grouped=False)
+                            if self.mesh is None else entries)
                     logs.update(self.evaluate(val_staged, staged=True))
                 else:
                     logs.update(self.evaluate(validation_batches))
@@ -981,7 +1006,9 @@ class Trainer:
     def evaluate(self, batches, prefix="val_", staged=False):
         """Evaluate ``batches`` (host batch dicts, staged through _put
         unless ``staged=True``, in which case they are (n, batch) pairs
-        already on device — the cache_staged reuse path)."""
+        already on device, or _consolidate_cache stack groups — the
+        cache_staged reuse path: each stack evaluates as ONE scanned
+        program (_replay_eval_step))."""
         if self.state is None:
             self.create_state()
         self._refresh_step_fns()  # pick up post-construction config edits
@@ -992,20 +1019,29 @@ class Trainer:
         # evaluate() instead of two tunnel round-trips per batch.
         total = count = None
         it = batches() if callable(batches) else batches
-        source = it if staged else self._staged(it)
-        if not staged and jax.process_count() > 1:
-            # multi-host: eval steps are collectives too — fail fast on
-            # uneven local validation corpora instead of hanging
-            source = self._feed_parity_guard(source, what="validation")
-        try:
-            for _, batch in source:
-                loss_sum, n, metric_states = self._jit_eval_step(
-                    self.state, batch, metric_states)
-                total = loss_sum if total is None else total + loss_sum
-                count = n if count is None else count + n
-        finally:
-            if hasattr(source, "close"):
-                source.close()  # release staging on any exit path
+        if staged and isinstance(it, (list, tuple)) and it \
+                and isinstance(it[0], dict) and "stack" in it[0]:
+            # consolidated cached validation: one dispatch per shape stack
+            for g in it:
+                total_g, count_g, metric_states = self._jit_replay_eval_step(
+                    self.state, g["stack"], metric_states)
+                total = total_g if total is None else total + total_g
+                count = count_g if count is None else count + count_g
+        else:
+            source = it if staged else self._staged(it)
+            if not staged and jax.process_count() > 1:
+                # multi-host: eval steps are collectives too — fail fast on
+                # uneven local validation corpora instead of hanging
+                source = self._feed_parity_guard(source, what="validation")
+            try:
+                for _, batch in source:
+                    loss_sum, n, metric_states = self._jit_eval_step(
+                        self.state, batch, metric_states)
+                    total = loss_sum if total is None else total + loss_sum
+                    count = n if count is None else count + n
+            finally:
+                if hasattr(source, "close"):
+                    source.close()  # release staging on any exit path
         results = {name: metric.result(metric_states[name])
                    for name, metric in self.metrics.items()}
         results, total, count = jax.device_get((results, total, count))

@@ -543,6 +543,44 @@ class TestCacheStaged:
         assert calls["replay"] == 2, calls
         assert int(jax.device_get(trainer.state.step)) == 15
 
+    def test_cached_validation_scans_whole_epoch(self):
+        """Cached validation consolidates into per-shape stacks and each
+        per-epoch evaluate() runs ONE scanned program per stack
+        (_replay_eval_step) — the per-batch eval step never fires after
+        staging, and the scanned logs (incl. streamed C_avg carried
+        through the scan) match a plain per-batch evaluate()."""
+        batches = toy_batches(n_batches=4)
+        val = toy_batches(n_batches=3, seed=9) + [
+            {k: v[:7] for k, v in
+             toy_batches(n_batches=1, seed=11)[0].items()}]
+        metrics = {"C_avg": SparseAverageDetectionCost(
+            N_CLASSES, cavg_thresholds(20, -5.0, 0.0))}
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, metrics=metrics,
+                          cache_staged=True)
+        calls = {"replay": 0, "single": 0}
+        real_replay = trainer._jit_replay_eval_step
+        real_single = trainer._jit_eval_step
+
+        def counting_replay(*a, **k):
+            calls["replay"] += 1
+            return real_replay(*a, **k)
+
+        def counting_single(*a, **k):
+            calls["single"] += 1
+            return real_single(*a, **k)
+        trainer._jit_replay_eval_step = counting_replay
+        trainer._jit_eval_step = counting_single
+        hist = trainer.fit(lambda: batches, validation_batches=lambda: val,
+                           epochs=3, cache_shuffle=False)
+        # 2 shape stacks (3 full batches + 1 ragged tail) x 3 epochs,
+        # zero per-batch eval dispatches
+        assert calls == {"replay": 6, "single": 0}, calls
+        ref = trainer.evaluate(val)
+        assert np.isclose(hist[-1]["val_loss"], ref["val_loss"], rtol=1e-5)
+        assert np.isclose(hist[-1]["val_C_avg"], ref["val_C_avg"],
+                          rtol=1e-5, atol=1e-7)
+
     def test_cached_replay_handles_ragged_tail_stacks(self):
         """A ragged final batch consolidates into its own shape stack; the
         cached trajectory with cache_shuffle off still matches the
