@@ -520,13 +520,14 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             import jax as _jax
             from lidbox_tpu import parallel
             n = targets.shape[0]
-            if _jax.process_count() > 1:
+            if parallel.mesh_spans_processes(trainer.mesh):
                 # multi-host: this process feeds its LOCAL slice, rows
                 # assemble into one globally-sharded array — mirroring
                 # Trainer._put (plain shard_batch would device_put to
                 # non-addressable devices and raise)
-                n_local = max(1, trainer.mesh.devices.size
-                              // _jax.process_count())
+                n_local = max(1, sum(
+                    d.process_index == _jax.process_index()
+                    for d in trainer.mesh.devices.flat))
                 if n % n_local:
                     padded, valid = parallel.pad_batch_to(
                         {"signals": signals, "targets": targets},
@@ -591,7 +592,7 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         # audio-seconds throughput (RTF): samples / sample_rate, with the
         # rate taken from the feature fn (make_augmented_feature_fn tags it)
         sr = float(getattr(feature_fn, "sample_rate", 0) or 0)
-        if staged_cache is not None and replay_groups is not None:
+        if replay_groups is not None:
             # whole-epoch scan replay: zero feed traffic AND one dispatch
             # + one loss-vector readback per shape stack per epoch
             # (make_fused_replay_step); augmentation stays fresh — the
@@ -642,10 +643,10 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 count_fn=lambda b: (int(np.shape(b[1])[0]),
                                     int(np.size(b[0]))),
                 put=lambda b: _stage(*b))
-            if jax.process_count() > 1:
-                # multi-host: the fused train step is a collective — agree
-                # on feed exhaustion before every step so uneven local
-                # corpora raise a diagnostic instead of hanging
+            if trainer._multiprocess_feed():
+                # multi-host mesh: the fused train step is a collective —
+                # agree on feed exhaustion before every step so uneven
+                # local corpora raise a diagnostic instead of hanging
                 # (Trainer._feed_parity_guard)
                 staged = trainer._feed_parity_guard(staged,
                                                     what="fused training")
@@ -668,11 +669,18 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 losses.append(loss)
                 meter.update(n, samples / sr if sr else 0.0)
         if collecting is not None:
-            staged_cache = collecting
             if trainer.mesh is None:
                 # consolidate into per-shape stacks for whole-epoch scan
-                # replay (None when masked entries force per-step replay)
-                replay_groups = _consolidate_signal_cache(collecting, spd)
+                # replay (None when masked entries force per-step replay,
+                # or when cache_shuffle=False met interleaved shape
+                # signatures — stack-major replay would reorder them)
+                replay_groups = _consolidate_signal_cache(
+                    collecting, spd, preserve_order=not cache_shuffle)
+            # the stacks ARE the cache once consolidation succeeds —
+            # keeping the per-entry device buffers too would pin ~2x the
+            # cached corpus in HBM for the whole run
+            staged_cache = collecting if replay_groups is None else None
+            collecting = None
         if not losses and not validating:
             # a one-shot iterator (generator) exhausts after epoch 1 and
             # would silently "train" on zero batches with loss=nan for
@@ -721,7 +729,14 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 # every evaluate() is one scanned program per stack
                 # (Trainer._replay_eval_step) instead of one dispatch
                 # round per batch.
-                entries = list(trainer._staged(eval_batches))
+                vsrc = trainer._staged(eval_batches)
+                if trainer._multiprocess_feed():
+                    # epoch-1 staging FIXES the per-host batch count for
+                    # every later collective eval step — agree on it now
+                    # (clear diagnostic) instead of hanging mid-epoch
+                    vsrc = trainer._feed_parity_guard(vsrc,
+                                                      what="validation")
+                entries = list(vsrc)
                 val_staged = (trainer._consolidate_cache(entries,
                                                          grouped=False)
                               if trainer.mesh is None else entries)
@@ -850,14 +865,18 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
     return replay
 
 
-def _consolidate_signal_cache(entries, spd):
+def _consolidate_signal_cache(entries, spd, preserve_order=False):
     """Merge fit_signals' epoch-1 cache entries into per-shape device
     stacks for whole-epoch replay. Entries: ((n, samples), payload) with
     payload (signals, targets, mask) at spd == 1 or (sig_k, tgt_k)
     stacked groups at spd > 1. Returns a list of group dicts, or None
-    when consolidation doesn't apply (masked rows — mesh feeds keep
-    per-step replay)."""
-    order, groups = [], {}
+    when consolidation doesn't apply: masked rows (mesh feeds keep
+    per-step replay), or ``preserve_order=True`` (the cache_shuffle=False
+    contract) with INTERLEAVED shape signatures — stack-major replay
+    would silently reorder the epoch-1 trajectory, so the caller keeps
+    order-exact per-entry replay instead (Trainer._consolidate_cache has
+    the same bail-out)."""
+    keys = []
     for (n, samples), payload in entries:
         if spd > 1:
             sig, tgt = payload
@@ -867,7 +886,16 @@ def _consolidate_signal_cache(entries, spd):
             if mask is not None:
                 return None
             inner = sig.shape
-        key = (tuple(inner), str(sig.dtype), tgt is None)
+        keys.append((tuple(inner), str(sig.dtype), tgt is None))
+    from lidbox_tpu.train.loop import _signature_runs_contiguous
+    if preserve_order and not _signature_runs_contiguous(keys):
+        return None
+    order, groups = [], {}
+    for ((n, samples), payload), key in zip(entries, keys):
+        if spd > 1:
+            sig, tgt = payload
+        else:
+            sig, tgt, _ = payload
         if key not in groups:
             groups[key] = {"sigs": [], "tgts": [], "n": 0, "samples": 0,
                            "steps": 0}

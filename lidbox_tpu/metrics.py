@@ -160,6 +160,13 @@ def equal_error_rate(scores, labels, convention="fpr"):
       ``fpr[argmin |fnr - fpr|]`` off sklearn's roc_curve).
     - ``"midpoint"``: (fnr + fpr) / 2 — the symmetric estimate, less
       biased when the ROC is coarse (small trial counts).
+
+    .. note:: the default CHANGED in round 4: earlier releases returned
+       the midpoint here while the report path used the reference's fpr
+       convention — two silently different EERs for the same scores. The
+       unified default is the reference's ``"fpr"``; pass
+       ``convention="midpoint"`` to reproduce previously logged values
+       from this function.
     """
     if convention not in ("fpr", "midpoint"):
         raise ValueError(f"unknown EER convention {convention!r} "

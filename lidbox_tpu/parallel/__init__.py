@@ -65,6 +65,19 @@ def global_batch_from_local(local_batch, mesh, axis_name=DATA_AXIS):
         local_batch)
 
 
+def mesh_spans_processes(mesh):
+    """True when ``mesh`` contains devices of MORE THAN ONE process — the
+    condition under which jitted steps over it are cross-host collectives
+    (and feeds must use process-local assembly + the feed-parity guard).
+    A process-local mesh inside a multi-process job (each host training
+    its own replica) does NOT span processes: its steps are purely local,
+    and treating its feed as collective would deadlock or spuriously
+    raise. Gate on THIS, never on bare ``jax.process_count()``."""
+    if mesh is None:
+        return False
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def put_replicated(tree, mesh):
     """Replicate a host pytree onto every device of ``mesh``, including
     meshes spanning MULTIPLE PROCESSES (where plain device_put cannot
@@ -72,7 +85,7 @@ def put_replicated(tree, mesh):
     copy via make_array_from_process_local_data. Callers must pass the
     same values on every process (standard SPMD discipline)."""
     sharding = replicated(mesh)
-    if jax.process_count() == 1:
+    if not mesh_spans_processes(mesh):
         return jax.device_put(tree, sharding)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(

@@ -187,6 +187,15 @@ class LearningRateDateLogger(Callback):
                     time.strftime("%Y-%m-%d %H:%M:%S"), lr)
 
 
+def _signature_runs_contiguous(sigs):
+    """True when every distinct value in ``sigs`` appears as ONE
+    contiguous run — the condition under which stack-major cached replay
+    reproduces the original sequence exactly (shared by
+    Trainer._consolidate_cache and on_device._consolidate_signal_cache)."""
+    runs = 1 + sum(a != b for a, b in zip(sigs, sigs[1:]))
+    return runs == len(set(sigs))
+
+
 class Trainer:
     """Functional trainer binding a Model, an optax optimizer, a
     per-example loss, and streaming metrics.
@@ -563,13 +572,15 @@ class Trainer:
         batch = self._compress(batch)
         if self.mesh is None:
             return jax.device_put(batch)
-        if jax.process_count() > 1:
+        if parallel.mesh_spans_processes(self.mesh):
             # multi-host: this process feeds only its LOCAL slice of the
             # global batch; rows assemble into one globally-sharded array
             # with no cross-host data movement. All processes must feed
             # the same number of rows per step (pad to the local device
             # multiple; padded rows are masked out of loss and metrics).
-            n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
+            n_local_dev = max(1, sum(
+                d.process_index == jax.process_index()
+                for d in self.mesh.devices.flat))
             n = self._batch_rows(batch)
             if n % n_local_dev:
                 target_n = -(-n // n_local_dev) * n_local_dev
@@ -628,7 +639,7 @@ class Trainer:
                    for k in group[0]}
         return jax.device_put(stacked)
 
-    def _consolidate_cache(self, items, grouped):
+    def _consolidate_cache(self, items, grouped, preserve_order=False):
         """Merge epoch-1's staged cache entries into per-shape device
         stacks for whole-epoch scan replay (_replay_train_step).
 
@@ -639,13 +650,24 @@ class Trainer:
         groups, one per distinct per-step batch signature (typically one
         full-size group plus at most one ragged-tail group). The
         consolidation transiently holds originals + stacks (~2x the cached
-        corpus in HBM); the per-batch entries are released afterwards."""
+        corpus in HBM); callers must release the per-batch entries
+        afterwards.
+
+        ``preserve_order=True`` (the cache_shuffle=False contract: replay
+        EXACTLY the epoch-1 batch sequence): stack replay is stack-major,
+        so when the signatures INTERLEAVE (e.g. padded-bucket loaders
+        emitting A, B, A) consolidation would silently reorder the
+        trajectory — return None instead, and the caller keeps order-exact
+        per-entry replay. Contiguous signature runs (the common case: one
+        shape plus a ragged tail) replay order-exact and consolidate."""
         def sig_of(batch, lead):
             return tuple(sorted((k, tuple(v.shape[lead:]), str(v.dtype))
                                 for k, v in batch.items()))
+        sigs = [sig_of(batch, 1 if grouped else 0) for _, batch in items]
+        if preserve_order and not _signature_runs_contiguous(sigs):
+            return None
         order, by_sig = [], {}
-        for n, batch in items:
-            s = sig_of(batch, 1 if grouped else 0)
+        for (n, batch), s in zip(items, sigs):
             if s not in by_sig:
                 by_sig[s] = {"batches": [], "ns": []}
                 order.append(s)
@@ -761,6 +783,16 @@ class Trainer:
                     _cf_thread._threads_queues.pop(worker, None)
             except Exception:
                 pass
+
+    def _multiprocess_feed(self):
+        """True when this trainer's jitted steps are CROSS-HOST
+        collectives (mesh spanning >1 process) — the only case where feeds
+        assemble process-locally and need the feed-parity guard. Never
+        gate on bare ``jax.process_count()``: a mesh-less (or
+        process-local-mesh) trainer inside a multi-process job runs purely
+        local steps, and injecting the guard's allgather there would
+        deadlock against processes not running the same loop."""
+        return parallel.mesh_spans_processes(self.mesh)
 
     def _feed_parity_guard(self, source, what="training"):
         """Fail fast on uneven multi-host feeds (VERDICT r3 next-step #4).
@@ -884,7 +916,7 @@ class Trainer:
                         put=self._put_group)
                 else:
                     source = self._staged(batches)
-                if jax.process_count() > 1:
+                if self._multiprocess_feed():
                     # multi-host: agree on feed exhaustion before every
                     # step; uneven local corpora raise instead of hanging
                     source = self._feed_parity_guard(source)
@@ -897,7 +929,10 @@ class Trainer:
             if staged_cache is not None:
                 # cached replay
                 rng_epoch = np.random.default_rng(RANDOM_SEED + epoch)
-                if self.mesh is None:
+                is_stacks = (bool(staged_cache)
+                             and isinstance(staged_cache[0], dict)
+                             and "stack" in staged_cache[0])
+                if is_stacks:
                     # whole-epoch scan: ONE dispatch + ONE loss-vector
                     # readback per shape stack per epoch
                     n_groups = len(staged_cache)
@@ -914,18 +949,27 @@ class Trainer:
                         losses.append(loss_k)
                         meter.update(int(g["ns"].sum()))
                 else:
-                    # mesh-sharded cached batches replay per step (their
-                    # shardings are not stackable into one array)
+                    # per-entry replay: mesh-sharded cached batches (their
+                    # shardings are not stackable into one array), or the
+                    # order-exact fallback when cache_shuffle=False met
+                    # interleaved shape signatures (_consolidate_cache
+                    # returned None)
                     if cache_shuffle:
                         order = rng_epoch.permutation(len(staged_cache))
                         replay = [staged_cache[i] for i in order]
                     else:
                         replay = staged_cache
                     for n, batch in replay:
-                        self.state, loss = self._jit_train_step(
-                            self.state, batch, self.rng)
+                        if isinstance(n, (list, tuple)):
+                            # grouped entry (steps_per_dispatch stacks)
+                            self.state, loss = self._jit_multi_train_step(
+                                self.state, batch, self.rng)
+                            meter.update(int(sum(n)))
+                        else:
+                            self.state, loss = self._jit_train_step(
+                                self.state, batch, self.rng)
+                            meter.update(n)
                         losses.append(loss)
-                        meter.update(n)
             else:
                 steps_done = 0
                 try:
@@ -967,8 +1011,19 @@ class Trainer:
                         "callable or re-iterable collection that yields "
                         "at least one batch")
                 if self.mesh is None:
-                    staged_cache = self._consolidate_cache(collecting,
-                                                           grouped=spd > 1)
+                    staged_cache = self._consolidate_cache(
+                        collecting, grouped=spd > 1,
+                        preserve_order=not cache_shuffle)
+                    if staged_cache is None:
+                        # interleaved shapes + cache_shuffle=False: keep
+                        # order-exact per-entry replay
+                        staged_cache = collecting
+                    else:
+                        # release the per-batch device buffers NOW — the
+                        # stacks hold the cache, and keeping both would
+                        # pin ~2x the cached corpus in HBM through the
+                        # upcoming validation staging
+                        collecting = None
                 else:
                     staged_cache = collecting
             train_loss = float(np.mean(jax.device_get(jnp.concatenate(
@@ -979,7 +1034,15 @@ class Trainer:
             if validation_batches is not None:
                 if cache_staged:
                     if val_staged is None:
-                        entries = list(self._staged(validation_batches))
+                        vsrc = self._staged(validation_batches)
+                        if self._multiprocess_feed():
+                            # epoch-1 staging FIXES the per-host batch
+                            # count for every later collective eval step —
+                            # agree on it now (clear diagnostic) instead
+                            # of hanging in epoch 1's evaluate
+                            vsrc = self._feed_parity_guard(
+                                vsrc, what="validation")
+                        entries = list(vsrc)
                         # single device: consolidate into per-shape stacks
                         # so every later evaluate() is one scanned program
                         # per stack (_replay_eval_step) instead of one
@@ -1029,7 +1092,7 @@ class Trainer:
                 count = count_g if count is None else count + count_g
         else:
             source = it if staged else self._staged(it)
-            if not staged and jax.process_count() > 1:
+            if not staged and self._multiprocess_feed():
                 # multi-host: eval steps are collectives too — fail fast on
                 # uneven local validation corpora instead of hanging
                 source = self._feed_parity_guard(source, what="validation")

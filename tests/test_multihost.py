@@ -233,6 +233,19 @@ except RuntimeError as e:
 # and an even follow-up feed still trains (the guard is not sticky)
 hist = trainer.fit(lambda: [local] * 2, epochs=1)
 print("EVENLOSS %.8f" % hist[0]["loss"])
+
+# cache_staged VALIDATION must also be guarded: epoch-1 staging fixes the
+# per-host batch count for every later collective eval step, so uneven
+# local validation corpora must raise at staging time, not hang epoch 1
+trainer2 = Trainer(models.create("dnn", (T, F), N), optax.adam(1e-2),
+                   nll_loss, mesh=mesh, cache_staged=True)
+n_val = 3 if pid == 0 else 2
+try:
+    trainer2.fit(lambda: [local] * 2, lambda: [local] * n_val, epochs=2)
+    print("VAL_NOERROR")
+except RuntimeError as e:
+    ok = "uneven multi-host validation" in str(e)
+    print("VAL_UNEVEN_CAUGHT", ok)
 """
 
 
@@ -388,9 +401,11 @@ def test_two_process_uneven_feed_fails_fast(tmp_path):
     outs = _run_two_processes(UNEVEN_CHILD, tmp_path)
     losses = []
     for out in outs:
-        assert "UNEVEN_CAUGHT True" in out, out
-        assert "NOERROR" not in out, out
-        lines = [ln for ln in out.splitlines() if ln.startswith("EVENLOSS")]
+        lns = out.splitlines()
+        assert any(ln.startswith("UNEVEN_CAUGHT True") for ln in lns), out
+        assert any(ln.startswith("VAL_UNEVEN_CAUGHT True") for ln in lns), out
+        assert not any("NOERROR" in ln for ln in lns), out
+        lines = [ln for ln in lns if ln.startswith("EVENLOSS")]
         assert lines, out
         losses.append(float(lines[0].split()[1]))
     assert losses[0] == losses[1], losses

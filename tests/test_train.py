@@ -595,6 +595,106 @@ class TestCacheStaged:
         for a, b in zip(hist_ref, hist):
             np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
 
+    def test_interleaved_shapes_cache_shuffle_false_preserves_order(self):
+        """cache_shuffle=False promises the EXACT epoch-1 sequence.
+        Interleaved shape signatures (A, B, A) cannot replay order-exact
+        as stack-major scans, so consolidation bails out and the cached
+        trajectory still matches the uncached run batch for batch."""
+        a1, a2 = toy_batches(n_batches=2)
+        b1 = {k: (v[:, :16] if k == "input" else v)
+              for k, v in toy_batches(n_batches=1, seed=5)[0].items()}
+        batches = [a1, b1, a2]  # A, B, A — signatures interleave
+        hist_ref = make_trainer().fit(lambda: batches, epochs=3)
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True)
+        hist = trainer.fit(lambda: batches, epochs=3, cache_shuffle=False)
+        assert int(jax.device_get(trainer.state.step)) == 9
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_consolidate_cache_preserve_order_bails_on_interleaved(self):
+        trainer = make_trainer()
+        mk = lambda t, seed: {  # noqa: E731
+            k: (v[:, :t] if k == "input" else v)
+            for k, v in toy_batches(n_batches=1, seed=seed)[0].items()}
+        interleaved = [(16, mk(T, 0)), (16, mk(16, 1)), (16, mk(T, 2))]
+        contiguous = [(16, mk(T, 0)), (16, mk(T, 2)), (16, mk(16, 1))]
+        assert trainer._consolidate_cache(
+            interleaved, grouped=False, preserve_order=True) is None
+        groups = trainer._consolidate_cache(
+            contiguous, grouped=False, preserve_order=True)
+        assert groups is not None and len(groups) == 2
+        # with shuffling on, order need not be preserved — consolidate
+        groups = trainer._consolidate_cache(
+            interleaved, grouped=False, preserve_order=False)
+        assert groups is not None and len(groups) == 2
+
+    def test_fused_interleaved_shapes_cache_shuffle_false_preserves_order(
+            self):
+        """fit_signals analogue: interleaved waveform lengths with
+        cache_shuffle off fall back to order-exact per-entry replay."""
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(3)
+        sr, b = 16000, 8
+
+        def wav(t_len, seed):
+            r = np.random.default_rng(seed)
+            return (r.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    r.integers(0, N_CLASSES, b).astype(np.int32))
+        batches = [wav(4000, 0), wav(2400, 1), wav(4000, 2)]
+        feat = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+
+        def run(cache):
+            model = models.create("dnn", (23, 16), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(model, optax.adam(1e-3), nll_loss,
+                              cache_staged=cache)
+            hist = on_device.fit_signals(trainer, feat, lambda: batches,
+                                         epochs=3, verbose=False,
+                                         cache_shuffle=False)
+            return hist, jax.device_get(trainer.state.params)
+
+        hist_c, params_c = run(True)
+        hist_u, params_u = run(False)
+        np.testing.assert_allclose(hist_c, hist_u, rtol=1e-6)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               params_c, params_u)
+
+
+class TestFeedGuardGating:
+    """The feed-parity guard (and process-local batch assembly) must key
+    on the mesh SPANNING processes, never on bare jax.process_count():
+    a mesh-less trainer inside a multi-process job runs purely local
+    steps, and an injected allgather would deadlock or spuriously raise."""
+
+    def test_mesh_spans_processes_false_for_local_meshes(self):
+        assert not parallel.mesh_spans_processes(None)
+        assert not parallel.mesh_spans_processes(parallel.get_mesh())
+        assert not parallel.mesh_spans_processes(parallel.get_mesh(2))
+
+    def test_no_guard_or_global_assembly_without_spanning_mesh(
+            self, monkeypatch):
+        from jax.experimental import multihost_utils
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "collective feed machinery invoked for a local trainer")
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(multihost_utils, "process_allgather", boom)
+        monkeypatch.setattr(parallel, "global_batch_from_local", boom)
+        batches = toy_batches(n_batches=2)
+        # mesh-less trainer: steps are local — no guard, no allgather
+        hist = make_trainer().fit(lambda: batches, epochs=1)
+        assert np.isfinite(hist[0]["loss"])
+        # local (single-process) mesh in a "multi-process" job: same
+        trainer = make_trainer(mesh=parallel.get_mesh())
+        hist = trainer.fit(lambda: batches, lambda: toy_batches(1, seed=9),
+                           epochs=1)
+        assert np.isfinite(hist[0]["val_loss"])
+
 
 class TestFeatureGroupedDispatch:
     """steps_per_dispatch on the feature-fed Trainer.fit path (VERDICT r3
