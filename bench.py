@@ -195,101 +195,41 @@ def main():
     # b512/b1024/b2048 — shows where serving throughput flattens (VERDICT
     # r3 next-step #5; the headline e2e above stays f32-parity-graded
     # features). n1/n2 shrink with batch so each line costs similar wall.
-    try:
-        prev_rate = None
-        for mult, (n1, n2) in ((2, (5, 25)), (4, (4, 12)), (8, (3, 7))):
-            sat_signals = jnp.concatenate([signals] * mult)
-            sat_b = sat_signals.shape[0]
+    # Only the b512 point runs here; the b1024/b2048 tail is DEFERRED to
+    # after the fed/cached receipt sections — on a degraded tunnel window
+    # its big compiles must not eat the deadline the receipts need.
+    sat_state = {"prev": None}
 
-            @jax.jit
-            def e2e_sat(carry, s=sat_signals):
-                feats = F.extract_features(
-                    s + carry * 1e-20, SAMPLE_RATE,
-                    feature_type="logmelspectrogram",
-                    melspectrogram={"num_mel_bins": NUM_MEL},
-                    stft_method=best_method, precision="bf16")
-                out = model.apply(variables, feats, train=False,
-                                  compute_dtype=jnp.bfloat16)
-                return jnp.mean(out)
-            dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=n1, n2=n2)
-            rate = sat_b / dt_sat
-            vs = (f", {rate / prev_rate:.2f}x the previous batch"
-                  if prev_rate else "")
-            log(f"  e2e-saturation[b{sat_b}, bf16 DSP+model]: "
-                f"{dt_sat * 1e3:.3f} ms/batch -> {rate:,.1f} utt/s "
-                f"({rate * SECONDS:,.0f}x realtime{vs})")
-            prev_rate = rate
-            if past_deadline("saturation sweep tail"):
-                break
-    except Exception as e:
-        log(f"  e2e-saturation failed: {type(e).__name__}: {e}")
-
-    # --- model zoo: waveform -> features -> forward across families ------
-    # (bf16 DSP + bf16 model, b128 x 3 s — shows the zoo is fast, not just
-    # correct; the recurrent families are scan-bound by design)
-    if not past_deadline("model-zoo section"):
-        zoo_signals = signals[:128]
-        # Scan-latency roofline (VERDICT r3 next-step #5): the recurrent
-        # families are bound by T sequential scan iterations, each paying
-        # at least the device's per-iteration scheduling floor regardless
-        # of how small the cell math is. Measure that floor with a
-        # minimal-cell scan (delta between T and 2T iterations), then
-        # report each RNN model's bound = n_sequential_scans x T x floor
-        # so "scan-bound" is a number next to the measured rate.
-        scan_iter_floor = float("nan")
+    def run_saturation(points):
         try:
-            def minimal_scan(T):
-                @jax.jit
-                def f(carry):
-                    def body(c, _):
-                        return c * 0.999 + 1e-6, None
-                    c, _ = jax.lax.scan(body, carry, None, length=T)
-                    return c
-                return f
-            dt_a = _time(minimal_scan(frames), jnp.float32(0.0),
-                         n1=4, n2=16, reps=5)
-            dt_b = _time(minimal_scan(2 * frames), jnp.float32(0.0),
-                         n1=4, n2=16, reps=5)
-            scan_iter_floor = max((dt_b - dt_a) / frames, 0.0)
-            log(f"  scan-iteration floor: {scan_iter_floor * 1e6:.2f} us "
-                f"(minimal-cell lax.scan, delta {frames} vs {2 * frames} "
-                f"iters)")
-        except Exception as e:
-            log(f"  scan-floor measurement failed: {type(e).__name__}: {e}")
-        # sequential scan chains per model: stacked recurrent layers
-        # (directions of one bidirectional layer run concurrently)
-        zoo_scans = {"cnn": 0, "clstm": 1, "bi_gru": 2,
-                     "multilevel_attention": 0}
-        for key in ("cnn", "clstm", "bi_gru", "multilevel_attention"):
-            try:
-                zoo_model = models.create(key, (frames, NUM_MEL), NUM_LANGS)
-                zoo_model.init(jax.random.PRNGKey(0))
-                zoo_vars = zoo_model.variables
+            for mult, (n1, n2) in points:
+                sat_signals = jnp.concatenate([signals] * mult)
+                sat_b = sat_signals.shape[0]
 
                 @jax.jit
-                def zoo_step(carry, m=zoo_model, v=zoo_vars):
+                def e2e_sat(carry, s=sat_signals):
                     feats = F.extract_features(
-                        zoo_signals + carry * 1e-20, SAMPLE_RATE,
+                        s + carry * 1e-20, SAMPLE_RATE,
                         feature_type="logmelspectrogram",
                         melspectrogram={"num_mel_bins": NUM_MEL},
                         stft_method=best_method, precision="bf16")
-                    out = m.apply(v, feats, train=False,
-                                  compute_dtype=jnp.bfloat16)
+                    out = model.apply(variables, feats, train=False,
+                                      compute_dtype=jnp.bfloat16)
                     return jnp.mean(out)
-                dt_zoo = _time(zoo_step, jnp.float32(0.0), n1=4, n2=16,
-                               reps=5)
-                bound = ""
-                n_scans = zoo_scans.get(key, 0)
-                if n_scans and np.isfinite(scan_iter_floor):
-                    t_bound = n_scans * frames * scan_iter_floor
-                    bound = (f"; scan roofline >= {t_bound * 1e3:.3f} ms "
-                             f"({n_scans} chains x {frames} iters) -> "
-                             f"at {100 * t_bound / dt_zoo:.0f}% of the "
-                             f"latency bound")
-                log(f"  zoo-forward[{key}, b128 bf16]: {dt_zoo * 1e3:.3f} "
-                    f"ms -> {128 / dt_zoo:,.1f} utt/s{bound}")
-            except Exception as e:
-                log(f"  zoo-forward[{key}] failed: {type(e).__name__}: {e}")
+                dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=n1, n2=n2)
+                rate = sat_b / dt_sat
+                vs = (f", {rate / sat_state['prev']:.2f}x the previous batch"
+                      if sat_state["prev"] else "")
+                log(f"  e2e-saturation[b{sat_b}, bf16 DSP+model]: "
+                    f"{dt_sat * 1e3:.3f} ms/batch -> {rate:,.1f} utt/s "
+                    f"({rate * SECONDS:,.0f}x realtime{vs})")
+                sat_state["prev"] = rate
+                if past_deadline("saturation sweep tail"):
+                    break
+        except Exception as e:
+            log(f"  e2e-saturation failed: {type(e).__name__}: {e}")
+
+    run_saturation([(2, (5, 25))])
 
     # --- x-vector training step (features + fwd + bwd + adam) -------------
     import optax
@@ -779,10 +719,124 @@ def main():
         log(f"  fed-cached[features bf16, 3 epochs, whole-epoch scan]: "
             f"epoch1 {f_rates[0]:,.0f} -> epoch3 {f_rates[-1]:,.0f} utt/s "
             f"(1 dispatch + 1 readback per epoch after the one-time feed)")
+
+        # embedding-extraction feed (the extract_embeddings pipeline
+        # shape): per batch, host features -> device forward -> host
+        # readback. stage_dtype=bfloat16 halves the h2d bytes; overlap=2
+        # keeps two extractor calls in flight (Dataset.map
+        # num_parallel_calls=2), overlapping batch i+1's transfer with
+        # batch i's readback — both now the extract_embeddings defaults.
+        if past_deadline("extraction-feed section"):
+            raise TimeoutError("soft deadline")
+        import collections
+        from lidbox_tpu.util import make_batch_predict_fn
+        feat_list = [np.asarray(b["input"], np.float32)
+                     for b in fed_batches(12)]
+        for sd, overlap in ((None, 1), ("bfloat16", 1), ("bfloat16", 2)):
+            efn = make_batch_predict_fn(model, stage_dtype=sd)
+            efn(feat_list[0])  # warm the compile
+            t0 = time.perf_counter()
+            if overlap == 1:
+                for x in feat_list:
+                    efn(x)
+            else:
+                with ThreadPoolExecutor(overlap) as epool:
+                    futs = collections.deque()
+                    for x in feat_list:
+                        futs.append(epool.submit(efn, x))
+                        while len(futs) > overlap:
+                            futs.popleft().result()
+                    while futs:
+                        futs.popleft().result()
+            rate = len(feat_list) * MODEL_BATCH / (time.perf_counter() - t0)
+            log(f"  extraction-feed[b{MODEL_BATCH} "
+                f"{'bf16' if sd else 'f32'} features, overlap={overlap}]: "
+                f"{rate:,.1f} utt/s")
         decode_pool.shutdown()
     except Exception as e:
         if not isinstance(e, TimeoutError):  # deadline skips already logged
             log(f"  host-loader section failed: {type(e).__name__}: {e}")
+
+    # --- model zoo: waveform -> features -> forward across families ------
+    # (bf16 DSP + bf16 model, b128 x 3 s — shows the zoo is fast, not just
+    # correct; the recurrent families are scan-bound by design). Runs
+    # AFTER the fed/cached receipt sections: on a degraded window the
+    # exploratory lines are the ones to lose to the deadline.
+    if not past_deadline("model-zoo section"):
+        zoo_signals = signals[:128]
+        # Scan-latency roofline (VERDICT r3 next-step #5): the recurrent
+        # families are bound by T sequential scan iterations, each paying
+        # at least the device's per-iteration scheduling floor regardless
+        # of how small the cell math is. Measure that floor with a
+        # minimal-cell scan at L=2048 vs 4096 iterations (large L: at the
+        # model's own T~300 the whole scan sits inside the dispatch floor
+        # and the delta is below timer resolution), then report each RNN
+        # model's bound = n_sequential_scans x T x floor so "scan-bound"
+        # is a number next to the measured rate.
+        scan_iter_floor = float("nan")
+        try:
+            def minimal_scan(T):
+                @jax.jit
+                def f(carry):
+                    def body(c, _):
+                        return c * 0.999 + 1e-6, None
+                    c, _ = jax.lax.scan(body, carry, None, length=T)
+                    return c
+                return f
+            L = 2048
+            dt_a = _time(minimal_scan(L), jnp.float32(0.0),
+                         n1=4, n2=16, reps=5)
+            dt_b = _time(minimal_scan(2 * L), jnp.float32(0.0),
+                         n1=4, n2=16, reps=5)
+            scan_iter_floor = max((dt_b - dt_a) / L, 0.0)
+            if scan_iter_floor * L < 20e-6:
+                # delta below ~timer resolution: report, and drop the
+                # per-model bound clause rather than printing "0% of a
+                # 0 ms bound"
+                log(f"  scan-iteration floor: < {20e-6 / L * 1e9:.0f} ns "
+                    f"(delta {L} vs {2 * L} iters below resolution; "
+                    "recurrent rates are cell-bound, not dispatch-bound)")
+                scan_iter_floor = float("nan")
+            else:
+                log(f"  scan-iteration floor: "
+                    f"{scan_iter_floor * 1e6:.2f} us "
+                    f"(minimal-cell lax.scan, delta {L} vs {2 * L} iters)")
+        except Exception as e:
+            log(f"  scan-floor measurement failed: {type(e).__name__}: {e}")
+        # sequential scan chains per model: stacked recurrent layers
+        # (directions of one bidirectional layer run concurrently)
+        zoo_scans = {"cnn": 0, "clstm": 1, "bi_gru": 2,
+                     "multilevel_attention": 0}
+        for key in ("cnn", "clstm", "bi_gru", "multilevel_attention"):
+            try:
+                zoo_model = models.create(key, (frames, NUM_MEL), NUM_LANGS)
+                zoo_model.init(jax.random.PRNGKey(0))
+                zoo_vars = zoo_model.variables
+
+                @jax.jit
+                def zoo_step(carry, m=zoo_model, v=zoo_vars):
+                    feats = F.extract_features(
+                        zoo_signals + carry * 1e-20, SAMPLE_RATE,
+                        feature_type="logmelspectrogram",
+                        melspectrogram={"num_mel_bins": NUM_MEL},
+                        stft_method=best_method, precision="bf16")
+                    out = m.apply(v, feats, train=False,
+                                  compute_dtype=jnp.bfloat16)
+                    return jnp.mean(out)
+                dt_zoo = _time(zoo_step, jnp.float32(0.0), n1=4, n2=16,
+                               reps=5)
+                bound = ""
+                n_scans = zoo_scans.get(key, 0)
+                if n_scans and np.isfinite(scan_iter_floor):
+                    t_bound = n_scans * frames * scan_iter_floor
+                    bound = (f"; scan roofline >= {t_bound * 1e3:.3f} ms "
+                             f"({n_scans} chains x {frames} iters) -> "
+                             f"at {100 * t_bound / dt_zoo:.0f}% of the "
+                             f"latency bound")
+                log(f"  zoo-forward[{key}, b128 bf16]: {dt_zoo * 1e3:.3f} "
+                    f"ms -> {128 / dt_zoo:,.1f} utt/s{bound}")
+            except Exception as e:
+                log(f"  zoo-forward[{key}] failed: {type(e).__name__}: {e}")
 
     # --- long-audio memory profile: Pallas fused kernel vs XLA gather path.
     # The XLA lowering materializes a [B, frames, 400] f32 frame tensor in
@@ -841,6 +895,11 @@ def main():
     except Exception as e:
         if not isinstance(e, TimeoutError):  # deadline skips already logged
             log(f"  long-audio section failed: {type(e).__name__}: {e}")
+
+    # deferred saturation tail (b1024/b2048): exploratory, big compiles —
+    # runs dead last so a degraded window costs these lines, not receipts
+    if not past_deadline("saturation sweep tail"):
+        run_saturation([(4, (4, 12)), (8, (3, 7))])
 
     print(json.dumps({
         "metric": f"utterances/sec/chip waveform->logMel->xvector "

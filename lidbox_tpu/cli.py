@@ -268,7 +268,7 @@ def cmd_classify(args):
         chunk_length_ms=args.chunk_length_ms,
         chunk_step_ms=args.chunk_step_ms,
         batch_size=args.batch_size, mesh=mesh,
-        score_fn=wrapper.score_fn)
+        score_fn=wrapper.score_fn, stage_dtype=args.stage_dtype)
     out = clf.classify(args.audio_files)
     csv = out.to_csv()
     if args.output:
@@ -362,6 +362,11 @@ def create_argparser():
                    help="score fixed chunks and average per utterance")
     p.add_argument("--chunk-step-ms", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--stage-dtype", default=None,
+                   help="compress the feature feed host-side (e.g. "
+                        "bfloat16): half the host->device bytes on "
+                        "feed-bound links; scores differ only by input "
+                        "rounding")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard inference batches over all visible devices")
     p.set_defaults(fn=cmd_classify)

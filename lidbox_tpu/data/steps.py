@@ -644,7 +644,9 @@ def extract_embeddings(ds, config):
         return mesh
 
     extractors = [ModelWrapper.from_config_as_embedding_extractor_fn(
-                      dict(e, batch_size=e.get("batch_size", batch_size_cfg)),
+                      dict(e, batch_size=e.get("batch_size", batch_size_cfg),
+                           stage_dtype=e.get("stage_dtype",
+                                             config.get("stage_dtype"))),
                       mesh=_extractor_mesh(e))
                   for e in config["extractors"]]
     batch_size = config.get("batch_size", 32)
@@ -654,7 +656,12 @@ def extract_embeddings(ds, config):
         embeddings = [np.asarray(fn(inputs)) for fn in extractors]
         return dict(batch, embedding=np.concatenate(embeddings, axis=1))
 
-    ds = ds.batch(batch_size).prefetch(2).map(_append)
+    # num_parallel_calls=2 keeps TWO extractor calls in flight (ordered):
+    # batch i+1's host->device transfer overlaps batch i's readback — on a
+    # high-round-trip feed link the per-batch dispatch+readback rounds
+    # otherwise serialize end to end (jax dispatch is thread-safe; device
+    # work itself still executes in order)
+    ds = ds.batch(batch_size).prefetch(2).map(_append, num_parallel_calls=2)
     if not config.get("no_unbatch", False):
         ds = ds.unbatch()
     return ds

@@ -278,19 +278,19 @@ class ModelWrapper:
         extractor = model_registry.as_embedding_extractor(model_key,
                                                           model.with_variables(variables))
 
-        if mesh is None:
-            @jax.jit
-            def extractor_fn(x):
-                return extractor.apply(extractor.variables, x, train=False,
-                                       output="embedding")
-            return extractor_fn
-
         from lidbox_tpu.util import make_batch_predict_fn
+        stage_dtype = config.get("stage_dtype")
+        if mesh is None:
+            predict_fn = make_batch_predict_fn(
+                extractor, mesh=None, apply_kwargs={"output": "embedding"},
+                stage_dtype=stage_dtype)
+            return lambda x: predict_fn(np.asarray(x))
+
         batch_size = int(config.get("batch_size", 32))
         batch_size = -(-batch_size // mesh.size) * mesh.size
         predict_fn = make_batch_predict_fn(
             extractor, batch_size=batch_size, mesh=mesh,
-            apply_kwargs={"output": "embedding"})
+            apply_kwargs={"output": "embedding"}, stage_dtype=stage_dtype)
         return lambda x: predict_fn(np.asarray(x))
 
     def fit(self, train_batches, validation_batches, **kwargs):

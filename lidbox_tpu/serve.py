@@ -26,7 +26,7 @@ class Classifier:
 
     def __init__(self, model, labels, feature_config=None, chunk_length_ms=None,
                  chunk_step_ms=None, batch_size=32, compute_dtype=None,
-                 mesh=None, score_fn=None):
+                 mesh=None, score_fn=None, stage_dtype=None):
         """Args:
             model: an initialized lidbox_tpu Model (e.g. restored via
                 export.load_model or ModelWrapper).
@@ -43,6 +43,11 @@ class Classifier:
                 picked up automatically; after mutating array buffers
                 in place, call ``classifier._predict_fn.refresh()`` to
                 drop the replicated weight cache.
+            stage_dtype: e.g. ``"bfloat16"`` — compress the feature feed
+                on the host and upcast at the device edge (half the
+                host->device bytes when the feed link bounds serving;
+                scores differ only by the input rounding). None (default)
+                keeps exact f32 feed parity with training numerics.
         """
         if model.variables is None:
             model.init()
@@ -62,7 +67,8 @@ class Classifier:
         # heads leave it None
         self._predict_fn = util.make_batch_predict_fn(
             model, batch_size=batch_size, mesh=mesh,
-            compute_dtype=compute_dtype, score_fn=score_fn)
+            compute_dtype=compute_dtype, score_fn=score_fn,
+            stage_dtype=stage_dtype)
 
     def _dataset(self, paths, ids=None):
         ids = ids or [str(p) for p in paths]

@@ -7,6 +7,7 @@ import pandas as pd
 import sklearn.metrics
 
 import jax
+import jax.numpy as jnp
 
 import lidbox_tpu.data.steps as data_steps
 from lidbox_tpu.data.dataset import padded_batch
@@ -22,7 +23,7 @@ def predictions_to_dataframe(ids, predictions):
 
 
 def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
-                          apply_kwargs=None, score_fn=None):
+                          apply_kwargs=None, score_fn=None, stage_dtype=None):
     """Jitted ``(inputs [B, T, F], frame_mask) -> outputs [B, ...]`` forward
     (``apply_kwargs`` forwards extra model.apply options, e.g.
     ``{"output": "embedding"}``). ``score_fn`` post-maps raw outputs to
@@ -42,19 +43,51 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
     wholesale replacement (checkpoint restore) and in-place mutation of
     nested entries are picked up; ``predict_fn.refresh()`` force-drops the
     cache for callers that mutate array buffers in place.
+
+    ``stage_dtype`` (e.g. ``"bfloat16"``) compresses float inputs on the
+    host before the device transfer and upcasts at the device edge — half
+    the feed bytes whenever host->device bandwidth (PCIe, or a tunneled
+    chip) bounds inference/extraction rather than the device (the serving
+    analogue of Trainer's ``stage_dtype``). Outputs differ from the f32
+    feed only by the input rounding; leave None for exact-parity serving.
     """
     kwargs = dict(apply_kwargs or {})
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
     post = (lambda out: out) if score_fn is None else score_fn
+    _stage_np = None
+    if stage_dtype is not None:
+        _stage_np = np.dtype(jnp.dtype(stage_dtype))
+        if not jnp.issubdtype(_stage_np, jnp.floating):
+            raise ValueError(f"stage_dtype must be floating, got {stage_dtype!r}"
+                             " (integer PCM staging is a waveform-path "
+                             "feature: on_device.stage_signals)")
+
+    def _compress(inputs):
+        # host-side: halve the transfer; the jitted forward upcasts at the
+        # device edge (model-path numerics stay in compute_dtype/f32)
+        if _stage_np is not None and np.issubdtype(
+                np.asarray(inputs).dtype, np.floating):
+            return np.asarray(inputs).astype(_stage_np)
+        return inputs
+
+    def _decompress(x):
+        # compute_dtype set: model.apply casts the input itself
+        if compute_dtype is None and jnp.issubdtype(x.dtype, jnp.floating) \
+                and x.dtype != jnp.float32:
+            return x.astype(jnp.float32)
+        return x
+
     apply_jit = jax.jit(
         lambda variables, x: post(
-            model.apply(variables, x, train=False, **kwargs)))
+            model.apply(variables, _decompress(x), train=False, **kwargs)))
     apply_jit_masked = jax.jit(
         lambda variables, x, m: post(
-            model.apply(variables, x, train=False, mask=m, **kwargs)))
+            model.apply(variables, _decompress(x), train=False, mask=m,
+                        **kwargs)))
     if mesh is None:
         def predict_fn(inputs, mask=None):
+            inputs = _compress(inputs)
             if mask is None:
                 out = apply_jit(model.variables, inputs)
             else:
@@ -93,6 +126,7 @@ def make_batch_predict_fn(model, batch_size=32, mesh=None, compute_dtype=None,
                 [predict_fn(inputs[i:i + batch_size],
                             None if mask is None else mask[i:i + batch_size])
                  for i in range(0, n, batch_size)])
+        inputs = _compress(inputs)
         variables = _variables()
         pad = batch_size - n
         inputs = np.pad(inputs, [(0, pad)] + [(0, 0)] * (inputs.ndim - 1))

@@ -37,6 +37,26 @@ def test_classify_whole_utterances(tmp_path):
     np.testing.assert_allclose(np.exp(scores).sum(axis=1), 1.0, rtol=1e-4)
 
 
+def test_classify_stage_dtype_scores_close_to_f32(tmp_path):
+    """Classifier(stage_dtype=bfloat16) transfers a compressed feature
+    feed; decisions/scores track the exact-parity f32 feed within the
+    input-rounding budget."""
+    frames = 1 + (2 * RATE - 400) // 160
+    model = models.create("dnn", (frames, 24), len(LABELS)).init()
+    fc = {"type": "logmelspectrogram",
+          "melspectrogram": {"num_mel_bins": 24}}
+    paths = _wavs(tmp_path)
+    ids = [f"u{i}" for i in range(4)]
+    ref = serve.Classifier(model, LABELS, feature_config=fc).scores(
+        paths, ids=ids)
+    out = serve.Classifier(model, LABELS, feature_config=fc,
+                           stage_dtype="bfloat16").scores(paths, ids=ids)
+    assert list(out.index) == list(ref.index)
+    np.testing.assert_allclose(np.stack(out.prediction.to_numpy()),
+                               np.stack(ref.prediction.to_numpy()),
+                               rtol=0.05, atol=0.05)
+
+
 def test_classify_on_mesh_matches_single_device(tmp_path):
     """Classifier(mesh=...) serves batch-sharded over the device mesh and
     must produce the single-device scores."""

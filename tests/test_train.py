@@ -264,6 +264,37 @@ class TestDataParallel:
                                        np.asarray(fn_single(x)),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_embedding_extractor_stage_dtype_compresses_feed(self, tmp_path):
+        """config stage_dtype=bfloat16: the extractor feed transfers half
+        the bytes; embeddings differ from the f32 feed only by the input
+        rounding (both mesh and single-device routes honor it)."""
+        from lidbox_tpu.models.model_utils import ModelWrapper
+        from lidbox_tpu.train.checkpoint import save_checkpoint
+
+        cache = tmp_path / "cache" / "xvector" / "exp"
+        model = models.create("xvector", (T, F), N_CLASSES).init()
+        save_checkpoint(str(cache / "checkpoints"),
+                        {"params": jax.device_get(model.variables["params"])},
+                        epoch=1, val_loss=0.5)
+        config = {"cache_directory": str(tmp_path / "cache"),
+                  "model": {"key": "xvector"}, "experiment_name": "exp",
+                  "input_shape": [T, F], "output_shape": [N_CLASSES],
+                  "best_checkpoint": {"monitor": "val_loss", "mode": "min"}}
+        fn_f32 = ModelWrapper.from_config_as_embedding_extractor_fn(config)
+        fn_bf16 = ModelWrapper.from_config_as_embedding_extractor_fn(
+            dict(config, stage_dtype="bfloat16"))
+        fn_bf16_mesh = ModelWrapper.from_config_as_embedding_extractor_fn(
+            dict(config, stage_dtype="bfloat16"), mesh=parallel.get_mesh())
+        x = np.random.default_rng(2).normal(0, 1, (16, T, F)).astype(
+            np.float32)
+        ref = np.asarray(fn_f32(x))
+        for fn in (fn_bf16, fn_bf16_mesh):
+            out = np.asarray(fn(x))
+            assert out.shape == ref.shape
+            # bf16 input rounding only: ~3 decimal digits of mantissa
+            np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+            assert not np.array_equal(out, ref)  # the feed WAS compressed
+
     def test_mesh_eval_metric_state(self):
         mesh = parallel.get_mesh()
         metrics = {"C_avg": SparseAverageDetectionCost(

@@ -174,6 +174,23 @@ class TestUtil:
             model, ds, test_meta, {"aa": 0, "bb": 1, "cc": 2})
         assert "accuracy" in report
 
+    def test_batch_predict_fn_stage_dtype(self):
+        """stage_dtype=bfloat16 halves the inference feed bytes; outputs
+        differ from the f32 feed only by input rounding. Integer stage
+        dtypes are a waveform-path feature and must be rejected."""
+        import pytest
+        from lidbox_tpu import parallel
+        rng = np.random.default_rng(4)
+        model = models.create("dnn", (10, 4), N).init()
+        x = rng.normal(0, 1, (8, 10, 4)).astype(np.float32)
+        ref = util.make_batch_predict_fn(model)(x)
+        for mesh in (None, parallel.get_mesh()):
+            out = util.make_batch_predict_fn(
+                model, batch_size=8, mesh=mesh, stage_dtype="bfloat16")(x)
+            np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+        with pytest.raises(ValueError, match="stage_dtype must be floating"):
+            util.make_batch_predict_fn(model, stage_dtype="int16")
+
     def test_model2function(self):
         model = models.create("dnn", (10, 4), N)
         fn = util.model2function(model)
