@@ -465,11 +465,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     (+ ``val_loss``/metrics when validating); plain float losses when no
     validation, back-compatible.
 
-    ``steps_per_dispatch=K`` (single-device feeds only) groups K
-    same-shape batches into one staged transfer and ONE jitted program
-    running K train steps (make_fused_multi_step) — on a serializing
-    high-RTT feed link this amortizes the per-step transfer + dispatch
-    rounds K-fold with bit-identical per-step numerics.
+    ``steps_per_dispatch=K`` groups K same-shape batches into one staged
+    transfer and ONE jitted program running K train steps
+    (make_fused_multi_step) — on a serializing high-RTT feed link this
+    amortizes the per-step transfer + dispatch rounds K-fold with
+    bit-identical per-step numerics. Under a mesh the stack's scan axis
+    is replicated and the batch axis sharded; ragged batches mesh-pad
+    with per-step example masks.
 
     ``cache_staged`` (default: the trainer's setting) keeps the staged
     RAW waveform batches device-resident after epoch 1: later epochs pay
@@ -482,16 +484,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     # state HBM churn per step
     step = make_fused_train_step(trainer, feature_fn, donate=True)
     spd = max(1, int(steps_per_dispatch))
-    if spd > 1 and trainer.mesh is not None:
-        logger.warning("steps_per_dispatch is a single-device feed "
-                       "optimization; ignoring it under a mesh")
-        spd = 1
     multi = (make_fused_multi_step(trainer, feature_fn, donate=True)
              if spd > 1 else None)
     if cache_staged is None:
         cache_staged = trainer.cache_staged
     staged_cache = None
-    replay_groups = None  # consolidated per-shape stacks (single device)
+    replay_groups = None  # consolidated per-shape stacks (mesh-sharded
+    #                       under a mesh; None until epoch 1 completes)
     replay = None
     val_staged = None  # staged validation batches, cached alongside
     if trainer.state is None:
@@ -505,55 +504,53 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
         vfn = val_feature_fn if val_feature_fn is not None else feature_fn
         val_feats = jax.jit(lambda key, s: vfn(key, signals_to_float(s)))
 
+    def _pad_local(signals, targets):
+        """Host-side mesh padding for one batch: pad rows to the mesh's
+        divisibility requirement (LOCAL device multiple for
+        process-spanning meshes — each process feeds only its slice) and
+        return (signals, targets, valid_mask | None)."""
+        from lidbox_tpu import parallel
+        if parallel.mesh_spans_processes(trainer.mesh):
+            divisor = max(1, sum(
+                d.process_index == jax.process_index()
+                for d in trainer.mesh.devices.flat))
+        else:
+            divisor = trainer.mesh.devices.size
+        n = targets.shape[0]
+        if n % divisor:
+            padded, valid = parallel.pad_batch_to(
+                {"signals": signals, "targets": targets},
+                -(-n // divisor) * divisor)
+            return padded["signals"], padded["targets"], valid
+        return signals, targets, None
+
     def _stage(signals, targets):
         signals = stage_signals(signals, trainer.stage_dtype)
         targets = np.asarray(targets, np.int32)
-        mask = None
         if trainer.mesh is None:
             # pack targets into one extra int16 row: ONE transfer per
             # step — on a serializing high-RTT feed link every separate
             # array pays its own full round trip
             packed = pack_targets_int16(signals, targets)
             if packed is not None:
-                return jax.device_put(packed), None, mask
-        if trainer.mesh is not None:
-            import jax as _jax
-            from lidbox_tpu import parallel
-            n = targets.shape[0]
-            if parallel.mesh_spans_processes(trainer.mesh):
-                # multi-host: this process feeds its LOCAL slice, rows
-                # assemble into one globally-sharded array — mirroring
-                # Trainer._put (plain shard_batch would device_put to
-                # non-addressable devices and raise)
-                n_local = max(1, sum(
-                    d.process_index == _jax.process_index()
-                    for d in trainer.mesh.devices.flat))
-                if n % n_local:
-                    padded, valid = parallel.pad_batch_to(
-                        {"signals": signals, "targets": targets},
-                        -(-n // n_local) * n_local)
-                    signals, targets = padded["signals"], padded["targets"]
-                    mask = valid
-                put = parallel.global_batch_from_local(
-                    {"signals": signals, "targets": targets,
-                     **({"mask": mask} if mask is not None else {})},
-                    trainer.mesh)
-                return put["signals"], put["targets"], put.get("mask")
-            n_dev = trainer.mesh.devices.size
-            if n % n_dev:
-                padded, valid = parallel.pad_batch_to(
-                    {"signals": signals, "targets": targets},
-                    -(-n // n_dev) * n_dev)
-                signals, targets = padded["signals"], padded["targets"]
-                mask = valid
-            put = parallel.shard_batch(
-                {"signals": signals, "targets": targets,
-                 **({"mask": mask} if mask is not None else {})},
-                trainer.mesh)
-            return put["signals"], put["targets"], put.get("mask")
-        # start the transfer now, from the staging thread, so it overlaps
-        # the device executing earlier steps (Trainer._put does the same)
-        return (jax.device_put(signals), jax.device_put(targets), mask)
+                return jax.device_put(packed), None, None
+            # start the transfer now, from the staging thread, so it
+            # overlaps the device executing earlier steps (Trainer._put
+            # does the same)
+            return jax.device_put(signals), jax.device_put(targets), None
+        from lidbox_tpu import parallel
+        signals, targets, mask = _pad_local(signals, targets)
+        batch = {"signals": signals, "targets": targets,
+                 **({"mask": mask} if mask is not None else {})}
+        if parallel.mesh_spans_processes(trainer.mesh):
+            # multi-host: this process feeds its LOCAL slice, rows
+            # assemble into one globally-sharded array — mirroring
+            # Trainer._put (plain shard_batch would device_put to
+            # non-addressable devices and raise)
+            put = parallel.global_batch_from_local(batch, trainer.mesh)
+        else:
+            put = parallel.shard_batch(batch, trainer.mesh)
+        return put["signals"], put["targets"], put.get("mask")
 
     def _grouped(batches):
         """Group consecutive same-shape batches into spd-stacks."""
@@ -572,13 +569,43 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             yield buf
 
     def _stage_group(group):
-        sigs = stage_signals(np.stack([s for s, _ in group]),
-                             trainer.stage_dtype)
-        tgts = np.stack([t for _, t in group])
-        packed = pack_targets_int16(sigs, tgts)
-        if packed is not None:
-            return jax.device_put(packed), None
-        return jax.device_put(sigs), jax.device_put(tgts)
+        """Stage a K-group as ONE stacked transfer: (sig_k, tgt_k, mask_k).
+        Single device packs targets into an extra int16 row when the
+        layout applies (tgt_k=None); under a mesh each batch pads to the
+        mesh multiple (same-shape group => identical padding, so mask_k is
+        uniform: None or a [K, B] stack) and the stack shards with the
+        scan axis replicated (stacked_batch_sharding)."""
+        if trainer.mesh is None:
+            sigs = stage_signals(np.stack([s for s, _ in group]),
+                                 trainer.stage_dtype)
+            tgts = np.stack([t for _, t in group])
+            packed = pack_targets_int16(sigs, tgts)
+            if packed is not None:
+                return jax.device_put(packed), None, None
+            return jax.device_put(sigs), jax.device_put(tgts), None
+        from lidbox_tpu import parallel
+        sigs, tgts, masks = [], [], []
+        for s, t in group:
+            s = stage_signals(s, trainer.stage_dtype)
+            s, t, m = _pad_local(s, np.asarray(t, np.int32))
+            sigs.append(s)
+            tgts.append(t)
+            masks.append(m)
+        payload = {"signals": np.stack(sigs), "targets": np.stack(tgts)}
+        if any(m is not None for m in masks):
+            # same-shape group => identical padding, but fill defensively
+            payload["mask"] = np.stack([
+                np.ones(t.shape[0], bool) if m is None else m
+                for m, t in zip(masks, tgts)])
+        sharding = parallel.stacked_batch_sharding(trainer.mesh)
+        if parallel.mesh_spans_processes(trainer.mesh):
+            put = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), payload)
+        else:
+            put = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), payload)
+        return put["signals"], put["targets"], put.get("mask")
 
     for cb in trainer.callbacks:
         cb.on_train_begin(trainer)
@@ -610,17 +637,22 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 g = replay_groups[gi]
                 order_k = (rng_epoch.permutation(g["steps"])
                            if cache_shuffle else np.arange(g["steps"]))
+                # order crosses as HOST values: under a process-spanning
+                # mesh a committed local array would need a cross-host
+                # reshard; numpy inputs place wherever the compiled
+                # program wants them (same on every host — seeded)
                 trainer.state, loss_k = replay(
                     trainer.state, g["signals"], g["targets"], trainer.rng,
-                    jnp.asarray(order_k, jnp.int32))
+                    np.asarray(order_k, np.int32), g.get("masks"))
                 losses.append(loss_k)
                 meter.update(g["n"], g["samples"] / sr if sr else 0.0)
             staged = iter(())
             collecting = None
         elif staged_cache is not None:
-            # mesh-sharded cache entries replay per step/group (their
-            # shardings are not stackable into one array); optionally with
-            # a fresh (seeded) batch order each epoch
+            # order-exact per-entry replay: the cache_shuffle=False
+            # fallback when shape signatures interleave (consolidation
+            # would reorder them); optionally with a fresh (seeded) batch
+            # order each epoch
             if cache_shuffle:
                 from lidbox_tpu import RANDOM_SEED
                 order = np.random.default_rng(
@@ -636,6 +668,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                     sum(int(np.shape(t)[0]) for _, t in g),
                     sum(np.shape(s)[0] * np.shape(s)[-1] for s, _ in g)),
                 put=_stage_group)
+            if trainer._multiprocess_feed():
+                # grouped steps are collectives too — fail fast on uneven
+                # per-host group counts instead of hanging
+                staged = trainer._feed_parity_guard(staged,
+                                                    what="fused training")
             collecting = [] if cache_staged else None
         else:
             staged = trainer._staged(
@@ -652,11 +689,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                                                     what="fused training")
             collecting = [] if cache_staged else None
         if spd > 1:
-            for (n, samples), (sig_k, tgt_k) in staged:
+            for (n, samples), (sig_k, tgt_k, mask_k) in staged:
                 if collecting is not None:
-                    collecting.append(((n, samples), (sig_k, tgt_k)))
+                    collecting.append(((n, samples), (sig_k, tgt_k, mask_k)))
                 trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
-                                              trainer.rng)
+                                              trainer.rng, mask_k)
                 losses.append(loss_k)
                 meter.update(n, samples / sr if sr else 0.0)
         else:
@@ -669,13 +706,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 losses.append(loss)
                 meter.update(n, samples / sr if sr else 0.0)
         if collecting is not None:
-            if trainer.mesh is None:
-                # consolidate into per-shape stacks for whole-epoch scan
-                # replay (None when masked entries force per-step replay,
-                # or when cache_shuffle=False met interleaved shape
-                # signatures — stack-major replay would reorder them)
-                replay_groups = _consolidate_signal_cache(
-                    collecting, spd, preserve_order=not cache_shuffle)
+            # consolidate into per-shape stacks for whole-epoch scan
+            # replay — mesh-sharded stacks under a mesh (None only when
+            # cache_shuffle=False met interleaved shape signatures —
+            # stack-major replay would reorder them)
+            replay_groups = _consolidate_signal_cache(
+                collecting, spd, preserve_order=not cache_shuffle,
+                mesh=trainer.mesh)
             # the stacks ARE the cache once consolidation succeeds —
             # keeping the per-entry device buffers too would pin ~2x the
             # cached corpus in HBM for the whole run
@@ -724,11 +761,11 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if cache_staged:
                 # stage the validation set ONCE; later epochs evaluate the
                 # device-resident copy (frozen to epoch-1 contents, same
-                # semantics as Trainer.fit's cache_staged). On a single
-                # device the entries consolidate into per-shape stacks so
-                # every evaluate() is one scanned program per stack
-                # (Trainer._replay_eval_step) instead of one dispatch
-                # round per batch.
+                # semantics as Trainer.fit's cache_staged). The entries
+                # consolidate into per-shape stacks (mesh-sharded under a
+                # mesh) so every evaluate() is one scanned program per
+                # stack (Trainer._replay_eval_step) instead of one
+                # dispatch round per batch.
                 vsrc = trainer._staged(eval_batches)
                 if trainer._multiprocess_feed():
                     # epoch-1 staging FIXES the per-host batch count for
@@ -737,9 +774,8 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                     vsrc = trainer._feed_parity_guard(vsrc,
                                                       what="validation")
                 entries = list(vsrc)
-                val_staged = (trainer._consolidate_cache(entries,
-                                                         grouped=False)
-                              if trainer.mesh is None else entries)
+                val_staged = trainer._consolidate_cache(entries,
+                                                        grouped=False)
                 val_logs = trainer.evaluate(val_staged, staged=True)
             else:
                 val_logs = trainer.evaluate(eval_batches)
@@ -841,7 +877,8 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
     per-step batches come from dynamic_index_in_dim slices.
 
     step(state, signals_all [K, B(, +1), T], targets_all ([K, B] or None
-    for the packed layout), rng, order [K]) -> (state, losses [K]).
+    for the packed layout), rng, order [K], masks_all ([K, B] example
+    masks or None — mesh-padded ragged rows)) -> (state, losses [K]).
     """
     cache = trainer.__dict__.setdefault("_fused_replay_cache", {})
     key = (id(feature_fn), bool(donate))
@@ -849,14 +886,18 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
         return cache[key][1]
     single = make_fused_train_step(trainer, feature_fn)
 
-    def replay_fn(state, signals_all, targets_all, rng, order):
+    def replay_fn(state, signals_all, targets_all, rng, order,
+                  masks_all=None):
         def body(st, i):
             sig = jax.lax.dynamic_index_in_dim(signals_all, i,
                                                keepdims=False)
             tgt = (None if targets_all is None
                    else jax.lax.dynamic_index_in_dim(targets_all, i,
                                                      keepdims=False))
-            st, loss = single(st, sig, tgt, rng)
+            mask = (None if masks_all is None
+                    else jax.lax.dynamic_index_in_dim(masks_all, i,
+                                                      keepdims=False))
+            st, loss = single(st, sig, tgt, rng, mask)
             return st, loss
         return jax.lax.scan(body, state, order)
     replay = jax.jit(replay_fn, donate_argnums=(0,)) if donate \
@@ -865,55 +906,83 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
     return replay
 
 
-def _consolidate_signal_cache(entries, spd, preserve_order=False):
+def _consolidate_signal_cache(entries, spd, preserve_order=False, mesh=None):
     """Merge fit_signals' epoch-1 cache entries into per-shape device
     stacks for whole-epoch replay. Entries: ((n, samples), payload) with
-    payload (signals, targets, mask) at spd == 1 or (sig_k, tgt_k)
-    stacked groups at spd > 1. Returns a list of group dicts, or None
-    when consolidation doesn't apply: masked rows (mesh feeds keep
-    per-step replay), or ``preserve_order=True`` (the cache_shuffle=False
-    contract) with INTERLEAVED shape signatures — stack-major replay
-    would silently reorder the epoch-1 trajectory, so the caller keeps
-    order-exact per-entry replay instead (Trainer._consolidate_cache has
-    the same bail-out)."""
+    payload (signals, targets, mask) at spd == 1 or stacked
+    (sig_k, tgt_k, mask_k) groups at spd > 1 (targets None = the packed
+    int16 layout; mask None = no mesh-padding rows). Returns a list of
+    group dicts {signals, targets, masks, n, samples, steps}, or None
+    under ``preserve_order=True`` (the cache_shuffle=False contract) with
+    INTERLEAVED shape signatures — stack-major replay would silently
+    reorder the epoch-1 trajectory, so the caller keeps order-exact
+    per-entry replay instead (Trainer._consolidate_cache has the same
+    bail-out).
+
+    With ``mesh``, entries are mesh-sharded (possibly non-addressable
+    global) arrays and the stacks build through parallel.stack_on_mesh —
+    scan axis replicated, batch axis keeping its sharding. Groups mixing
+    masked (ragged mesh-padded) and unmasked entries fill the missing
+    masks with all-True rows so one uniform [K, B] mask stack scans."""
     keys = []
     for (n, samples), payload in entries:
-        if spd > 1:
-            sig, tgt = payload
-            inner = sig.shape[1:]
-        else:
-            sig, tgt, mask = payload
-            if mask is not None:
-                return None
-            inner = sig.shape
+        sig, tgt, mask = payload
+        inner = sig.shape[1:] if spd > 1 else sig.shape
         keys.append((tuple(inner), str(sig.dtype), tgt is None))
     from lidbox_tpu.train.loop import _signature_runs_contiguous
     if preserve_order and not _signature_runs_contiguous(keys):
         return None
     order, groups = [], {}
     for ((n, samples), payload), key in zip(entries, keys):
-        if spd > 1:
-            sig, tgt = payload
-        else:
-            sig, tgt, _ = payload
+        sig, tgt, mask = payload
         if key not in groups:
-            groups[key] = {"sigs": [], "tgts": [], "n": 0, "samples": 0,
-                           "steps": 0}
+            groups[key] = {"sigs": [], "tgts": [], "masks": [], "n": 0,
+                           "samples": 0, "steps": 0}
             order.append(key)
         g = groups[key]
         g["sigs"].append(sig)
         if tgt is not None:
             g["tgts"].append(tgt)
+        g["masks"].append(mask)
         g["n"] += int(n)
         g["samples"] += int(samples)
         g["steps"] += (sig.shape[0] if spd > 1 else 1)
     out = []
     for key in order:
         g = groups[key]
-        cat = jnp.concatenate if spd > 1 else jnp.stack
+        masks = g["masks"]
+        if all(m is None for m in masks):
+            masks = None
+        else:
+            # fill unmasked entries with all-True rows (shaped like the
+            # targets) so the group stacks into one uniform mask array;
+            # the fill runs jitted with the target's own sharding so
+            # global arrays stay where the scan wants them
+            masks = [
+                m if m is not None else jax.jit(
+                    lambda t: jnp.ones(t.shape, bool),
+                    out_shardings=getattr(t, "sharding", None))(t)
+                for m, t in zip(masks, g["tgts"])]
+        if mesh is not None:
+            trees = [{"signals": s,
+                      **({"targets": t} if g["tgts"] else {}),
+                      **({"masks": m} if masks is not None else {})}
+                     for s, t, m in zip(
+                         g["sigs"],
+                         g["tgts"] or [None] * len(g["sigs"]),
+                         masks or [None] * len(g["sigs"]))]
+            from lidbox_tpu import parallel
+            stacked = parallel.stack_on_mesh(trees, mesh, concat=spd > 1)
+            sig_all = stacked["signals"]
+            tgt_all = stacked.get("targets")
+            mask_all = stacked.get("masks")
+        else:
+            cat = jnp.concatenate if spd > 1 else jnp.stack
+            sig_all = cat(g["sigs"])
+            tgt_all = cat(g["tgts"]) if g["tgts"] else None
+            mask_all = cat(masks) if masks is not None else None
         out.append({
-            "signals": cat(g["sigs"]),
-            "targets": cat(g["tgts"]) if g["tgts"] else None,
+            "signals": sig_all, "targets": tgt_all, "masks": mask_all,
             "n": g["n"], "samples": g["samples"], "steps": g["steps"]})
     return out
 
@@ -926,11 +995,12 @@ def make_fused_multi_step(trainer, feature_fn, donate=False):
     to K single dispatches (the step RNG folds in state.step, which
     advances inside the scan).
 
-    step(state, signals_k, targets_k, rng) -> (state, losses [K]);
-    ``targets_k=None`` selects the packed layout ([K, B+1, T], targets in
-    each stack's last row). jit re-specializes per distinct K (the full
-    group size and one tail size in practice). ``donate`` as in
-    make_fused_train_step (state buffers only).
+    step(state, signals_k, targets_k, rng, masks_k=None) ->
+    (state, losses [K]); ``targets_k=None`` selects the packed layout
+    ([K, B+1, T], targets in each stack's last row); ``masks_k`` [K, B]
+    excludes mesh-padding rows per step. jit re-specializes per distinct
+    K (the full group size and one tail size in practice). ``donate`` as
+    in make_fused_train_step (state buffers only).
     """
     cache = trainer.__dict__.setdefault("_fused_multi_cache", {})
     key = (id(feature_fn), bool(donate))
@@ -938,15 +1008,16 @@ def make_fused_multi_step(trainer, feature_fn, donate=False):
         return cache[key][1]
     single = make_fused_train_step(trainer, feature_fn)
 
-    def multi_fn(state, signals_k, targets_k, rng):
+    def multi_fn(state, signals_k, targets_k, rng, masks_k=None):
         def body(st, xs):
-            if targets_k is None:
-                sig, tgt = xs, None
-            else:
-                sig, tgt = xs
-            st, loss = single(st, sig, tgt, rng)
+            st, loss = single(st, xs["sig"], xs.get("tgt"), rng,
+                              xs.get("mask"))
             return st, loss
-        xs = signals_k if targets_k is None else (signals_k, targets_k)
+        xs = {"sig": signals_k}
+        if targets_k is not None:
+            xs["tgt"] = targets_k
+        if masks_k is not None:
+            xs["mask"] = masks_k
         return jax.lax.scan(body, state, xs)
     multi = jax.jit(multi_fn, donate_argnums=(0,)) if donate \
         else jax.jit(multi_fn)

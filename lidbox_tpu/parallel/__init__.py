@@ -155,6 +155,44 @@ def batch_sharding(mesh, axis_name=DATA_AXIS):
     return NamedSharding(mesh, PartitionSpec(axis_name))
 
 
+def stacked_batch_sharding(mesh, axis_name=DATA_AXIS):
+    """Sharding for a [K, B, ...] STACK of batches (grouped dispatch /
+    cached replay): the scan axis K is replicated, the batch axis shards
+    over the mesh — lax.scan then slices per-step batches without any
+    resharding collective."""
+    return NamedSharding(mesh, PartitionSpec(None, axis_name))
+
+
+def stack_on_mesh(trees, mesh, concat=False):
+    """Stack a list of identically-structured mesh-sharded pytrees into
+    ONE stacked pytree whose new leading (scan) axis is replicated and
+    every existing axis keeps its sharding — the device-side
+    consolidation for whole-epoch scan replay (Trainer._consolidate_cache,
+    on_device._consolidate_signal_cache). ``concat=True`` concatenates
+    along the EXISTING leading axis instead (already-stacked grouped
+    entries), preserving each leaf's spec unchanged.
+
+    Runs as a jitted program with explicit out_shardings: process-spanning
+    meshes hold non-fully-addressable global arrays that eager jnp.stack
+    rejects, and the explicit specs keep the stack where the scanned
+    replay wants it (no resharding inside the scan)."""
+    import jax.numpy as jnp
+    first = trees[0]
+
+    def out_sharding(leaf):
+        spec = getattr(leaf.sharding, "spec", PartitionSpec())
+        if not concat:
+            spec = PartitionSpec(None, *spec)
+        return NamedSharding(mesh, spec)
+
+    shardings = jax.tree_util.tree_map(out_sharding, first)
+    op = ((lambda *ls: jnp.concatenate(ls, axis=0)) if concat
+          else (lambda *ls: jnp.stack(ls)))
+    fn = jax.jit(lambda *ts: jax.tree_util.tree_map(op, *ts),
+                 out_shardings=shardings)
+    return fn(*trees)
+
+
 def replicated(mesh):
     return NamedSharding(mesh, PartitionSpec())
 

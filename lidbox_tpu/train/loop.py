@@ -561,42 +561,43 @@ class Trainer:
                 return int(np.shape(batch[key])[0])
         return int(np.shape(next(iter(batch.values())))[0])
 
+    def _pad_to_mesh(self, batch):
+        """Right-pad a host batch's rows to the mesh's divisibility
+        requirement (LOCAL device multiple for process-spanning meshes —
+        each process feeds only its slice — global device count otherwise);
+        padded rows carry example_mask=False and contribute nothing to
+        loss or metrics."""
+        if parallel.mesh_spans_processes(self.mesh):
+            divisor = max(1, sum(
+                d.process_index == jax.process_index()
+                for d in self.mesh.devices.flat))
+        else:
+            divisor = self.mesh.devices.size
+        n = self._batch_rows(batch)
+        if n % divisor:
+            target_n = -(-n // divisor) * divisor
+            batch, valid = parallel.pad_batch_to(batch, target_n)
+            mask = batch.get("example_mask")
+            batch["example_mask"] = (valid if mask is None
+                                     else np.logical_and(mask, valid))
+        return batch
+
     def _put(self, batch):
         """Stage a host batch onto the device/mesh. The transfer is started
         EXPLICITLY here (device_put) so _staged's background threads overlap
         it with device compute — leaving numpy batches for jit dispatch to
         transfer would serialize one feed round-trip per step. Batches whose
-        leading dim does not divide the mesh size are right-padded (padded
-        examples carry example_mask=False and contribute nothing to loss or
-        metrics)."""
+        leading dim does not divide the mesh size are right-padded
+        (_pad_to_mesh). Under a process-spanning mesh this process feeds
+        only its LOCAL slice of the global batch; rows assemble into one
+        globally-sharded array with no cross-host data movement, and all
+        processes must feed the same number of rows per step."""
         batch = self._compress(batch)
         if self.mesh is None:
             return jax.device_put(batch)
+        batch = self._pad_to_mesh(batch)
         if parallel.mesh_spans_processes(self.mesh):
-            # multi-host: this process feeds only its LOCAL slice of the
-            # global batch; rows assemble into one globally-sharded array
-            # with no cross-host data movement. All processes must feed
-            # the same number of rows per step (pad to the local device
-            # multiple; padded rows are masked out of loss and metrics).
-            n_local_dev = max(1, sum(
-                d.process_index == jax.process_index()
-                for d in self.mesh.devices.flat))
-            n = self._batch_rows(batch)
-            if n % n_local_dev:
-                target_n = -(-n // n_local_dev) * n_local_dev
-                batch, valid = parallel.pad_batch_to(batch, target_n)
-                mask = batch.get("example_mask")
-                batch["example_mask"] = (valid if mask is None
-                                         else np.logical_and(mask, valid))
             return parallel.global_batch_from_local(batch, self.mesh)
-        n_dev = self.mesh.devices.size
-        n = self._batch_rows(batch)
-        if n % n_dev:
-            target_n = -(-n // n_dev) * n_dev
-            batch, valid = parallel.pad_batch_to(batch, target_n)
-            mask = batch.get("example_mask")
-            batch["example_mask"] = (valid if mask is None
-                                     else np.logical_and(mask, valid))
         return parallel.shard_batch(batch, self.mesh)
 
     @staticmethod
@@ -633,11 +634,25 @@ class Trainer:
     def _put_group(self, group):
         """Stage a list of same-shape host batches as ONE stacked transfer
         (dict of [K, B, ...] arrays) for _multi_train_step — K steps cost
-        one feed round instead of K."""
+        one feed round instead of K. Under a mesh the stack's scan axis is
+        replicated and the batch axis sharded (stacked_batch_sharding);
+        process-spanning meshes assemble each host's local rows into the
+        globally-sharded stack exactly like _put."""
         group = [self._compress(b) for b in group]
+        if self.mesh is None:
+            stacked = {k: np.stack([np.asarray(b[k]) for b in group])
+                       for k in group[0]}
+            return jax.device_put(stacked)
+        group = [self._pad_to_mesh(b) for b in group]
         stacked = {k: np.stack([np.asarray(b[k]) for b in group])
                    for k in group[0]}
-        return jax.device_put(stacked)
+        sharding = parallel.stacked_batch_sharding(self.mesh)
+        if parallel.mesh_spans_processes(self.mesh):
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), stacked)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), stacked)
 
     def _consolidate_cache(self, items, grouped, preserve_order=False):
         """Merge epoch-1's staged cache entries into per-shape device
@@ -677,7 +692,9 @@ class Trainer:
         out = []
         for s in order:
             e = by_sig[s]
-            if grouped:
+            if self.mesh is not None:
+                stack = self._stack_on_mesh(e["batches"], grouped)
+            elif grouped:
                 stack = jax.tree_util.tree_map(
                     lambda *ls: jnp.concatenate(ls, axis=0), *e["batches"])
             else:
@@ -685,6 +702,15 @@ class Trainer:
                     lambda *ls: jnp.stack(ls), *e["batches"])
             out.append({"stack": stack, "ns": np.asarray(e["ns"], np.int64)})
         return out
+
+    def _stack_on_mesh(self, batches, grouped):
+        """Stack mesh-sharded staged batches into ONE [K, B, ...] stack
+        whose scan axis is replicated and batch axis keeps its mesh
+        sharding (P(None, data, ...)) — parallel.stack_on_mesh, the
+        device-side consolidation for whole-epoch scan replay under a
+        mesh (grouped entries are already [k, B, ...] stacks and
+        concatenate instead)."""
+        return parallel.stack_on_mesh(batches, self.mesh, concat=grouped)
 
     def _staged(self, batches, buffer_size=None, count_fn=None, put=None):
         """Iterate ``batches`` with up to ``buffer_size`` (default
@@ -851,24 +877,27 @@ class Trainer:
         ``target`` [B] and optional ``input_mask``/``example_mask`` — or
         plain re-iterable collections.
 
-        ``steps_per_dispatch=K`` (single-device feeds only) groups K
-        consecutive same-shape batches into ONE staged transfer and ONE
-        jitted program running K train steps (lax.scan) — on a
-        serializing high-RTT feed link this amortizes the per-step
-        transfer + dispatch rounds K-fold with per-step numerics identical
-        to single dispatches (the fused signal path's grouped dispatch,
-        on_device.fit_signals, lifted to the feature-fed path).
+        ``steps_per_dispatch=K`` groups K consecutive same-shape batches
+        into ONE staged transfer and ONE jitted program running K train
+        steps (lax.scan) — on a serializing high-RTT feed link this
+        amortizes the per-step transfer + dispatch rounds K-fold with
+        per-step numerics identical to single dispatches (the fused signal
+        path's grouped dispatch, on_device.fit_signals, lifted to the
+        feature-fed path). Under a mesh the stack's scan axis is
+        replicated and the batch axis sharded (stacked_batch_sharding);
+        process-spanning meshes feed per-host local slices exactly like
+        single dispatches.
 
         ``cache_staged`` (default: the Trainer's setting) keeps every
         staged training AND validation batch device-resident after epoch 1
         and reuses them for later epochs — no feed traffic, at the cost of
         FREEZING both sets to their epoch-1 contents (loaders that shuffle
         or rotate per epoch are only consulted once) and pinning them in
-        HBM for the whole run. On a single device the cached batches are
-        consolidated into per-shape stacks and every later epoch replays
-        each stack in ONE XLA program (_replay_train_step: one dispatch +
-        one loss-vector readback per epoch instead of one round per step);
-        under a mesh the cache replays per-batch. ``cache_shuffle``
+        HBM for the whole run. The cached batches are consolidated into
+        per-shape stacks — mesh-sharded stacks under a mesh
+        (_stack_on_mesh) — and every later epoch replays each stack in ONE
+        XLA program (_replay_train_step: one dispatch + one loss-vector
+        readback per epoch instead of one round per step). ``cache_shuffle``
         (default True) re-permutes the cached BATCH ORDER each epoch
         (seeded, batch-granular — the within-batch grouping stays fixed,
         and with multiple shape stacks the permutation is within-stack
@@ -887,10 +916,6 @@ class Trainer:
         if cache_staged is None:
             cache_staged = self.cache_staged
         spd = max(1, int(steps_per_dispatch))
-        if spd > 1 and self.mesh is not None:
-            logger.warning("steps_per_dispatch is a single-device feed "
-                           "optimization; ignoring it under a mesh")
-            spd = 1
         staged_cache = None
         val_staged = None  # staged validation batches, cached alongside
         for cb in self.callbacks:
@@ -943,17 +968,21 @@ class Trainer:
                         K = len(g["ns"])
                         order = (rng_epoch.permutation(K) if cache_shuffle
                                  else np.arange(K))
+                        # order crosses as HOST values: under a
+                        # process-spanning mesh a committed local array
+                        # would need an implicit cross-host reshard; numpy
+                        # inputs are uncommitted and place wherever the
+                        # compiled program wants them (same on every host —
+                        # the permutation is seeded by epoch)
                         self.state, loss_k = self._jit_replay_train_step(
                             self.state, g["stack"], self.rng,
-                            jnp.asarray(order, jnp.int32))
+                            np.asarray(order, np.int32))
                         losses.append(loss_k)
                         meter.update(int(g["ns"].sum()))
                 else:
-                    # per-entry replay: mesh-sharded cached batches (their
-                    # shardings are not stackable into one array), or the
-                    # order-exact fallback when cache_shuffle=False met
-                    # interleaved shape signatures (_consolidate_cache
-                    # returned None)
+                    # per-entry replay: the order-exact fallback when
+                    # cache_shuffle=False met interleaved shape signatures
+                    # (_consolidate_cache returned None)
                     if cache_shuffle:
                         order = rng_epoch.permutation(len(staged_cache))
                         replay = [staged_cache[i] for i in order]
@@ -1010,22 +1039,19 @@ class Trainer:
                         "training batches — train_batches must be a "
                         "callable or re-iterable collection that yields "
                         "at least one batch")
-                if self.mesh is None:
-                    staged_cache = self._consolidate_cache(
-                        collecting, grouped=spd > 1,
-                        preserve_order=not cache_shuffle)
-                    if staged_cache is None:
-                        # interleaved shapes + cache_shuffle=False: keep
-                        # order-exact per-entry replay
-                        staged_cache = collecting
-                    else:
-                        # release the per-batch device buffers NOW — the
-                        # stacks hold the cache, and keeping both would
-                        # pin ~2x the cached corpus in HBM through the
-                        # upcoming validation staging
-                        collecting = None
-                else:
+                staged_cache = self._consolidate_cache(
+                    collecting, grouped=spd > 1,
+                    preserve_order=not cache_shuffle)
+                if staged_cache is None:
+                    # interleaved shapes + cache_shuffle=False: keep
+                    # order-exact per-entry replay
                     staged_cache = collecting
+                else:
+                    # release the per-batch device buffers NOW — the
+                    # stacks hold the cache, and keeping both would
+                    # pin ~2x the cached corpus in HBM through the
+                    # upcoming validation staging
+                    collecting = None
             train_loss = float(np.mean(jax.device_get(jnp.concatenate(
                 [jnp.atleast_1d(l) for l in losses])))) \
                 if losses else float("nan")
@@ -1043,13 +1069,12 @@ class Trainer:
                             vsrc = self._feed_parity_guard(
                                 vsrc, what="validation")
                         entries = list(vsrc)
-                        # single device: consolidate into per-shape stacks
-                        # so every later evaluate() is one scanned program
-                        # per stack (_replay_eval_step) instead of one
-                        # dispatch round per batch
-                        val_staged = (
-                            self._consolidate_cache(entries, grouped=False)
-                            if self.mesh is None else entries)
+                        # consolidate into per-shape stacks (mesh-sharded
+                        # under a mesh) so every later evaluate() is one
+                        # scanned program per stack (_replay_eval_step)
+                        # instead of one dispatch round per batch
+                        val_staged = self._consolidate_cache(entries,
+                                                             grouped=False)
                     logs.update(self.evaluate(val_staged, staged=True))
                 else:
                     logs.update(self.evaluate(validation_batches))

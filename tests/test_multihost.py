@@ -305,6 +305,82 @@ print("SHARDED", leaf.sharding.mesh.devices.size == 4)
 """
 
 
+GROUPED_CHILD = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import optax
+import lidbox_tpu.models as models
+import lidbox_tpu.parallel as parallel
+from lidbox_tpu.losses import nll_loss
+from lidbox_tpu.train import Trainer
+
+assert parallel.initialize_distributed(), "env-var initialization failed"
+pid = jax.process_index()
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+T, F, N = 20, 8, 3
+mesh = parallel.get_mesh()
+
+rng = np.random.default_rng(7)
+X = rng.normal(0, 1, (8, T, F)).astype(np.float32)
+y = rng.integers(0, N, 8).astype(np.int32)
+batches = [{"input": X[4 * pid:4 * pid + 4] + 0.1 * i,
+            "target": y[4 * pid:4 * pid + 4]} for i in range(4)]
+
+def make_trainer(**kw):
+    model = models.create("dnn", (T, F), N)
+    model.init(jax.random.PRNGKey(0))
+    return Trainer(model, optax.adam(1e-2), nll_loss, mesh=mesh, **kw)
+
+# reference: per-step dispatch, no cache, frozen batches each epoch
+ref = make_trainer().fit(lambda: batches, epochs=3)
+print("REF", " ".join("%.8f" % h["loss"] for h in ref))
+
+# grouped dispatch: K local slices stack into ONE globally-sharded
+# [K, B, ...] transfer (make_array_from_process_local_data with the scan
+# axis replicated); cache_staged then consolidates the global stacks
+# through the jitted stack (non-addressable arrays) and epochs 2-3
+# replay as ONE scanned collective program
+t = make_trainer(cache_staged=True)
+hist = t.fit(lambda: batches, epochs=3, steps_per_dispatch=2,
+             cache_shuffle=False)
+print("GROUPED", " ".join("%.8f" % h["loss"] for h in hist))
+
+# fused raw-waveform path: same regimes over signal batches
+from lidbox_tpu.data import on_device
+sr, t_len = 16000, 2000
+fframes = 1 + (t_len - 400) // 160
+
+def make_ftrainer(**kw):
+    fmodel = models.create("dnn", (fframes, 8), N)
+    fmodel.init(jax.random.PRNGKey(1))
+    return Trainer(fmodel, optax.adam(1e-2), nll_loss, mesh=mesh, **kw)
+
+ffn = on_device.make_augmented_feature_fn(
+    sr, {"type": "logmelspectrogram",
+         "melspectrogram": {"num_mel_bins": 8}},
+    on_device.AugmentConfig())
+frng = np.random.default_rng(11)
+fsigs = frng.uniform(-0.5, 0.5, (8, t_len)).astype(np.float32)
+ftg = (np.arange(8) % N).astype(np.int32)
+fbatches = [(fsigs[4 * pid:4 * pid + 4] * (1.0 + 0.1 * i),
+             ftg[4 * pid:4 * pid + 4]) for i in range(2)]
+fref = on_device.fit_signals(make_ftrainer(), ffn, lambda: fbatches,
+                             epochs=3, verbose=False)
+fvals = [h["loss"] if isinstance(h, dict) else h for h in fref]
+print("FUSEDREF", " ".join("%.8f" % v for v in fvals))
+fh = on_device.fit_signals(make_ftrainer(cache_staged=True), ffn,
+                           lambda: fbatches, epochs=3, verbose=False,
+                           steps_per_dispatch=2, cache_shuffle=False)
+fvals = [h["loss"] if isinstance(h, dict) else h for h in fh]
+print("FUSEDGROUPED", " ".join("%.8f" % v for v in fvals))
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -489,3 +565,30 @@ def test_two_process_real_trainer_matches_single_process(tmp_path):
     np.testing.assert_allclose(a["VALLOSS"], logs["val_loss"], rtol=1e-4)
     np.testing.assert_allclose(a["CAVG"], logs["val_C_avg"], atol=1e-6)
     np.testing.assert_allclose(a["PSUM"], checksum, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_grouped_dispatch_and_cached_scan_replay(tmp_path):
+    """Round-4 mesh symmetry across REAL processes: steps_per_dispatch
+    stages K local slices as one globally-sharded stack, cache_staged
+    consolidates the (non-addressable) global arrays through the jitted
+    stack, and epochs 2-3 replay as one scanned collective program —
+    trajectory identical to per-step dispatches, on both the feature-fed
+    and fused raw-waveform paths, agreeing exactly between hosts."""
+    outs = _run_two_processes(GROUPED_CHILD, tmp_path)
+
+    def parse(out):
+        vals = {}
+        for line in out.splitlines():
+            parts = line.split()
+            if parts and parts[0] in ("REF", "GROUPED", "FUSEDREF",
+                                      "FUSEDGROUPED"):
+                vals[parts[0]] = [float(v) for v in parts[1:]]
+        return vals
+
+    a, b = parse(outs[0]), parse(outs[1])
+    assert set(a) == {"REF", "GROUPED", "FUSEDREF", "FUSEDGROUPED"}, outs[0]
+    for k in a:  # hosts ran the identical replicated program
+        assert a[k] == b[k], (k, a, b)
+    np.testing.assert_allclose(a["GROUPED"], a["REF"], rtol=1e-6)
+    np.testing.assert_allclose(a["FUSEDGROUPED"], a["FUSEDREF"], rtol=1e-6)

@@ -695,6 +695,188 @@ class TestCacheStaged:
                                params_c, params_u)
 
 
+class TestMeshCacheAndDispatch:
+    """Round-4 symmetry: grouped dispatch (steps_per_dispatch) and
+    whole-epoch cached scan replay work under a mesh exactly as on a
+    single device — stacks carry the scan axis replicated and the batch
+    axis mesh-sharded (parallel.stacked_batch_sharding), so the scanned
+    programs slice per-step batches without resharding collectives."""
+
+    def test_mesh_cached_replay_scans_and_matches(self):
+        mesh = parallel.get_mesh()
+        batches = toy_batches(n_batches=5)
+        hist_ref = make_trainer(mesh=mesh).fit(lambda: batches, epochs=3)
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, mesh=mesh,
+                          cache_staged=True)
+        calls = {"replay": 0, "single": 0}
+        real_replay = trainer._jit_replay_train_step
+        real_single = trainer._jit_train_step
+
+        def counting_replay(*a, **k):
+            calls["replay"] += 1
+            return real_replay(*a, **k)
+
+        def counting_single(*a, **k):
+            calls["single"] += 1
+            return real_single(*a, **k)
+        trainer._jit_replay_train_step = counting_replay
+        trainer._jit_train_step = counting_single
+        hist = trainer.fit(lambda: batches, epochs=3, cache_shuffle=False)
+        # epoch 1 feeds 5 per-step dispatches; epochs 2-3 replay the one
+        # equal-shape MESH-SHARDED stack in ONE scanned dispatch each
+        assert calls == {"single": 5, "replay": 2}, calls
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_mesh_cached_stack_sharding(self):
+        """The consolidated cache stack keeps P(None, data): scan axis
+        replicated, batch axis sharded over the mesh."""
+        from jax.sharding import PartitionSpec
+        mesh = parallel.get_mesh()
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, mesh=mesh,
+                          cache_staged=True)
+        trainer.fit(lambda: toy_batches(n_batches=3), epochs=2,
+                    cache_shuffle=False)
+        items = [(16, trainer._put(b)) for b in toy_batches(n_batches=3)]
+        groups = trainer._consolidate_cache(items, grouped=False)
+        assert len(groups) == 1
+        stack = groups[0]["stack"]
+        assert stack["input"].shape == (3, 16, T, F)
+        spec = stack["input"].sharding.spec
+        assert tuple(spec)[:2] == (None, parallel.DATA_AXIS), spec
+
+    def test_mesh_grouped_dispatch_matches_single_dispatch(self):
+        mesh = parallel.get_mesh()
+        batches = toy_batches(n_batches=6)
+        hist_ref = make_trainer(mesh=mesh).fit(lambda: batches, epochs=2)
+        trainer = make_trainer(mesh=mesh)
+        calls = {"multi": 0, "single": 0}
+        real_multi = trainer._jit_multi_train_step
+        real_single = trainer._jit_train_step
+
+        def counting_multi(*a, **k):
+            calls["multi"] += 1
+            return real_multi(*a, **k)
+
+        def counting_single(*a, **k):
+            calls["single"] += 1
+            return real_single(*a, **k)
+        trainer._jit_multi_train_step = counting_multi
+        trainer._jit_train_step = counting_single
+        hist = trainer.fit(lambda: batches, epochs=2, steps_per_dispatch=3)
+        # 6 batches / 3 per dispatch = 2 scanned dispatches per epoch
+        assert calls == {"multi": 4, "single": 0}, calls
+        assert int(jax.device_get(trainer.state.step)) == 12
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_mesh_grouped_cache_ragged_validation(self):
+        """The full composition under a mesh: steps_per_dispatch, a ragged
+        tail batch (mesh-padded with example_mask), cache_staged replay
+        with shuffling, and cached validation — finite logs, correct step
+        count, and the cached validation matches a direct evaluate()."""
+        mesh = parallel.get_mesh()
+        batches = toy_batches(n_batches=4) + [
+            {k: v[:11] for k, v in
+             toy_batches(n_batches=1, seed=5)[0].items()}]
+        val = toy_batches(n_batches=2, seed=9)
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, mesh=mesh,
+                          cache_staged=True)
+        hist = trainer.fit(lambda: batches, lambda: val, epochs=3,
+                           steps_per_dispatch=2)
+        assert int(jax.device_get(trainer.state.step)) == 15
+        assert all(np.isfinite(h["loss"]) and np.isfinite(h["val_loss"])
+                   for h in hist)
+        ref = trainer.evaluate(val)
+        np.testing.assert_allclose(hist[-1]["val_loss"], ref["val_loss"],
+                                   rtol=1e-5)
+
+    def test_mesh_fused_cached_replay_matches(self):
+        """fit_signals under a mesh: cached whole-epoch scan replay
+        (mesh-sharded waveform stacks, make_fused_replay_step) follows the
+        same trajectory as re-feeding the frozen batches each epoch."""
+        from lidbox_tpu.data import on_device
+        mesh = parallel.get_mesh()
+        rng = np.random.default_rng(7)
+        sr, t_len, b = 16000, 4000, 16
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(3)]
+        frames = 1 + (t_len - 400) // 160
+        feat = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig(specaug_time_masks=1))
+
+        def run(cache):
+            model = models.create("dnn", (frames, 16), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(model, optax.adam(1e-3), nll_loss, mesh=mesh,
+                              cache_staged=cache)
+            return on_device.fit_signals(trainer, feat, lambda: batches,
+                                         epochs=3, verbose=False,
+                                         cache_shuffle=False)
+
+        np.testing.assert_allclose(run(False), run(True), rtol=1e-6)
+
+    def test_mesh_fused_grouped_dispatch_ragged_masks(self):
+        """fit_signals steps_per_dispatch under a mesh, with a ragged tail
+        batch that mesh-pads into a per-step example-mask stack: identical
+        trajectory to per-step dispatches."""
+        from lidbox_tpu.data import on_device
+        mesh = parallel.get_mesh()
+        rng = np.random.default_rng(8)
+        sr, t_len, b = 16000, 4000, 16
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(2)]
+        batches.append((batches[0][0][:11], batches[0][1][:11]))
+        frames = 1 + (t_len - 400) // 160
+        feat = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+
+        def run(spd):
+            model = models.create("dnn", (frames, 16), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(model, optax.adam(1e-3), nll_loss, mesh=mesh)
+            return on_device.fit_signals(trainer, feat, lambda: batches,
+                                         epochs=2, verbose=False,
+                                         steps_per_dispatch=spd)
+
+        np.testing.assert_allclose(run(1), run(2), rtol=1e-6)
+
+    def test_mesh2d_tensor_parallel_cached_replay(self):
+        """Whole-epoch scan replay composes with 2-D DP x TP shardings:
+        column-sharded kernels train through the scanned replay program
+        with the same trajectory as per-step dispatches."""
+        mesh2d = parallel.get_mesh_2d(data_size=4, model_size=2)
+        batches = toy_batches(n_batches=4)
+
+        def run(cache):
+            model = models.create("dnn", (T, F), N_CLASSES)
+            model.init(jax.random.PRNGKey(0))
+            trainer = Trainer(
+                model, optax.adam(5e-3), nll_loss, mesh=mesh2d,
+                param_sharding=parallel.column_parallel_rule(mesh2d),
+                cache_staged=cache)
+            hist = trainer.fit(lambda: batches, epochs=3,
+                               cache_shuffle=False)
+            return hist, jax.device_get(trainer.state.params)
+
+        hist_c, params_c = run(True)
+        hist_u, params_u = run(False)
+        for a, b in zip(hist_u, hist_c):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-6),
+            params_u, params_c)
+
+
 class TestFeedGuardGating:
     """The feed-parity guard (and process-local batch assembly) must key
     on the mesh SPANNING processes, never on bare jax.process_count():
