@@ -206,8 +206,12 @@ def main():
                 sat_signals = jnp.concatenate([signals] * mult)
                 sat_b = sat_signals.shape[0]
 
+                # signals enter as a RUNTIME argument, not a closure
+                # constant: a captured device array is baked into the
+                # compile payload, and at b2048 (393 MB) the remote-compile
+                # request exceeds the tunnel's size limit (HTTP 413)
                 @jax.jit
-                def e2e_sat(carry, s=sat_signals):
+                def e2e_sat(carry, s):
                     feats = F.extract_features(
                         s + carry * 1e-20, SAMPLE_RATE,
                         feature_type="logmelspectrogram",
@@ -216,7 +220,8 @@ def main():
                     out = model.apply(variables, feats, train=False,
                                       compute_dtype=jnp.bfloat16)
                     return jnp.mean(out)
-                dt_sat = _time(e2e_sat, jnp.float32(0.0), n1=n1, n2=n2)
+                dt_sat = _time(lambda c: e2e_sat(c, sat_signals),
+                               jnp.float32(0.0), n1=n1, n2=n2)
                 rate = sat_b / dt_sat
                 vs = (f", {rate / sat_state['prev']:.2f}x the previous batch"
                       if sat_state["prev"] else "")
@@ -661,37 +666,59 @@ def main():
         # grouped dispatch on the FEATURE-fed path (VERDICT r3 #2):
         # Trainer.fit(steps_per_dispatch=K) stacks K bf16-staged feature
         # batches per transfer + one scanned program, the same K-fold
-        # round amortization the fused line gets. Bound against a
-        # feature-batch streamed-transfer probe taken immediately around
-        # each run (the pooled link drifts minute to minute).
+        # round amortization the fused line gets. The batches are
+        # PRECOMPUTED (host-resident) so the line measures the FEED
+        # machinery: the in-situ producer above (fed_batches) featurizes
+        # through a device round trip — ~8.5 MB of extra tunnel traffic
+        # per batch sharing the same serializing link — and that producer
+        # cost is the legacy line's story, not this receipt's. Bound =
+        # min(streamed bf16-feature transfer probed immediately around
+        # each run, device-resident feature train step).
         if past_deadline("feature grouped-dispatch section"):
             raise TimeoutError("soft deadline")
         trainer_feat = Trainer(model, optax.adam(1e-3), nll_loss,
                                stage_dtype="bfloat16", prefetch=8)
         trainer_feat.create_state()
-        feat_batch0 = next(fed_batches(1))
+        feat_host = list(fed_batches(num_batches))  # precompute ONCE
         # streamed-transfer probe over the dominant array (the bf16
         # feature tensor; the int32 targets are noise at this size)
-        feat_input0 = np.asarray(feat_batch0["input"]).astype(jnp.bfloat16)
+        feat_input0 = np.asarray(feat_host[0]["input"]).astype(jnp.bfloat16)
         feat_bufs = [feat_input0 + np.asarray(i, feat_input0.dtype)
                      for i in range(16)]
         feat_mb = feat_bufs[0].nbytes / 1e6
+        # device-resident yardstick: the same jitted train step fed from
+        # HBM (bf16-staged batch already on device). The step DONATES its
+        # state arg, so it runs on a copy — donating trainer_feat.state
+        # itself would leave the upcoming fit() calls holding deleted
+        # buffers.
+        dev_fb = trainer_feat._put(feat_host[0])
+        stt_f = {"s": jax.tree_util.tree_map(jnp.copy, trainer_feat.state)}
+
+        def dev_feat_step(carry):
+            stt_f["s"], loss = trainer_feat._jit_train_step(
+                stt_f["s"], dev_fb, trainer_feat.rng)
+            return loss
+        device_feat_rate = MODEL_BATCH / _time(dev_feat_step,
+                                               jnp.float32(0.0))
         for spd, nb in ((1, num_batches), (4, 2 * num_batches)):
-            trainer_feat.fit(lambda: fed_batches(2 * spd), epochs=1,
+            def feat_src(n=nb):
+                return (feat_host[i % num_batches] for i in range(n))
+            trainer_feat.fit(lambda: feat_src(2 * spd), epochs=1,
                              verbose=False, steps_per_dispatch=spd)  # warm
             t_before = measure_stream(feat_bufs)
             t0 = time.perf_counter()
-            trainer_feat.fit(lambda: fed_batches(nb), epochs=1,
+            trainer_feat.fit(feat_src, epochs=1,
                              verbose=False, steps_per_dispatch=spd)
             fed_feat_rate = nb * MODEL_BATCH / (time.perf_counter() - t0)
             t_after = measure_stream(feat_bufs)
             xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
-            bound = min(loader_rate, xfer_now)
-            limiter = "loader" if bound == loader_rate else "transfer"
-            log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB, {spd} "
-                f"step/dispatch]: {fed_feat_rate:,.1f} utt/s vs bound "
-                f"min(loader {loader_rate:,.0f}, transfer {xfer_now:,.0f})"
-                f" = {bound:,.0f} [{limiter}-bound] -> achieved "
+            bound = min(xfer_now, device_feat_rate)
+            limiter = ("transfer" if bound == xfer_now else "device")
+            log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB "
+                f"precomputed, {spd} step/dispatch]: {fed_feat_rate:,.1f} "
+                f"utt/s vs bound min(transfer {xfer_now:,.0f}, device "
+                f"{device_feat_rate:,.0f}) = {bound:,.0f} "
+                f"[{limiter}-bound] -> achieved "
                 f"{100 * fed_feat_rate / bound:.0f}% of bound")
 
         # whole-epoch cached replay on the feature path (VERDICT r3 #3):
@@ -711,7 +738,7 @@ def main():
         trainer_feat2 = Trainer(model, optax.adam(1e-3), nll_loss,
                                 stage_dtype="bfloat16", prefetch=8,
                                 callbacks=[_FeatEpochTimer()])
-        trainer_feat2.fit(lambda: fed_batches(num_batches), epochs=3,
+        trainer_feat2.fit(feat_host, epochs=3,
                           verbose=False, cache_staged=True)
         f_rates = [num_batches * MODEL_BATCH / (b - a) for a, b in feat_walls]
         # device-resident yardstick for the feature path: the replay
@@ -722,10 +749,13 @@ def main():
 
         # embedding-extraction feed (the extract_embeddings pipeline
         # shape): per batch, host features -> device forward -> host
-        # readback. stage_dtype=bfloat16 halves the h2d bytes; overlap=2
-        # keeps two extractor calls in flight (Dataset.map
-        # num_parallel_calls=2), overlapping batch i+1's transfer with
-        # batch i's readback — both now the extract_embeddings defaults.
+        # readback (np.asarray in both arms — the pipeline materializes
+        # embeddings). stage_dtype=bfloat16 halves the h2d bytes (the
+        # extract_embeddings config key); overlap=2 keeps two extractor
+        # calls in flight (num_parallel_calls=2) — measured SLOWER on this
+        # serializing tunnel (two dispatch threads contend for one link),
+        # which is why the library default is 1; the line stays to keep
+        # that attribution measured, not assumed.
         if past_deadline("extraction-feed section"):
             raise TimeoutError("soft deadline")
         import collections
@@ -734,16 +764,17 @@ def main():
                      for b in fed_batches(12)]
         for sd, overlap in ((None, 1), ("bfloat16", 1), ("bfloat16", 2)):
             efn = make_batch_predict_fn(model, stage_dtype=sd)
-            efn(feat_list[0])  # warm the compile
+            np.asarray(efn(feat_list[0]))  # warm the compile
             t0 = time.perf_counter()
             if overlap == 1:
                 for x in feat_list:
-                    efn(x)
+                    np.asarray(efn(x))
             else:
                 with ThreadPoolExecutor(overlap) as epool:
                     futs = collections.deque()
                     for x in feat_list:
-                        futs.append(epool.submit(efn, x))
+                        futs.append(epool.submit(
+                            lambda a: np.asarray(efn(a)), x))
                         while len(futs) > overlap:
                             futs.popleft().result()
                     while futs:

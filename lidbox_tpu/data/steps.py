@@ -656,12 +656,16 @@ def extract_embeddings(ds, config):
         embeddings = [np.asarray(fn(inputs)) for fn in extractors]
         return dict(batch, embedding=np.concatenate(embeddings, axis=1))
 
-    # num_parallel_calls=2 keeps TWO extractor calls in flight (ordered):
-    # batch i+1's host->device transfer overlaps batch i's readback — on a
-    # high-round-trip feed link the per-batch dispatch+readback rounds
-    # otherwise serialize end to end (jax dispatch is thread-safe; device
-    # work itself still executes in order)
-    ds = ds.batch(batch_size).prefetch(2).map(_append, num_parallel_calls=2)
+    # num_parallel_calls > 1 keeps several extractor calls in flight
+    # (ordered; jax dispatch is thread-safe, device work still executes in
+    # order) so batch i+1's host->device transfer can overlap batch i's
+    # readback. Default 1: on a SERIALIZING feed link two dispatch threads
+    # only contend (measured 23% slower on the tunneled bench chip —
+    # bench extraction-feed lines); raise it on hosts whose transfer and
+    # readback legs genuinely run concurrently (local PCIe, spare cores).
+    parallel_calls = int(config.get("num_parallel_calls", 1))
+    ds = ds.batch(batch_size).prefetch(2).map(
+        _append, num_parallel_calls=parallel_calls)
     if not config.get("no_unbatch", False):
         ds = ds.unbatch()
     return ds

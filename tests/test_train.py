@@ -295,6 +295,42 @@ class TestDataParallel:
             np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
             assert not np.array_equal(out, ref)  # the feed WAS compressed
 
+    def test_extract_embeddings_num_parallel_calls(self, tmp_path):
+        """embeddings config num_parallel_calls=N keeps N extractor calls
+        in flight; the output must stay order-exact and bit-identical to
+        the sequential default (the knob trades dispatch overlap, never
+        results)."""
+        from lidbox_tpu.data import steps as data_steps
+        from lidbox_tpu.data.dataset import Dataset
+        from lidbox_tpu.train.checkpoint import save_checkpoint
+
+        cache = tmp_path / "cache" / "xvector" / "exp"
+        model = models.create("xvector", (T, F), N_CLASSES).init()
+        save_checkpoint(str(cache / "checkpoints"),
+                        {"params": jax.device_get(model.variables["params"])},
+                        epoch=1, val_loss=0.5)
+        extractor_cfg = {
+            "cache_directory": str(tmp_path / "cache"),
+            "model": {"key": "xvector"}, "experiment_name": "exp",
+            "input_shape": [T, F], "output_shape": [N_CLASSES],
+            "best_checkpoint": {"monitor": "val_loss", "mode": "min"}}
+        rng = np.random.default_rng(3)
+        elements = [{"id": f"utt{i}",
+                     "input": rng.normal(0, 1, (T, F)).astype(np.float32)}
+                    for i in range(10)]
+
+        def run(config):
+            ds = data_steps.extract_embeddings(
+                Dataset.from_elements(list(elements)), config)
+            return ds.collect()
+
+        base = {"extractors": [extractor_cfg], "batch_size": 4}
+        seq = run(base)
+        par = run(dict(base, num_parallel_calls=2))
+        assert [e["id"] for e in par] == [e["id"] for e in seq]
+        for a, b in zip(par, seq):
+            np.testing.assert_array_equal(a["embedding"], b["embedding"])
+
     def test_mesh_eval_metric_state(self):
         mesh = parallel.get_mesh()
         metrics = {"C_avg": SparseAverageDetectionCost(
