@@ -493,6 +493,27 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     #                       under a mesh; None until epoch 1 completes)
     replay = None
     val_staged = None  # staged validation batches, cached alongside
+    #                    (False = tried, didn't fit the HBM budget)
+    cache_state = {"bytes": 0, "budget": None}  # HBM guard accounting
+
+    def _cache_admit(entry):
+        """Account one cached entry against the HBM budget; False (after a
+        warning) once 2x the staged bytes — consolidation transiently
+        holds originals + stacks — would exceed it. Same contract as
+        Trainer.fit's guard; host-invariant under even multi-host feeds
+        because the budget is agreed (min over hosts)."""
+        from lidbox_tpu.train.loop import _tree_device_nbytes
+        cache_state["bytes"] += _tree_device_nbytes(entry)
+        if cache_state["budget"] is None:
+            cache_state["budget"] = trainer._agreed_cache_budget()
+        if 2.0 * cache_state["bytes"] > cache_state["budget"]:
+            logger.warning(
+                "cache_staged: staged signal corpus (%.0f MB so far, ~2x "
+                "transient during consolidation) exceeds the HBM budget "
+                "(%.0f MB) — releasing the cache and streaming every epoch",
+                cache_state["bytes"] / 1e6, cache_state["budget"] / 1e6)
+            return False
+        return True
     if trainer.state is None:
         trainer.create_state()
     # a fresh fit starts training anew even if a previous fit on this
@@ -522,6 +543,13 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 {"signals": signals, "targets": targets},
                 -(-n // divisor) * divisor)
             return padded["signals"], padded["targets"], valid
+        if parallel.mesh_spans_processes(trainer.mesh):
+            # host-invariant pytree structure: whether padding occurred
+            # is a LOCAL fact, so a mask leaf on one host but not another
+            # would diverge the collective step's input structure (an
+            # SPMD hang with no diagnostic) — attach the all-True mask
+            # unconditionally under process-spanning meshes
+            return signals, targets, np.ones(n, bool)
         return signals, targets, None
 
     def _stage(signals, targets):
@@ -692,6 +720,10 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             for (n, samples), (sig_k, tgt_k, mask_k) in staged:
                 if collecting is not None:
                     collecting.append(((n, samples), (sig_k, tgt_k, mask_k)))
+                    if not _cache_admit((sig_k, tgt_k, mask_k)):
+                        collecting = None
+                        cache_staged = False
+                        val_staged = False
                 trainer.state, loss_k = multi(trainer.state, sig_k, tgt_k,
                                               trainer.rng, mask_k)
                 losses.append(loss_k)
@@ -701,6 +733,10 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 if collecting is not None:
                     collecting.append(((n, samples),
                                        (signals, targets, mask)))
+                    if not _cache_admit((signals, targets, mask)):
+                        collecting = None
+                        cache_staged = False
+                        val_staged = False
                 trainer.state, loss = step(trainer.state, signals, targets,
                                            trainer.rng, mask)
                 losses.append(loss)
@@ -743,7 +779,7 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             if trainer.stop_training:
                 break
             continue
-        if cache_staged and val_staged is not None:
+        if cache_staged and val_staged not in (None, False):
             val_logs = trainer.evaluate(val_staged, staged=True)
         else:
             if val_feature_batches is not None:
@@ -758,7 +794,7 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                 if eval_cache is None:
                     eval_cache = _featurize_val(val_feats, val_batches)
                 eval_batches = eval_cache
-            if cache_staged:
+            if cache_staged and val_staged is not False:
                 # stage the validation set ONCE; later epochs evaluate the
                 # device-resident copy (frozen to epoch-1 contents, same
                 # semantics as Trainer.fit's cache_staged). The entries
@@ -774,9 +810,28 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
                     vsrc = trainer._feed_parity_guard(vsrc,
                                                       what="validation")
                 entries = list(vsrc)
-                val_staged = trainer._consolidate_cache(entries,
-                                                        grouped=False)
-                val_logs = trainer.evaluate(val_staged, staged=True)
+                from lidbox_tpu.train.loop import _tree_device_nbytes
+                vbytes = sum(_tree_device_nbytes(b) for _, b in entries)
+                if cache_state["budget"] is None:
+                    cache_state["budget"] = trainer._agreed_cache_budget()
+                if (cache_state["bytes"] + 2.0 * vbytes
+                        > cache_state["budget"]):
+                    # training cache fit but validation stacks would push
+                    # past the budget — keep the bigger win, stream eval
+                    logger.warning(
+                        "cache_staged: staged validation set (%.0f MB, "
+                        "~2x transient) on top of the signal cache "
+                        "(%.0f MB) exceeds the HBM budget (%.0f MB) — "
+                        "streaming validation instead",
+                        vbytes / 1e6, cache_state["bytes"] / 1e6,
+                        cache_state["budget"] / 1e6)
+                    val_staged = False
+                    entries = None
+                    val_logs = trainer.evaluate(eval_batches)
+                else:
+                    val_staged = trainer._consolidate_cache(entries,
+                                                            grouped=False)
+                    val_logs = trainer.evaluate(val_staged, staged=True)
             else:
                 val_logs = trainer.evaluate(eval_batches)
         logs = {"loss": mean_loss, **meter.rates(), **val_logs}
@@ -906,6 +961,23 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
     return replay
 
 
+_ones_mask_cache = {}
+
+
+def _ones_mask_like(t):
+    """All-True mask shaped like the targets, jit-compiled ONCE per
+    (shape, dtype, sharding) — mixed masked/unmasked groups fill
+    defensively without a throwaway XLA compile per cache entry."""
+    sharding = getattr(t, "sharding", None)
+    key = (tuple(t.shape), str(t.dtype), str(sharding))
+    fn = _ones_mask_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: jnp.ones(x.shape, bool),
+                     out_shardings=sharding)
+        _ones_mask_cache[key] = fn
+    return fn(t)
+
+
 def _consolidate_signal_cache(entries, spd, preserve_order=False, mesh=None):
     """Merge fit_signals' epoch-1 cache entries into per-shape device
     stacks for whole-epoch replay. Entries: ((n, samples), payload) with
@@ -957,12 +1029,10 @@ def _consolidate_signal_cache(entries, spd, preserve_order=False, mesh=None):
             # fill unmasked entries with all-True rows (shaped like the
             # targets) so the group stacks into one uniform mask array;
             # the fill runs jitted with the target's own sharding so
-            # global arrays stay where the scan wants them
-            masks = [
-                m if m is not None else jax.jit(
-                    lambda t: jnp.ones(t.shape, bool),
-                    out_shardings=getattr(t, "sharding", None))(t)
-                for m, t in zip(masks, g["tgts"])]
+            # global arrays stay where the scan wants them, compiled once
+            # per (shape, sharding) — not once per entry
+            masks = [m if m is not None else _ones_mask_like(t)
+                     for m, t in zip(masks, g["tgts"])]
         if mesh is not None:
             trees = [{"signals": s,
                       **({"targets": t} if g["tgts"] else {}),

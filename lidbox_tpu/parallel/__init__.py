@@ -163,7 +163,7 @@ def stacked_batch_sharding(mesh, axis_name=DATA_AXIS):
     return NamedSharding(mesh, PartitionSpec(None, axis_name))
 
 
-def stack_on_mesh(trees, mesh, concat=False):
+def stack_on_mesh(trees, mesh, concat=False, max_arity=32):
     """Stack a list of identically-structured mesh-sharded pytrees into
     ONE stacked pytree whose new leading (scan) axis is replicated and
     every existing axis keeps its sharding — the device-side
@@ -172,11 +172,23 @@ def stack_on_mesh(trees, mesh, concat=False):
     along the EXISTING leading axis instead (already-stacked grouped
     entries), preserving each leaf's spec unchanged.
 
-    Runs as a jitted program with explicit out_shardings: process-spanning
+    Runs as jitted programs with explicit out_shardings: process-spanning
     meshes hold non-fully-addressable global arrays that eager jnp.stack
     rejects, and the explicit specs keep the stack where the scanned
-    replay wants it (no resharding inside the scan)."""
+    replay wants it (no resharding inside the scan). Long epochs fold in
+    ``max_arity``-bounded chunks: one program taking every cached batch
+    as a separate parameter would grow XLA compile time with corpus
+    length (and each distinct batch count would be a fresh compile).
+    HBM transient: inputs + chunk stacks + output peak at ~2-3x the
+    cached corpus during consolidation — callers release the per-batch
+    entries right after (Trainer.fit does), and the cache_staged HBM
+    guard budgets for it."""
     import jax.numpy as jnp
+    if len(trees) > max_arity:
+        chunks = [stack_on_mesh(trees[i:i + max_arity], mesh, concat=concat)
+                  for i in range(0, len(trees), max_arity)]
+        return stack_on_mesh(chunks, mesh, concat=True,
+                             max_arity=max_arity)
     first = trees[0]
 
     def out_sharding(leaf):

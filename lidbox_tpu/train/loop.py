@@ -187,6 +187,46 @@ class LearningRateDateLogger(Callback):
                     time.strftime("%Y-%m-%d %H:%M:%S"), lr)
 
 
+def _tree_device_nbytes(tree):
+    """Total bytes of a (device-)array pytree — the staged-cache HBM
+    accounting unit."""
+    return sum(int(getattr(leaf, "nbytes", 0))
+               for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def _cache_budget_bytes(limit=None):
+    """HBM budget available to ``cache_staged`` on this process's first
+    device. ``limit`` (Trainer.cache_bytes_limit) overrides detection;
+    otherwise 90% of the device's reported ``bytes_limit`` minus what is
+    already in use (params/opt state/staged buffers), or +inf where the
+    backend exposes no memory stats (CPU)."""
+    if limit is not None:
+        return float(limit)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "bytes_limit" in stats:
+            in_use = float(stats.get("bytes_in_use", 0.0))
+            return 0.9 * float(stats["bytes_limit"]) - in_use
+    except Exception:
+        pass
+    return float("inf")
+
+
+def _structure_digest(item):
+    """Deterministic 32-bit digest of a staged item's pytree structure and
+    leaf shapes/dtypes — what every host must agree on before a collective
+    step consumes it (the feed-parity guard allgathers this alongside the
+    exhaustion flag). Global arrays carry GLOBAL shapes, so equal digests
+    mean the hosts assembled the same program inputs."""
+    import zlib
+    leaves, treedef = jax.tree_util.tree_flatten(item)
+    desc = str(treedef) + "|" + ";".join(
+        f"{getattr(leaf, 'shape', ())}:"
+        f"{getattr(leaf, 'dtype', type(leaf).__name__)}"
+        for leaf in leaves)
+    return zlib.crc32(desc.encode())
+
+
 def _signature_runs_contiguous(sigs):
     """True when every distinct value in ``sigs`` appears as ONE
     contiguous run — the condition under which stack-major cached replay
@@ -214,7 +254,7 @@ class Trainer:
                  callbacks: Sequence[Callback] = (), lr_schedule=None,
                  log_dir=None, rng=None, compute_dtype=None,
                  param_sharding=None, prefetch=4, stage_dtype=None,
-                 score_fn=None, cache_staged=False):
+                 score_fn=None, cache_staged=False, cache_bytes_limit=None):
         self.model = model
         self.optimizer = optimizer
         self.loss_fn = loss_fn
@@ -240,6 +280,13 @@ class Trainer:
         # signal training keeps per-epoch augmentation randomness because
         # augmentation runs on device from the cached RAW waveforms).
         self.cache_staged = bool(cache_staged)
+        # HBM guard for cache_staged: caching stops (with a warning, and
+        # streaming takes over) once 2x the staged bytes — consolidation
+        # transiently holds originals + stacks — would exceed this budget.
+        # None = auto-detect from the device's memory stats (90% of
+        # bytes_limit minus bytes already in use); a number caps
+        # explicitly; float("inf") disables the guard.
+        self.cache_bytes_limit = cache_bytes_limit
         # Maps raw model outputs -> per-class scores [B, N] for metrics.
         # Log-prob heads need nothing (None = identity); language-vector
         # models (ap_lstm + AngularProximity) pass the loss's ``predict``
@@ -810,6 +857,19 @@ class Trainer:
             except Exception:
                 pass
 
+    def _agreed_cache_budget(self):
+        """The cache_staged HBM budget, agreed across processes under a
+        process-spanning mesh (min over hosts): the cache/stream decision
+        gates collective steps, so hosts reading different local memory
+        stats must not diverge."""
+        budget = _cache_budget_bytes(self.cache_bytes_limit)
+        if parallel.mesh_spans_processes(self.mesh):
+            from jax.experimental import multihost_utils
+            vals = np.asarray(multihost_utils.process_allgather(
+                np.float64(budget))).ravel()
+            budget = float(np.min(vals))
+        return budget
+
     def _multiprocess_feed(self):
         """True when this trainer's jitted steps are CROSS-HOST
         collectives (mesh spanning >1 process) — the only case where feeds
@@ -828,12 +888,13 @@ class Trainer:
         step blocks forever against hosts that already left the loop — a
         classic SPMD hang surfacing as a timeout with no diagnostic.
         Before each step, all processes therefore agree whether EVERY host
-        still has a batch (one scalar allgather per step over DCN, ~100 us
-        class); a mismatch raises the same descriptive error on every
-        process instead of hanging. All processes must feed the same
-        number of batches per epoch — pad or truncate local corpora to a
-        common batch count (meta.utils over/undersampling, or masked pad
-        batches) to satisfy this.
+        still has a batch AND on a digest of the batch's pytree structure
+        + global leaf shapes/dtypes (one 2-scalar allgather per step over
+        DCN, ~100 us class); a mismatch raises the same descriptive error
+        on every process instead of hanging. All processes must feed the
+        same number of STRUCTURALLY IDENTICAL batches per epoch — pad or
+        truncate local corpora to a common batch count (meta.utils
+        over/undersampling, or masked pad batches) to satisfy this.
         """
         from jax.experimental import multihost_utils
         it = iter(source)
@@ -845,8 +906,10 @@ class Trainer:
                     have = 1
                 except StopIteration:
                     item, have = None, 0
-                flags = np.asarray(multihost_utils.process_allgather(
-                    np.int32(have))).ravel()
+                pair = np.asarray(multihost_utils.process_allgather(
+                    np.int64([have, _structure_digest(item) if have
+                              else 0]))).reshape(-1, 2)
+                flags, digests = pair[:, 0], pair[:, 1]
                 if flags.min() != flags.max():
                     exhausted = [str(i) for i, f in enumerate(flags) if not f]
                     feeding = [str(i) for i, f in enumerate(flags) if f]
@@ -859,6 +922,16 @@ class Trainer:
                         "local corpora to a common batch count (without "
                         "this check the extra step would hang in a "
                         "collective with no diagnostic).")
+                if have and digests.min() != digests.max():
+                    raise RuntimeError(
+                        f"divergent multi-host {what} feed: at batch "
+                        f"{step} the staged batch's pytree structure or "
+                        "leaf shapes/dtypes differ across processes "
+                        f"(digests {digests.tolist()}). All hosts must "
+                        "stage structurally identical batches — e.g. a "
+                        "padding mask present on one host but absent on "
+                        "another, or unequal local batch sizes, would "
+                        "hang the collective step with no diagnostic.")
                 if not have:
                     return
                 yield item
@@ -904,7 +977,12 @@ class Trainer:
         plus stack order), recovering most of the optimization benefit of
         per-epoch reshuffling at zero feed cost. A
         ``steps_per_epoch``-truncated first epoch does not populate the
-        cache.
+        cache. An HBM guard accounts staged bytes against the device's
+        memory budget (``cache_bytes_limit``, default auto-detected from
+        device memory stats; see _cache_budget_bytes) and falls back to
+        the streaming feed with a warning — instead of an opaque XLA OOM
+        during consolidation — when 2x the staged corpus (the
+        consolidation transient) would not fit.
         """
         if self.state is None:
             self.create_state()
@@ -918,6 +996,9 @@ class Trainer:
         spd = max(1, int(steps_per_dispatch))
         staged_cache = None
         val_staged = None  # staged validation batches, cached alongside
+        #                    (False = tried, didn't fit the HBM budget)
+        cached_bytes = 0  # staged-cache HBM accounting (see cache guard)
+        cache_budget = None  # resolved lazily on first cached batch
         for cb in self.callbacks:
             cb.on_train_begin(self)
         history = []
@@ -1009,6 +1090,27 @@ class Trainer:
                             break
                         if collecting is not None:
                             collecting.append((n, batch))
+                            cached_bytes += _tree_device_nbytes(batch)
+                            if cache_budget is None:
+                                cache_budget = self._agreed_cache_budget()
+                            # consolidation transiently holds originals +
+                            # stacks, so the guard trips at 2x staged bytes
+                            # (stack_on_mesh's bounded-arity fold keeps the
+                            # transient within that envelope). With the
+                            # feed-parity guard enforcing even multi-host
+                            # feeds and the budget agreed (min over hosts),
+                            # this decision is host-invariant.
+                            if 2.0 * cached_bytes > cache_budget:
+                                logger.warning(
+                                    "cache_staged: staged corpus (%.0f MB "
+                                    "so far, ~2x transient during "
+                                    "consolidation) exceeds the HBM budget "
+                                    "(%.0f MB) — releasing the cache and "
+                                    "streaming every epoch instead",
+                                    cached_bytes / 1e6, cache_budget / 1e6)
+                                collecting = None
+                                cache_staged = False
+                                val_staged = False
                         if spd > 1:
                             self.state, loss = self._jit_multi_train_step(
                                 self.state, batch, self.rng)
@@ -1058,7 +1160,7 @@ class Trainer:
             logs = {"loss": train_loss, **meter.rates(),
                     "learning_rate": self.current_learning_rate()}
             if validation_batches is not None:
-                if cache_staged:
+                if cache_staged and val_staged is not False:
                     if val_staged is None:
                         vsrc = self._staged(validation_batches)
                         if self._multiprocess_feed():
@@ -1069,14 +1171,36 @@ class Trainer:
                             vsrc = self._feed_parity_guard(
                                 vsrc, what="validation")
                         entries = list(vsrc)
-                        # consolidate into per-shape stacks (mesh-sharded
-                        # under a mesh) so every later evaluate() is one
-                        # scanned program per stack (_replay_eval_step)
-                        # instead of one dispatch round per batch
-                        val_staged = self._consolidate_cache(entries,
-                                                             grouped=False)
-                    logs.update(self.evaluate(val_staged, staged=True))
-                else:
+                        vbytes = sum(_tree_device_nbytes(b)
+                                     for _, b in entries)
+                        if cache_budget is None:
+                            cache_budget = self._agreed_cache_budget()
+                        if cached_bytes + 2.0 * vbytes > cache_budget:
+                            # the training cache fit but the validation
+                            # stacks would push past the budget — keep
+                            # the training cache (the bigger win) and
+                            # stream validation
+                            logger.warning(
+                                "cache_staged: staged validation set "
+                                "(%.0f MB, ~2x transient) on top of the "
+                                "training cache (%.0f MB) exceeds the "
+                                "HBM budget (%.0f MB) — streaming "
+                                "validation instead",
+                                vbytes / 1e6, cached_bytes / 1e6,
+                                cache_budget / 1e6)
+                            val_staged = False
+                            entries = None
+                        else:
+                            # consolidate into per-shape stacks
+                            # (mesh-sharded under a mesh) so every later
+                            # evaluate() is one scanned program per stack
+                            # (_replay_eval_step) instead of one dispatch
+                            # round per batch
+                            val_staged = self._consolidate_cache(
+                                entries, grouped=False)
+                    if val_staged is not False:
+                        logs.update(self.evaluate(val_staged, staged=True))
+                if not cache_staged or val_staged is False:
                     logs.update(self.evaluate(validation_batches))
             history.append(logs)
             if self.metrics_logger:

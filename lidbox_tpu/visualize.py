@@ -21,28 +21,32 @@ import matplotlib.pyplot as plt
 def draw_confusion_matrix(cm, label_names, title="", cmap=None, no_legend=True):
     """Row-normalized confusion matrix heatmap with per-cell annotations
     (reference: visualize.py:12-45)."""
-    cmap = cmap or plt.cm.Blues
-    num_labels = len(label_names)
-    cm = np.array(cm, dtype=np.float32)
-    assert cm.shape[0] == cm.shape[1] == num_labels, (
-        f"confusion matrix shape {cm.shape} must match {num_labels} labels")
-    cm /= np.maximum(cm.sum(axis=1, keepdims=True), 1e-12)
+    rates = np.asarray(cm, np.float64)
+    n = len(label_names)
+    assert rates.shape == (n, n), (
+        f"confusion matrix shape {rates.shape} must match {n} labels")
+    rates = rates / np.maximum(rates.sum(axis=1, keepdims=True), 1e-12)
     fig, ax = plt.subplots(figsize=(4, 4))
-    im = ax.imshow(cm, interpolation="nearest", cmap=cmap)
+    image = ax.imshow(rates, interpolation="nearest",
+                      cmap=cmap or plt.cm.Blues)
     if not no_legend:
-        ax.figure.colorbar(im, ax=ax)
-    ax.set(xticks=np.arange(num_labels), yticks=np.arange(num_labels),
-           xlim=(-0.5, num_labels - 0.5), ylim=(num_labels - 0.5, -0.5),
-           xticklabels=label_names, yticklabels=label_names,
-           title=title, ylabel="True label", xlabel="Predicted label")
-    plt.setp(ax.get_xticklabels(), rotation=45, ha="right",
-             rotation_mode="anchor")
-    thresh = cm.max() / 2.0
-    for row in range(num_labels):
-        for col in range(num_labels):
-            ax.text(col, row, format(cm[row, col], ".2f"),
-                    ha="center", va="center",
-                    color="white" if cm[row, col] > thresh else "black")
+        fig.colorbar(image, ax=ax)
+    ticks = np.arange(n)
+    ax.set_xticks(ticks, labels=label_names, rotation=45, ha="right",
+                  rotation_mode="anchor")
+    ax.set_yticks(ticks, labels=label_names)
+    # row 0 on top (true labels read downward like a table)
+    ax.set_xlim(-0.5, n - 0.5)
+    ax.set_ylim(n - 0.5, -0.5)
+    ax.set_title(title)
+    ax.set_ylabel("True label")
+    ax.set_xlabel("Predicted label")
+    # annotate every cell, flipping to white text once the fill is darker
+    # than the colormap's midpoint
+    midpoint = rates.max() / 2.0
+    for (row, col), rate in np.ndenumerate(rates):
+        ax.text(col, row, f"{rate:.2f}", ha="center", va="center",
+                color="white" if rate > midpoint else "black")
     fig.tight_layout()
     return fig, ax
 
@@ -55,9 +59,12 @@ def _require_seaborn():
 
 
 def _categorical_plot_kwargs(metadata):
-    return {"data": metadata, "x": "split",
-            "order": sorted(metadata.split.unique()),
-            "hue": "label", "hue_order": sorted(metadata.label.unique())}
+    """Shared seaborn kwargs: one bar group per split, colored by label,
+    both in sorted order so figures are stable across pandas versions."""
+    splits = sorted(set(metadata["split"]))
+    labels = sorted(set(metadata["label"]))
+    return dict(data=metadata, x="split", order=splits,
+                hue="label", hue_order=labels)
 
 
 def plot_sample_distribution(metadata):

@@ -99,6 +99,30 @@ class TestParallelHelpers:
                                 out_specs=P("data")))(x)
         np.testing.assert_allclose(np.asarray(out), np.full(8, x.sum()))
 
+    def test_stack_on_mesh_bounded_arity_fold(self):
+        """ADVICE r4: long epochs fold in max_arity-bounded chunks so one
+        XLA program never takes hundreds of parameters; the fold must be
+        value-identical to the flat stack."""
+        mesh = parallel.get_mesh()
+        rng = np.random.default_rng(0)
+        trees = [{"x": jax.device_put(
+                      rng.normal(size=(8, 3)).astype(np.float32),
+                      parallel.batch_sharding(mesh)),
+                  "y": jax.device_put(np.int32([i] * 8),
+                                      parallel.batch_sharding(mesh))}
+                 for i in range(9)]
+        folded = parallel.stack_on_mesh(trees, mesh, max_arity=4)
+        flat = parallel.stack_on_mesh(trees, mesh, max_arity=64)
+        assert folded["x"].shape == (9, 8, 3)
+        np.testing.assert_array_equal(np.asarray(folded["x"]),
+                                      np.asarray(flat["x"]))
+        np.testing.assert_array_equal(np.asarray(folded["y"]),
+                                      np.asarray(flat["y"]))
+        # the stacked sharding survives the fold: leading (scan) axis
+        # replicated, batch axis sharded over the data axis
+        spec = folded["x"].sharding.spec
+        assert tuple(spec)[:2] == (None, "data")
+
     def test_initialize_distributed_noop(self):
         parallel.initialize_distributed()  # no coordinator -> no-op
 

@@ -482,6 +482,83 @@ class TestCacheStaged:
         trainer.fit(counting_loader, epochs=2, steps_per_epoch=2)
         assert pulls["n"] == 2  # truncated epochs must not seed the cache
 
+    def test_hbm_guard_falls_back_to_streaming(self, caplog):
+        """VERDICT r4 #5: a staged corpus that cannot fit the HBM budget
+        (x2 consolidation transient) must fall back to the streaming feed
+        with a warning, not die in an opaque XLA OOM."""
+        batches = toy_batches()
+        hist_ref = make_trainer().fit(lambda: batches, epochs=3)
+        pulls = {"n": 0}
+
+        def counting_loader():
+            pulls["n"] += 1
+            return batches
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True,
+                          cache_bytes_limit=1024)  # mocked tiny budget
+        import logging
+        with caplog.at_level(logging.WARNING, logger="lidbox_tpu"):
+            hist = trainer.fit(counting_loader, epochs=3,
+                               cache_shuffle=False)
+        assert pulls["n"] == 3  # every epoch streamed — cache refused
+        assert any("HBM budget" in r.message for r in caplog.records)
+        # the streamed fallback trains the identical trajectory
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_hbm_guard_val_overflow_keeps_train_cache(self):
+        """A budget that fits the training cache but not the staged
+        validation stacks keeps the (bigger-win) training cache and
+        streams validation only."""
+        batches = toy_batches(n_batches=2)
+        val = toy_batches(n_batches=4, seed=1)
+        train_bytes = sum(a.nbytes for b in batches for a in b.values())
+        pulls, val_pulls = {"n": 0}, {"n": 0}
+
+        def loader():
+            pulls["n"] += 1
+            return batches
+
+        def val_loader():
+            val_pulls["n"] += 1
+            return val
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True,
+                          cache_bytes_limit=2 * train_bytes + 64)
+        hist = trainer.fit(loader, val_loader, epochs=3,
+                           cache_shuffle=False)
+        assert pulls["n"] == 1  # training cache kept
+        # epoch-1 staging attempt + one streamed eval per epoch
+        assert val_pulls["n"] == 4
+        assert np.all(np.isfinite([h["val_loss"] for h in hist]))
+
+    def test_fused_hbm_guard_falls_back_to_streaming(self):
+        """fit_signals honors the same budget guard on the raw-waveform
+        cache path."""
+        from lidbox_tpu.data import on_device
+        rng = np.random.default_rng(3)
+        sr, t_len, b = 16000, 4000, 8
+        batches = [(rng.uniform(-0.5, 0.5, (b, t_len)).astype(np.float32),
+                    rng.integers(0, N_CLASSES, b).astype(np.int32))
+                   for _ in range(2)]
+        pulls = {"n": 0}
+
+        def loader():
+            pulls["n"] += 1
+            return batches
+        frames = 1 + (t_len - 400) // 160
+        trainer = Trainer(models.create("dnn", (frames, 16), N_CLASSES),
+                          optax.adam(1e-3), nll_loss, cache_staged=True,
+                          cache_bytes_limit=1024)
+        fn = on_device.make_augmented_feature_fn(
+            sr, {"type": "logmelspectrogram",
+                 "melspectrogram": {"num_mel_bins": 16}},
+            on_device.AugmentConfig())
+        hist = on_device.fit_signals(trainer, fn, loader, epochs=3,
+                                     verbose=False)
+        assert pulls["n"] == 3  # cache refused, streamed every epoch
+        assert np.all(np.isfinite(hist))
+
     def test_fused_fit_caches_staged_validation(self):
         from lidbox_tpu.data import on_device
         rng = np.random.default_rng(11)

@@ -1,34 +1,56 @@
 """
-Trained-quality parity: reference Keras x-vector vs the Flax x-vector.
+Trained-quality receipts: reference Keras x-vector vs the Flax x-vector,
+plus the framework's flagship training modes.
 
-The last BASELINE target ("C_avg parity on a held-out LID eval",
-VERDICT r3 next-step #1): formula-level oracles prove the metric/loss
-MATH matches, but only a head-to-head TRAINING run can show that
-initializer choice, Adam defaults, loss handling and schedule semantics
-don't silently cost converged quality. This experiment trains both
-stacks to convergence on the same synthetic multi-language corpus and
-compares held-out accuracy / min-C_avg / EER over multiple seeds.
+Formula-level oracles prove the metric/loss MATH matches; only
+head-to-head TRAINING runs show that initializers, Adam defaults, bf16
+rounding, the fused augmentation chain, and the cached-feed semantics
+don't silently cost converged quality. Sections (select with
+``--sections``, comma-separated; results merge into one JSON):
 
-Protocols:
-  (a) identical pre-extracted features into both stacks with IDENTICAL
-      per-epoch batch orders — isolates model/optimizer semantics
-      (reference model: /root/reference/lidbox/models/xvector.py:46-66,
-      compiled the way keras_utils.from_config does,
-      /root/reference/lidbox/models/keras_utils.py:124-149; the
-      reference's loss on log-softmax outputs is exactly nll_loss since
-      softmax(log_softmax(z)) == softmax(z)).
-  (b) each stack extracts its OWN features (reference tf.signal chain
-      vs lidbox_tpu.features.extract_features) — catches residual DSP
-      drift under training.
+  a       identical pre-extracted features into both stacks with
+          IDENTICAL per-epoch batch orders — isolates model/optimizer
+          semantics (reference model: lidbox/models/xvector.py:46-66,
+          compiled the way keras_utils.from_config does,
+          lidbox/models/keras_utils.py:124-149; the reference's loss on
+          log-softmax outputs is exactly nll_loss since
+          softmax(log_softmax(z)) == softmax(z)). Variants:
+          flax_default (lecun_normal, adam eps 1e-8) and flax_matched
+          (Keras-matched glorot_uniform, eps 1e-7).
+  b       each stack extracts its OWN features (reference tf.signal
+          chain vs lidbox_tpu.features.extract_features) — catches
+          residual DSP drift under training.
+  bf16    the 74%-MFU flagship: compute_dtype=bfloat16 training on
+          precision="bf16" features (1-pass matmuls + bf16-stored
+          intermediates) vs the f32/highest arm, same seeds and batch
+          orders — does the throughput mode cost converged quality?
+  aug     the fused on-device config-5 augmentation chain
+          (VAD + noise bank + random resampling + FIR + SpecAugment in
+          ONE XLA program, lidbox_tpu.data.on_device; replaces the
+          reference's tf.data augmentation,
+          reference: lidbox/data/steps.py:235-368) trained from raw
+          waveforms vs (i) clean training and (ii) reference-style
+          additive-noise augmentation (one offline augmented copy per
+          utterance mixed with the reference's own numpy_snr_mixer,
+          reference: lidbox/features/audio.py:100-121 — the reference's
+          augment_by_additive_noise emits augmented elements alongside
+          originals). All arms evaluate on the SAME noise-corrupted
+          eval set (corrupted with the reference's numpy_snr_mixer,
+          held-out noise clips) and on the clean eval set.
+  cached  cache_staged feed semantics: epoch-1 batch COMPOSITION frozen
+          with per-epoch batch-order reshuffle (Trainer.fit
+          cache_staged=True) vs the streamed per-epoch-reshuffled feed
+          (the reference reshuffles elements every epoch,
+          reference: lidbox/data/steps.py:997-999) — does the frozen
+          within-batch grouping cost quality?
 
-Variants on the Flax side attribute any gap:
-  flax-default  — package defaults (lecun_normal kernels, adam eps 1e-8)
-  flax-matched  — Keras-matched semantics (glorot_uniform kernels,
-                  adam eps 1e-7)
+Every multi-arm section reports PAIRED per-seed deltas with mean and a
+95% t-CI (arms share seed, corpus, and batch orders, so pairing removes
+the between-seed variance that swamped the round-4 3-seed claim).
 
-Run:  python tools/exp_quality_parity.py [--seeds 3] [--epochs 18]
-      [--quick] [--json PATH]
-CPU-safe; ~25 min at default sizes on a 1-core host.
+Run:  python tools/exp_quality_parity.py [--seeds 5] [--epochs 18]
+      [--sections a,b,bf16,aug,cached] [--quick] [--json PATH]
+CPU-safe; ~1.5 h for all sections at default sizes on a 1-core host.
 """
 import argparse
 import importlib.util
@@ -61,12 +83,13 @@ N_CLASSES = 4
 SR = 16000
 FEATURE_CONF = dict(feature_type="logmelspectrogram",
                     melspectrogram={"num_mel_bins": 40})
+METRICS = ("accuracy", "min_cavg", "avg_eer")
 
 
 def _load_ref(name, relpath):
     """Load a reference module AS PART OF ITS PACKAGE (the features
     modules use relative imports), with its optional audio-IO deps
-    stubbed (not installed here; only the pure-TF DSP functions are
+    stubbed (not installed here; only the pure-TF/numpy DSP functions are
     exercised — same approach as tests/test_reference_oracles.py)."""
     import types
     for stub in ("miniaudio", "webrtcvad", "soundfile", "kaldiio"):
@@ -88,12 +111,18 @@ def make_corpus(n_train_per_class, n_test_per_class, seed):
     return train, test
 
 
-def features_jax(signals):
-    """The lidbox_tpu feature chain (f32 parity mode)."""
+def features_jax(signals, precision="highest", stft_method=None):
+    """The lidbox_tpu feature chain (f32 parity mode by default;
+    precision="bf16" = the 1-pass flagship DSP mode)."""
+    kwargs = dict(FEATURE_CONF)
+    if stft_method is None:
+        stft_method = "matmul" if precision != "highest" else "fft"
     out = []
     for i in range(0, len(signals), 64):
-        out.append(np.asarray(F.extract_features(
-            jnp.asarray(signals[i:i + 64]), SR, **FEATURE_CONF)))
+        feats = F.extract_features(jnp.asarray(signals[i:i + 64]), SR,
+                                   precision=precision,
+                                   stft_method=stft_method, **kwargs)
+        out.append(np.asarray(feats.astype(jnp.float32)))
     return np.concatenate(out).astype(np.float32)
 
 
@@ -155,10 +184,10 @@ def _reinit_glorot(params, key):
     return traverse_util.unflatten_dict(out)
 
 
-def train_flax(X, y, perms, batch, lr, seed, matched=False):
+def _make_trainer(input_shape, lr, seed, matched=False, compute_dtype=None):
     import optax
     from lidbox_tpu.train import Trainer
-    model = models.create("xvector", X.shape[1:], N_CLASSES)
+    model = models.create("xvector", input_shape, N_CLASSES)
     model.init(jax.random.PRNGKey(seed))
     if matched:
         variables = dict(model.variables)
@@ -166,9 +195,21 @@ def train_flax(X, y, perms, batch, lr, seed, matched=False):
             variables["params"], jax.random.PRNGKey(seed + 7))
         model.variables = variables
     eps = 1e-7 if matched else 1e-8  # Keras Adam default is 1e-7
-    trainer = Trainer(model, optax.adam(lr, eps=eps), nll_loss,
-                      rng=jax.random.PRNGKey(seed))
+    return Trainer(model, optax.adam(lr, eps=eps), nll_loss,
+                   rng=jax.random.PRNGKey(seed), compute_dtype=compute_dtype)
 
+
+def _predictor(trainer):
+    def predict(Xt):
+        return trainer.predict([{"input": Xt[i:i + 64]}
+                                for i in range(0, len(Xt), 64)])
+    return predict
+
+
+def train_flax(X, y, perms, batch, lr, seed, matched=False,
+               compute_dtype=None):
+    trainer = _make_trainer(X.shape[1:], lr, seed, matched=matched,
+                            compute_dtype=compute_dtype)
     state = {"i": 0}
 
     def feeder():
@@ -179,11 +220,120 @@ def train_flax(X, y, perms, batch, lr, seed, matched=False):
                 for j in range(0, len(perm), batch)]
 
     trainer.fit(feeder, epochs=len(perms), verbose=False)
+    return _predictor(trainer)
 
-    def predict(Xt):
-        return trainer.predict([{"input": Xt[i:i + 64]}
-                                for i in range(0, len(Xt), 64)])
-    return predict
+
+def train_flax_cached(X, y, epochs, batch, lr, seed):
+    """Flax x-vector trained through the cache_staged feed: epoch-1 batch
+    COMPOSITION frozen, per-epoch batch-order reshuffle only
+    (Trainer.fit cache_staged=True, cache_shuffle=True)."""
+    trainer = _make_trainer(X.shape[1:], lr, seed)
+    perm = np.random.default_rng(seed).permutation(len(y))
+
+    def feeder():
+        return [{"input": X[perm[j:j + batch]],
+                 "target": y[perm[j:j + batch]]}
+                for j in range(0, len(perm), batch)]
+
+    trainer.fit(feeder, epochs=epochs, verbose=False, cache_staged=True,
+                cache_shuffle=True)
+    return _predictor(trainer)
+
+
+# -- aug section helpers ------------------------------------------------
+
+
+def make_noise_clips(n, seconds, seed):
+    """Synthetic non-speech noise clips: white noise shaped by a random
+    smoothing FIR per clip (each clip gets its own spectral tilt), peak
+    level 0.5."""
+    rng = np.random.default_rng(seed)
+    T = int(SR * seconds)
+    clips = []
+    for _ in range(n):
+        w = rng.normal(size=T + 64).astype(np.float32)
+        k = int(rng.integers(2, 32))
+        kern = np.hanning(k + 2)[1:-1].astype(np.float32)
+        c = np.convolve(w, kern / kern.sum(), mode="same")[:T]
+        clips.append((0.5 * c / np.max(np.abs(c))).astype(np.float32))
+    return np.stack(clips)
+
+
+def corrupt_signals_ref(signals, clips, seed, snr_lo=5.0, snr_hi=15.0):
+    """Noise-corrupt a signal batch with the REFERENCE's own
+    numpy_snr_mixer executed from /root/reference (neutral oracle for the
+    eval condition; reference: lidbox/features/audio.py:100-121): per
+    utterance, one random clip tiled to length and one SNR ~ U[lo, hi]."""
+    ref_audio = _load_ref("ref_audio_qp", "features/audio.py")
+    rng = np.random.default_rng(seed)
+    out = np.empty_like(signals)
+    T = signals.shape[1]
+    for i, sig in enumerate(signals):
+        noise = np.resize(clips[rng.integers(len(clips))], T)
+        snr = float(rng.uniform(snr_lo, snr_hi))
+        _, _, mixed = ref_audio.numpy_snr_mixer(
+            sig.astype(np.float64), noise.astype(np.float64), snr)
+        out[i] = mixed.astype(np.float32)
+    return out
+
+
+def train_flax_fused_aug(train_sig, y, input_shape, epochs, batch, lr, seed,
+                         bank):
+    """The flagship fused-augmentation arm: raw waveforms through the full
+    config-5 chain (energy VAD -> noise bank mix -> random resampling ->
+    FIR -> log-Mel -> SpecAugment, ONE XLA program,
+    on_device.make_augmented_feature_fn) with fresh augmentation draws
+    every epoch (fit_signals). f32/highest DSP so the section isolates
+    the AUGMENTATION semantics (the bf16 section isolates precision)."""
+    from lidbox_tpu.data import on_device
+    trainer = _make_trainer(input_shape, lr, seed)
+    feature_fn = on_device.make_augmented_feature_fn(
+        SR, {"type": "logmelspectrogram",
+             "melspectrogram": {"num_mel_bins": 40},
+             "stft_method": "matmul"},
+        on_device.AugmentConfig(
+            snr_range=(5.0, 20.0), fir_coefs=10, speed_range=(0.9, 1.1),
+            vad=True, vad_min_non_speech_ms=0,
+            specaug_time_masks=2, specaug_freq_masks=2),
+        noise_bank=jnp.asarray(bank),
+        noise_lengths=jnp.full((len(bank),), bank.shape[1], jnp.int32))
+    rng_perm = np.random.default_rng(seed)
+
+    def batches():
+        perm = rng_perm.permutation(len(y))
+        for j in range(0, len(perm), batch):
+            idx = perm[j:j + batch]
+            yield train_sig[idx], y[idx]
+
+    on_device.fit_signals(trainer, feature_fn, batches, epochs=epochs,
+                          verbose=False)
+    return _predictor(trainer)
+
+
+def train_keras_ref_aug(train_sig, y, clips, epochs, batch, lr, seed):
+    """Reference-style augmentation arm: the corpus plus ONE offline
+    augmented copy per utterance (the reference's
+    augment_by_additive_noise emits augmented elements alongside
+    originals, reference: lidbox/data/steps.py:235-328), mixed with the
+    reference's own numpy_snr_mixer at SNR ~ U[5, 20] from the TRAINING
+    noise clips; features via the shared chain; Keras training."""
+    ref_audio = _load_ref("ref_audio_qp", "features/audio.py")
+    rng = np.random.default_rng(seed + 5000)
+    T = train_sig.shape[1]
+    aug = np.empty_like(train_sig)
+    for i, sig in enumerate(train_sig):
+        noise = np.resize(clips[rng.integers(len(clips))], T)
+        snr = float(rng.uniform(5.0, 20.0))
+        _, _, mixed = ref_audio.numpy_snr_mixer(
+            sig.astype(np.float64), noise.astype(np.float64), snr)
+        aug[i] = mixed.astype(np.float32)
+    X2 = features_jax(np.concatenate([train_sig, aug]))
+    y2 = np.concatenate([y, y])
+    perms = epoch_perms(len(y2), epochs, seed)
+    return train_keras(X2, y2, perms, batch, lr, seed)
+
+
+# -- evaluation + statistics ---------------------------------------------
 
 
 def evaluate(predict, Xt, yt):
@@ -195,59 +345,122 @@ def evaluate(predict, Xt, yt):
             "avg_eer": float(report["avg_equal_error_rate"])}
 
 
+def paired_delta(rows, arm, base, metrics=METRICS, get=None):
+    """Per-seed paired deltas arm - base with mean and a 95% t-CI.
+    ``get(row, name, metric)`` extracts a metric (default: row[name][m]).
+    Pairing (same seed/corpus/batch orders in both arms) removes the
+    between-seed variance, so the CI bounds |delta| directly."""
+    if get is None:
+        def get(row, name, m):
+            return row[name][m]
+    out = {}
+    for m in metrics:
+        d = np.asarray([get(r, arm, m) - get(r, base, m) for r in rows],
+                       np.float64)
+        n = len(d)
+        entry = {"deltas": [round(float(x), 4) for x in d],
+                 "mean": round(float(d.mean()), 4)}
+        if n > 1:
+            from scipy import stats
+            half = float(stats.t.ppf(0.975, n - 1) * d.std(ddof=1)
+                         / np.sqrt(n))
+            entry["ci95"] = [round(float(d.mean() - half), 4),
+                             round(float(d.mean() + half), 4)]
+        out[m] = entry
+    return out
+
+
+def summarize(rows, keys):
+    out = {}
+    for k in keys:
+        for metric in METRICS:
+            vals = [r[k][metric] for r in rows]
+            out[f"{k}.{metric}"] = {
+                "mean": round(float(np.mean(vals)), 4),
+                "min": round(float(np.min(vals)), 4),
+                "max": round(float(np.max(vals)), 4)}
+    return out
+
+
+def _write(results, path):
+    if not path:
+        return
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {path}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--aug-seeds", type=int, default=3,
+                    help="seeds for the (slower) aug section")
     ap.add_argument("--epochs", type=int, default=18)
     ap.add_argument("--train-per-class", type=int, default=60)
     ap.add_argument("--test-per-class", type=int, default=50)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--sections", default="a,b,bf16,aug,cached")
     ap.add_argument("--quick", action="store_true",
                     help="reduced sizes (slow-test harness)")
-    ap.add_argument("--skip-end-to-end", action="store_true",
-                    help="protocol (a) only")
-    ap.add_argument("--skip-protocol-a", action="store_true",
-                    help="protocol (b) only")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     if args.quick:
-        args.seeds, args.epochs = 1, 8
+        args.seeds, args.aug_seeds, args.epochs = 1, 1, 8
         args.train_per_class, args.test_per_class = 24, 24
+    sections = {s.strip() for s in args.sections.split(",") if s.strip()}
 
     t0 = time.time()
+    results = {}
+    if args.json and os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)  # merge: sections accumulate
+    results["config"] = vars(args)
+
     (train_sig, train_y), (test_sig, test_y) = make_corpus(
         args.train_per_class, args.test_per_class, seed=100)
     Xj, Xjt = features_jax(train_sig), features_jax(test_sig)
-    results = {"config": vars(args), "protocol_a": [], "protocol_b": []}
     print(f"corpus: {len(train_y)} train / {len(test_y)} test utterances, "
-          f"features {Xj.shape[1:]}", flush=True)
+          f"features {Xj.shape[1:]}, sections {sorted(sections)}",
+          flush=True)
 
-    seeds_a = [] if args.skip_protocol_a else range(args.seeds)
-    for seed in seeds_a:
-        perms = epoch_perms(len(train_y), args.epochs, seed=seed)
-        row = {"seed": seed}
-        for name, fn in [
-                ("keras", lambda: train_keras(Xj, train_y, perms, args.batch,
-                                              args.lr, seed)),
-                ("flax_default", lambda: train_flax(Xj, train_y, perms,
-                                                    args.batch, args.lr,
-                                                    seed)),
-                ("flax_matched", lambda: train_flax(Xj, train_y, perms,
-                                                    args.batch, args.lr,
-                                                    seed, matched=True))]:
-            t = time.time()
-            row[name] = evaluate(fn(), Xjt, test_y)
-            row[name]["train_sec"] = round(time.time() - t, 1)
-            print(f"  a/seed{seed}/{name}: {row[name]}", flush=True)
-        results["protocol_a"].append(row)
+    # ---- section a: shared features, Keras vs Flax ---------------------
+    if "a" in sections:
+        rows = []
+        for seed in range(args.seeds):
+            perms = epoch_perms(len(train_y), args.epochs, seed=seed)
+            row = {"seed": seed}
+            for name, fn in [
+                    ("keras", lambda: train_keras(Xj, train_y, perms,
+                                                  args.batch, args.lr, seed)),
+                    ("flax_default", lambda: train_flax(
+                        Xj, train_y, perms, args.batch, args.lr, seed)),
+                    ("flax_matched", lambda: train_flax(
+                        Xj, train_y, perms, args.batch, args.lr, seed,
+                        matched=True))]:
+                t = time.time()
+                row[name] = evaluate(fn(), Xjt, test_y)
+                row[name]["train_sec"] = round(time.time() - t, 1)
+                print(f"  a/seed{seed}/{name}: {row[name]}", flush=True)
+            rows.append(row)
+        results["protocol_a"] = rows
+        results["summary_a"] = summarize(rows, ["keras", "flax_default",
+                                                "flax_matched"])
+        results["summary_a"]["paired_delta_flax_default_vs_keras"] = \
+            paired_delta(rows, "flax_default", "keras")
+        results["summary_a"]["paired_delta_flax_matched_vs_keras"] = \
+            paired_delta(rows, "flax_matched", "keras")
+        _write(results, args.json)
 
-    if not args.skip_end_to_end:
+    # ---- section b: each stack's own features ---------------------------
+    if "b" in sections:
         try:
             Xt_tf, Xtt_tf = features_tf(train_sig), features_tf(test_sig)
-            drift = float(np.max(np.abs(Xt_tf - Xj)))
-            results["feature_drift_max_abs"] = drift
-            print(f"feature drift |tf - jax| max: {drift:.2e}", flush=True)
+            results["feature_drift_max_abs"] = float(
+                np.max(np.abs(Xt_tf - Xj)))
+            print(f"feature drift |tf - jax| max: "
+                  f"{results['feature_drift_max_abs']:.2e}", flush=True)
+            rows = []
             for seed in range(args.seeds):
                 perms = epoch_perms(len(train_y), args.epochs, seed=seed)
                 row = {"seed": seed}
@@ -258,40 +471,133 @@ def main():
                     train_flax(Xj, train_y, perms, args.batch, args.lr,
                                seed), Xjt, test_y)
                 print(f"  b/seed{seed}: {row}", flush=True)
-                results["protocol_b"].append(row)
-        except Exception as e:  # protocol (a) results must still be written
+                rows.append(row)
+            results["protocol_b"] = rows
+            results["summary_b"] = summarize(rows, ["keras_tf_feats",
+                                                    "flax_jax_feats"])
+            results["summary_b"]["paired_delta_flax_vs_keras"] = \
+                paired_delta(rows, "flax_jax_feats", "keras_tf_feats")
+        except Exception as e:  # other sections must still be written
             results["protocol_b_error"] = f"{type(e).__name__}: {e}"
             print(f"protocol (b) failed: {results['protocol_b_error']}",
                   flush=True)
+        _write(results, args.json)
 
-    def summarize(rows, keys):
-        out = {}
-        for k in keys:
-            for metric in ("accuracy", "min_cavg", "avg_eer"):
-                vals = [r[k][metric] for r in rows]
-                out[f"{k}.{metric}"] = {
-                    "mean": round(float(np.mean(vals)), 4),
-                    "min": round(float(np.min(vals)), 4),
-                    "max": round(float(np.max(vals)), 4)}
-        return out
+    # ---- section bf16: the 74%-MFU flagship vs f32 ----------------------
+    if "bf16" in sections:
+        Xb = features_jax(train_sig, precision="bf16")
+        Xbt = features_jax(test_sig, precision="bf16")
+        results["bf16_feature_delta_max_abs"] = float(
+            np.max(np.abs(Xb - features_jax(train_sig, precision="highest",
+                                            stft_method="matmul"))))
+        print(f"bf16 feature delta vs highest: "
+              f"{results['bf16_feature_delta_max_abs']:.2e}", flush=True)
+        rows = []
+        for seed in range(args.seeds):
+            perms = epoch_perms(len(train_y), args.epochs, seed=seed)
+            row = {"seed": seed}
+            for name, fn in [
+                    ("flax_f32", lambda: train_flax(
+                        Xj, train_y, perms, args.batch, args.lr, seed)),
+                    ("flax_bf16", lambda: train_flax(
+                        Xb, train_y, perms, args.batch, args.lr, seed,
+                        compute_dtype=jnp.bfloat16))]:
+                Xeval = Xjt if name == "flax_f32" else Xbt
+                t = time.time()
+                row[name] = evaluate(fn(), Xeval, test_y)
+                row[name]["train_sec"] = round(time.time() - t, 1)
+                print(f"  bf16/seed{seed}/{name}: {row[name]}", flush=True)
+            rows.append(row)
+        results["flagship_bf16"] = rows
+        results["summary_bf16"] = summarize(rows, ["flax_f32", "flax_bf16"])
+        results["summary_bf16"]["paired_delta_bf16_vs_f32"] = \
+            paired_delta(rows, "flax_bf16", "flax_f32")
+        _write(results, args.json)
 
-    if results["protocol_a"]:
-        results["summary_a"] = summarize(results["protocol_a"],
-                                         ["keras", "flax_default",
-                                          "flax_matched"])
-    if results["protocol_b"]:
-        results["summary_b"] = summarize(results["protocol_b"],
-                                         ["keras_tf_feats",
-                                          "flax_jax_feats"])
+    # ---- section aug: fused config-5 chain vs clean vs reference-style --
+    if "aug" in sections:
+        train_bank = make_noise_clips(12, 4.0, seed=777)
+        eval_clips = make_noise_clips(12, 4.0, seed=888)  # held-out noise
+        test_noisy = corrupt_signals_ref(test_sig, eval_clips, seed=999)
+        Xjt_noisy = features_jax(test_noisy)
+        rows = []
+        for seed in range(args.aug_seeds):
+            perms = epoch_perms(len(train_y), args.epochs, seed=seed)
+            row = {"seed": seed}
+            for name, fn in [
+                    ("flax_clean", lambda: train_flax(
+                        Xj, train_y, perms, args.batch, args.lr, seed)),
+                    ("flax_fused_aug", lambda: train_flax_fused_aug(
+                        train_sig, train_y, Xj.shape[1:], args.epochs,
+                        args.batch, args.lr, seed, train_bank)),
+                    ("keras_ref_aug", lambda: train_keras_ref_aug(
+                        train_sig, train_y, train_bank, args.epochs,
+                        args.batch, args.lr, seed))]:
+                t = time.time()
+                predict = fn()
+                row[name] = {
+                    "noisy": evaluate(predict, Xjt_noisy, test_y),
+                    "clean": evaluate(predict, Xjt, test_y),
+                    "train_sec": round(time.time() - t, 1)}
+                print(f"  aug/seed{seed}/{name}: {row[name]}", flush=True)
+            rows.append(row)
+        results["augmented"] = rows
+
+        def get_eval(cond):
+            def get(row, name, m):
+                return row[name][cond][m]
+            return get
+        results["summary_aug"] = {
+            cond: {
+                f"{k}.{m}": {
+                    "mean": round(float(np.mean(
+                        [r[k][cond][m] for r in rows])), 4),
+                    "min": round(float(np.min(
+                        [r[k][cond][m] for r in rows])), 4),
+                    "max": round(float(np.max(
+                        [r[k][cond][m] for r in rows])), 4)}
+                for k in ("flax_clean", "flax_fused_aug", "keras_ref_aug")
+                for m in METRICS}
+            for cond in ("noisy", "clean")}
+        for cond in ("noisy", "clean"):
+            results["summary_aug"][cond]["paired_delta_fused_vs_clean"] = \
+                paired_delta(rows, "flax_fused_aug", "flax_clean",
+                             get=get_eval(cond))
+            results["summary_aug"][cond]["paired_delta_fused_vs_ref_aug"] = \
+                paired_delta(rows, "flax_fused_aug", "keras_ref_aug",
+                             get=get_eval(cond))
+        _write(results, args.json)
+
+    # ---- section cached: frozen-composition cache_staged vs streamed ----
+    if "cached" in sections:
+        rows = []
+        for seed in range(args.seeds):
+            perms = epoch_perms(len(train_y), args.epochs, seed=seed)
+            row = {"seed": seed}
+            for name, fn in [
+                    ("streamed", lambda: train_flax(
+                        Xj, train_y, perms, args.batch, args.lr, seed)),
+                    ("cached_frozen", lambda: train_flax_cached(
+                        Xj, train_y, args.epochs, args.batch, args.lr,
+                        seed))]:
+                t = time.time()
+                row[name] = evaluate(fn(), Xjt, test_y)
+                row[name]["train_sec"] = round(time.time() - t, 1)
+                print(f"  cached/seed{seed}/{name}: {row[name]}", flush=True)
+            rows.append(row)
+        results["cached_feed"] = rows
+        results["summary_cached"] = summarize(rows, ["streamed",
+                                                     "cached_frozen"])
+        results["summary_cached"]["paired_delta_cached_vs_streamed"] = \
+            paired_delta(rows, "cached_frozen", "streamed")
+        _write(results, args.json)
+
     results["wall_sec"] = round(time.time() - t0, 1)
-    if "summary_a" in results:
-        print(json.dumps(results["summary_a"], indent=2))
-    if "summary_b" in results:
-        print(json.dumps(results["summary_b"], indent=2))
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(results, f, indent=2)
-        print(f"wrote {args.json}")
+    for key in ("summary_a", "summary_b", "summary_bf16", "summary_aug",
+                "summary_cached"):
+        if key in results:
+            print(key, json.dumps(results[key], indent=2), flush=True)
+    _write(results, args.json)
 
 
 if __name__ == "__main__":
