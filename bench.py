@@ -626,11 +626,29 @@ def main():
         finally:
             trainer_fed.callbacks.pop()
         rates = [num_batches * MODEL_BATCH / (b - a) for a, b in epoch_walls]
+        # replay floor (VERDICT r4 #3): a cached replay epoch cannot beat
+        # one dispatch->readback round trip plus num_batches device steps.
+        # On a 24-batch receipt corpus that floor — not device headroom —
+        # sets the ceiling: "% of device rate" alone under-reports small
+        # corpora, so print the floor and the achieved fraction OF IT.
+        # t_rtt: a no-op program on device-resident args, dispatched and
+        # read back, min over reps (stalls only ever add time).
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(peek(dev_sigs))
+            rtts.append(time.perf_counter() - t0)
+        t_rtt = min(rtts)
+        floor_wall = t_rtt + num_batches * dt_dev
+        floor_rate = num_batches * MODEL_BATCH / floor_wall
         log(f"  fed-cached[b{MODEL_BATCH} int16, 3 epochs, 4 step/"
             f"dispatch]: epoch1 "
             f"{rates[0]:,.0f} -> epoch3 {rates[-1]:,.0f} utt/s "
             f"(device-resident cache; {100 * rates[-1] / device_rate:.0f}% "
-            f"of device rate after the one-time feed)")
+            f"of device rate after the one-time feed); epoch floor = "
+            f"1 round trip {t_rtt * 1e3:.0f} ms + {num_batches} x "
+            f"{dt_dev * 1e3:.2f} ms device = {floor_rate:,.0f} utt/s "
+            f"-> epoch3 at {100 * rates[-1] / floor_rate:.0f}% of floor")
 
         # legacy r02-style fed path (host featurize round-trip, f32
         # features staged) for direct comparison with BENCH_r02's 114 utt/s
@@ -654,14 +672,25 @@ def main():
         state3 = trainer.state
         loss3 = None
         list(fed_batches(2))  # warm compile path
+        # producer-only rate, probed in the SAME window (VERDICT r4 weak
+        # #1's unexplained 63-vs-114 line): fed_batches featurizes through
+        # a device ROUND TRIP per batch — ~8.5 MB of extra traffic on the
+        # same serializing link — so the producer, not the training feed,
+        # bounds this legacy line; its rate drifts with the pooled link
+        # like everything else, which is the r02 114 vs r04 63 story.
+        t0 = time.perf_counter()
+        for _ in fed_batches(12):
+            pass
+        producer_rate = 12 * MODEL_BATCH / (time.perf_counter() - t0)
         t0 = time.perf_counter()
         for _, batch in trainer._staged(fed_batches(num_batches)):
             state3, loss3 = trainer._jit_train_step(state3, batch, trainer.rng)
         np.asarray(jax.device_get(loss3))
         fed_legacy = num_batches * MODEL_BATCH / (time.perf_counter() - t0)
         log(f"  fed-train-step[b{MODEL_BATCH} f32 features, pipelined "
-            f"staging]: {fed_legacy:,.1f} utt/s (r02 measured 114 with "
-            f"synchronous staging)")
+            f"staging]: {fed_legacy:,.1f} utt/s vs producer-only "
+            f"{producer_rate:,.1f} utt/s (in-situ featurize round trip "
+            f"bounds this line; r02's 114 was a different link window)")
 
         # grouped dispatch on the FEATURE-fed path (VERDICT r3 #2):
         # Trainer.fit(steps_per_dispatch=K) stacks K bf16-staged feature
@@ -698,28 +727,54 @@ def main():
             stt_f["s"], loss = trainer_feat._jit_train_step(
                 stt_f["s"], dev_fb, trainer_feat.rng)
             return loss
-        device_feat_rate = MODEL_BATCH / _time(dev_feat_step,
-                                               jnp.float32(0.0))
-        for spd, nb in ((1, num_batches), (4, 2 * num_batches)):
-            def feat_src(n=nb):
+        # the pooled chip's absolute step time drifts 3-6x between
+        # moments: re-probe the device yardstick IMMEDIATELY around each
+        # fed run (like the transfer probe), not once up front
+        def probe_device_feat_rate():
+            return MODEL_BATCH / _time(dev_feat_step, jnp.float32(0.0),
+                                       n1=4, n2=16, reps=3)
+        device_feat_rate = probe_device_feat_rate()
+        # Every fit() call carries ~0.5 s of FIXED cost on this link
+        # (params->host sync at fit end — now one batched readback —
+        # loss-vector readback, pipeline fill/drain); over a 24-batch
+        # receipt epoch that fixed cost masqueraded as a 55-68% feed
+        # residual in r04 and even made 4 steps/dispatch look slower
+        # than 1 (measured attribution: tools/exp_feed_attrib.py — the
+        # staged feed core itself runs at ~100% of the transfer bound).
+        # Delta-time TWO fit lengths so the steady-state rate and the
+        # fixed per-fit cost are reported separately.
+        for spd in (1, 4):
+            nb_short, nb_long = num_batches, 3 * num_batches
+
+            def feat_src(n):
                 return (feat_host[i % num_batches] for i in range(n))
             trainer_feat.fit(lambda: feat_src(2 * spd), epochs=1,
                              verbose=False, steps_per_dispatch=spd)  # warm
+            device_feat_rate = probe_device_feat_rate()
             t_before = measure_stream(feat_bufs)
-            t0 = time.perf_counter()
-            trainer_feat.fit(feat_src, epochs=1,
-                             verbose=False, steps_per_dispatch=spd)
-            fed_feat_rate = nb * MODEL_BATCH / (time.perf_counter() - t0)
+            legs = {nb_short: [], nb_long: []}
+            for _ in range(2):  # min per leg: stalls only ever add time
+                for nb in (nb_short, nb_long):
+                    t0 = time.perf_counter()
+                    trainer_feat.fit(lambda n=nb: feat_src(n), epochs=1,
+                                     verbose=False, steps_per_dispatch=spd)
+                    legs[nb].append(time.perf_counter() - t0)
             t_after = measure_stream(feat_bufs)
+            steady = ((min(legs[nb_long]) - min(legs[nb_short]))
+                      / (nb_long - nb_short))
+            fixed = max(min(legs[nb_short]) - nb_short * steady, 0.0)
+            fed_feat_rate = MODEL_BATCH / max(steady, 1e-9)
             xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
             bound = min(xfer_now, device_feat_rate)
             limiter = ("transfer" if bound == xfer_now else "device")
             log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB "
-                f"precomputed, {spd} step/dispatch]: {fed_feat_rate:,.1f} "
-                f"utt/s vs bound min(transfer {xfer_now:,.0f}, device "
-                f"{device_feat_rate:,.0f}) = {bound:,.0f} "
-                f"[{limiter}-bound] -> achieved "
-                f"{100 * fed_feat_rate / bound:.0f}% of bound")
+                f"precomputed, {spd} step/dispatch]: steady-state "
+                f"{fed_feat_rate:,.1f} utt/s vs bound min(transfer "
+                f"{xfer_now:,.0f}, device {device_feat_rate:,.0f}) = "
+                f"{bound:,.0f} [{limiter}-bound] -> achieved "
+                f"{100 * fed_feat_rate / bound:.0f}% of bound; "
+                f"+{fixed * 1e3:,.0f} ms fixed per fit() "
+                f"(param sync + loss readback + pipeline fill)")
 
         # whole-epoch cached replay on the feature path (VERDICT r3 #3):
         # epochs 2+ run ONE scanned program per epoch over the
@@ -741,30 +796,44 @@ def main():
         trainer_feat2.fit(feat_host, epochs=3,
                           verbose=False, cache_staged=True)
         f_rates = [num_batches * MODEL_BATCH / (b - a) for a, b in feat_walls]
-        # device-resident yardstick for the feature path: the replay
-        # program itself, timed back-to-back (scan over the cached stack)
+        # epoch floor for the whole-epoch scan (VERDICT r4 #3): one
+        # dispatch->readback round trip + num_batches device steps; the
+        # step time is re-probed here, in this window
+        dev_feat_now = probe_device_feat_rate()
+        np.asarray(peek(dev_fb["input"]))  # warm this shape's compile
+        rtts = []
+        for _ in range(5):  # no-op dispatch+readback on device-resident arg
+            t0 = time.perf_counter()
+            np.asarray(peek(dev_fb["input"]))
+            rtts.append(time.perf_counter() - t0)
+        t_rtt_f = min(rtts)
+        f_floor_wall = t_rtt_f + num_batches * MODEL_BATCH / dev_feat_now
+        f_floor_rate = num_batches * MODEL_BATCH / f_floor_wall
         log(f"  fed-cached[features bf16, 3 epochs, whole-epoch scan]: "
             f"epoch1 {f_rates[0]:,.0f} -> epoch3 {f_rates[-1]:,.0f} utt/s "
-            f"(1 dispatch + 1 readback per epoch after the one-time feed)")
+            f"(1 dispatch + 1 readback per epoch after the one-time feed); "
+            f"epoch floor = 1 round trip {t_rtt_f * 1e3:.0f} ms + "
+            f"{num_batches} x {MODEL_BATCH / dev_feat_now * 1e3:.2f} ms "
+            f"device = {f_floor_rate:,.0f} utt/s -> epoch3 at "
+            f"{100 * f_rates[-1] / f_floor_rate:.0f}% of floor")
 
         # embedding-extraction feed (the extract_embeddings pipeline
         # shape): per batch, host features -> device forward -> host
         # readback (np.asarray in both arms — the pipeline materializes
         # embeddings). stage_dtype=bfloat16 halves the h2d bytes (the
-        # extract_embeddings config key); overlap=2 keeps two extractor
-        # calls in flight (num_parallel_calls=2) — measured SLOWER on this
-        # serializing tunnel (two dispatch threads contend for one link),
-        # which is why the library default is 1; the line stays to keep
-        # that attribution measured, not assumed.
+        # extract_embeddings config key). overlap=2 keeps two extractor
+        # calls in flight (num_parallel_calls=2): the serializing tunnel
+        # makes its sign WINDOW-DEPENDENT (r03 measured 0.77x, r04 1.22x),
+        # so the two arms are INTERLEAVED here — 3 alternations, min per
+        # leg — and the ratio is reported as this window's, not a law.
         if past_deadline("extraction-feed section"):
             raise TimeoutError("soft deadline")
         import collections
         from lidbox_tpu.util import make_batch_predict_fn
         feat_list = [np.asarray(b["input"], np.float32)
                      for b in fed_batches(12)]
-        for sd, overlap in ((None, 1), ("bfloat16", 1), ("bfloat16", 2)):
-            efn = make_batch_predict_fn(model, stage_dtype=sd)
-            np.asarray(efn(feat_list[0]))  # warm the compile
+
+        def extraction_run(efn, overlap):
             t0 = time.perf_counter()
             if overlap == 1:
                 for x in feat_list:
@@ -779,14 +848,87 @@ def main():
                             futs.popleft().result()
                     while futs:
                         futs.popleft().result()
-            rate = len(feat_list) * MODEL_BATCH / (time.perf_counter() - t0)
-            log(f"  extraction-feed[b{MODEL_BATCH} "
-                f"{'bf16' if sd else 'f32'} features, overlap={overlap}]: "
-                f"{rate:,.1f} utt/s")
+            return len(feat_list) * MODEL_BATCH / (time.perf_counter() - t0)
+
+        efn_f32 = make_batch_predict_fn(model, stage_dtype=None)
+        np.asarray(efn_f32(feat_list[0]))  # warm the compile
+        rate_f32 = extraction_run(efn_f32, 1)
+        log(f"  extraction-feed[b{MODEL_BATCH} f32 features, overlap=1]: "
+            f"{rate_f32:,.1f} utt/s")
+        efn_bf16 = make_batch_predict_fn(model, stage_dtype="bfloat16")
+        np.asarray(efn_bf16(feat_list[0]))
+        ov_rates = {1: [], 2: []}
+        for _ in range(3):
+            for ov in (1, 2):
+                ov_rates[ov].append(extraction_run(efn_bf16, ov))
+        best = {ov: max(rs) for ov, rs in ov_rates.items()}
+        log(f"  extraction-feed[b{MODEL_BATCH} bf16 features, interleaved "
+            f"3x]: overlap=1 {best[1]:,.1f} utt/s, overlap=2 "
+            f"{best[2]:,.1f} utt/s -> overlap-2 ratio {best[2] / best[1]:.2f}x "
+            f"this window (sign varies with link state; default "
+            f"num_parallel_calls=1 is the conservative choice)")
         decode_pool.shutdown()
     except Exception as e:
         if not isinstance(e, TimeoutError):  # deadline skips already logged
             log(f"  host-loader section failed: {type(e).__name__}: {e}")
+
+    # --- serving latency (VERDICT r4 #7): the bench's throughput lines are
+    # saturation-only; a deployment cares about per-request latency. b1
+    # single-utterance device time (waveform -> log-Mel -> scores) and the
+    # streaming per-chunk device time, both delta-timed so the tunnel RTT
+    # cancels; plus one wall number through StreamingClassifier.feed to
+    # show what THIS tunnel adds (on-host serving pays only device time).
+    try:
+        if past_deadline("serving-latency section"):
+            raise TimeoutError("soft deadline")
+        sig1 = jnp.asarray(rng.normal(0, 0.1, (1, samples)).astype(np.float32))
+        for pname, precision, cdtype in (("f32", "highest", None),
+                                         ("bf16", "bf16", jnp.bfloat16)):
+            @jax.jit
+            def serve1_step(carry, p=precision, cd=cdtype):
+                feats = F.extract_features(
+                    sig1 + carry * 1e-20, SAMPLE_RATE,
+                    feature_type="logmelspectrogram",
+                    melspectrogram={"num_mel_bins": NUM_MEL},
+                    stft_method=best_method, precision=p)
+                kw = {} if cd is None else {"compute_dtype": cd}
+                out = model.apply(variables, feats, train=False, **kw)
+                return jnp.mean(out)
+            # sub-ms op: n2 >= 200 per CLAUDE.md's timing recipe
+            dt1 = _time(serve1_step, jnp.float32(0.0), n1=20, n2=220, reps=5)
+            log(f"  serving-latency[b1 {SECONDS:.0f}s waveform->scores, "
+                f"{pname}]: {dt1 * 1e3:.3f} ms device time "
+                f"({1 / dt1:,.0f} utt/s at b1)")
+        from lidbox_tpu.serve import StreamingClassifier
+        sc = StreamingClassifier(model, [str(i) for i in range(NUM_LANGS)],
+                                 sample_rate=SAMPLE_RATE)
+        chunk_sig = jnp.asarray(rng.normal(0, 0.1, (1, sc.chunk_len))
+                                .astype(np.float32))
+
+        @jax.jit
+        def chunk_step(carry):  # the streaming per-chunk program shape
+            feats = F.extract_features(
+                chunk_sig + carry * 1e-20, SAMPLE_RATE,
+                feature_type="logmelspectrogram",
+                melspectrogram={"num_mel_bins": NUM_MEL})
+            out = model.apply(variables, feats, train=False)
+            return jnp.mean(out)
+        dt_chunk = _time(chunk_step, jnp.float32(0.0), n1=20, n2=220, reps=5)
+        block = rng.normal(0, 0.1, sc.chunk_len).astype(np.float32)
+        sc.feed(block)  # warm both compiles (extractor + forward)
+        hop_block = rng.normal(0, 0.1, sc.hop).astype(np.float32)
+        walls = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            sc.feed(hop_block)  # completes exactly one chunk
+            walls.append(time.perf_counter() - t0)
+        log(f"  serving-latency[streaming {sc.chunk_len / SAMPLE_RATE:.0f}s "
+            f"chunk]: {dt_chunk * 1e3:.3f} ms device time/chunk; "
+            f"StreamingClassifier.feed wall {min(walls) * 1e3:.0f} ms/chunk "
+            f"through the tunnel (2 synchronous round trips/chunk)")
+    except Exception as e:
+        if not isinstance(e, TimeoutError):
+            log(f"  serving-latency section failed: {type(e).__name__}: {e}")
 
     # --- model zoo: waveform -> features -> forward across families ------
     # (bf16 DSP + bf16 model, b128 x 3 s — shows the zoo is fast, not just

@@ -212,6 +212,37 @@ def _cache_budget_bytes(limit=None):
     return float("inf")
 
 
+def _batched_device_get(tree):
+    """``jax.device_get`` with ONE readback per dtype instead of one per
+    leaf: device leaves are raveled and concatenated on device (cheap
+    async dispatches, no round trip), fetched as a single buffer, and
+    split host-side. On a high-RTT feed link a per-leaf get pays one
+    round trip per leaf — the 16-leaf x-vector param sync measured ~0.4 s
+    of the ~0.5 s fixed per-fit() cost on the tunneled chip
+    (tools/exp_feed_attrib.py); batched it pays ~1 round trip + the
+    bandwidth the bytes cost anyway. Host (non-jax.Array) leaves pass
+    through unchanged."""
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = list(leaves)
+    by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            by_dtype.setdefault(jnp.dtype(leaf.dtype), []).append(i)
+    for idxs in by_dtype.values():
+        if len(idxs) == 1:
+            out[idxs[0]] = jax.device_get(leaves[idxs[0]])
+            continue
+        flat = jnp.concatenate([leaves[i].ravel() for i in idxs])
+        host = np.asarray(jax.device_get(flat))
+        off = 0
+        for i in idxs:
+            n = int(leaves[i].size)
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _structure_digest(item):
     """Deterministic 32-bit digest of a staged item's pytree structure and
     leaf shapes/dtypes — what every host must agree on before a collective
@@ -437,7 +468,7 @@ class Trainer:
                 lambda a: multihost_utils.process_allgather(a, tiled=True)
                 if isinstance(a, jax.Array) and not a.is_fully_addressable
                 else a, variables)
-        self.model.variables = jax.device_get(variables)
+        self.model.variables = _batched_device_get(variables)
 
     def current_learning_rate(self):
         if self.lr_schedule is None:

@@ -1806,3 +1806,47 @@ class TestEarlyStoppingRestoreBest:
                                restored, best_params)
         # and they differ from what epoch 4's update would have left
         assert es.best == 0.5
+
+
+class TestBatchedDeviceGet:
+    def test_matches_plain_device_get(self):
+        """_batched_device_get (one readback per dtype — fixed per-fit
+        cost on a high-RTT link) must be value- and structure-identical
+        to per-leaf jax.device_get on a mixed pytree."""
+        import jax.numpy as jnp
+        from lidbox_tpu.train.loop import _batched_device_get
+        rng = np.random.default_rng(0)
+        tree = {
+            "params": {"w": jnp.asarray(rng.normal(size=(4, 3)),
+                                        jnp.float32),
+                       "b": jnp.asarray(rng.normal(size=(3,)),
+                                        jnp.float32),
+                       "scalar": jnp.float32(2.5),
+                       "empty": jnp.zeros((0, 5), jnp.float32)},
+            "counts": jnp.asarray([1, 2, 3], jnp.int32),
+            "flag": jnp.asarray(True),
+            "host_leaf": np.arange(4.0),   # non-jax leaf passes through
+            "pyfloat": 1.5,
+        }
+        got = _batched_device_get(tree)
+        want = jax.device_get(tree)
+        assert (jax.tree_util.tree_structure(got)
+                == jax.tree_util.tree_structure(want))
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+            assert np.asarray(g).dtype == np.asarray(w).dtype
+            assert np.asarray(g).shape == np.asarray(w).shape
+
+    def test_sync_model_variables_round_trips(self):
+        """fit -> sync -> the model object serves the trained params as
+        host arrays equal to the train state's."""
+        trainer = make_trainer()
+        trainer.fit(lambda: toy_batches(2), epochs=1)
+        want = jax.device_get(trainer.state.params)
+        got = trainer.model.variables["params"]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), got, want)
+        assert all(isinstance(leaf, np.ndarray)
+                   for leaf in jax.tree_util.tree_leaves(got))
