@@ -227,8 +227,12 @@ def _batched_device_get(tree):
     out = list(leaves)
     by_dtype = {}
     for i, leaf in enumerate(leaves):
-        if isinstance(leaf, jax.Array):
+        if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
             by_dtype.setdefault(jnp.dtype(leaf.dtype), []).append(i)
+        elif isinstance(leaf, jax.Array):
+            # process-spanning shardings: keep the plain get (callers that
+            # need these batched allgather first, like sync_model_variables)
+            out[i] = jax.device_get(leaf)
     for idxs in by_dtype.values():
         if len(idxs) == 1:
             out[idxs[0]] = jax.device_get(leaves[idxs[0]])
@@ -1287,7 +1291,8 @@ class Trainer:
                     source.close()  # release staging on any exit path
         results = {name: metric.result(metric_states[name])
                    for name, metric in self.metrics.items()}
-        results, total, count = jax.device_get((results, total, count))
+        # one readback per dtype, not one round trip per metric leaf
+        results, total, count = _batched_device_get((results, total, count))
         denom = max(float(count) if count is not None else 0.0, 1.0)
         logs = {prefix + "loss": (float(total) if total is not None
                                   else float("nan")) / denom}
