@@ -565,12 +565,17 @@ def main():
         dt_dev = _time(dev_resident, jnp.float32(0.0))
         device_rate = MODEL_BATCH / dt_dev
 
-        # grouped dispatch measures over 2x the batches: at spd=4 the
-        # run is only num_batches/4 dispatch groups, and pipeline
-        # fill/drain (first group: decode+stage 4 batches before any
-        # compute) costs ~1/groups of the rate — 24 batches under-reports
-        # spd=4 by ~15-25%
-        for spd, nb in ((1, num_batches), (4, 2 * num_batches)):
+        # every fit_signals() call carries a fixed cost (end-of-fit param
+        # sync, loss readback, pipeline fill/drain) that a 24-batch
+        # receipt epoch cannot amortize — delta-time two epoch lengths
+        # (like the feature-fed lines) so the steady-state rate and the
+        # fixed per-fit cost report separately. Transfer probes match
+        # the actual geometry: spd=4 ships ONE stacked put per round.
+        sig_probe_bufs = {1: distinct,
+                          4: [np.stack(distinct[i:i + 4])
+                              for i in range(0, len(distinct), 4)]}
+        for spd in (1, 4):
+            nb_short, nb_long = num_batches, 3 * num_batches
             on_device.fit_signals(trainer_fed, clean_fn,
                                   lambda: int16_batches(2 * spd), epochs=1,
                                   verbose=False,
@@ -578,25 +583,33 @@ def main():
             # the pooled link's rate drifts minute to minute: bound each
             # fed line with a streamed-transfer measurement taken
             # IMMEDIATELY around it (in-process A/B)
-            t_before = measure_stream()
-            t0 = time.perf_counter()
-            on_device.fit_signals(trainer_fed, clean_fn,
-                                  lambda: int16_batches(nb),
-                                  epochs=1, verbose=False,
-                                  steps_per_dispatch=spd)
-            fed_rate = nb * MODEL_BATCH / (time.perf_counter() - t0)
-            t_after = measure_stream()
-            xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
+            t_before = measure_stream(sig_probe_bufs[spd])
+            flegs = {nb_short: [], nb_long: []}
+            for _ in range(2):  # min per leg: stalls only ever add time
+                for nb in (nb_short, nb_long):
+                    t0 = time.perf_counter()
+                    on_device.fit_signals(trainer_fed, clean_fn,
+                                          lambda n=nb: int16_batches(n),
+                                          epochs=1, verbose=False,
+                                          steps_per_dispatch=spd)
+                    flegs[nb].append(time.perf_counter() - t0)
+            t_after = measure_stream(sig_probe_bufs[spd])
+            steady = ((min(flegs[nb_long]) - min(flegs[nb_short]))
+                      / (nb_long - nb_short))
+            fixed = max(min(flegs[nb_short]) - nb_short * steady, 0.0)
+            fed_rate = MODEL_BATCH / max(steady, 1e-9)
+            xfer_now = spd * MODEL_BATCH / ((t_before + t_after) / 2)
             bound = min(loader_rate, xfer_now, device_rate)
             limiter = {loader_rate: "loader", xfer_now: "transfer",
                        device_rate: "device"}[bound]
             log(f"  fed-train-fused[b{MODEL_BATCH} int16, {spd} step/"
-                f"dispatch]: {fed_rate:,.1f} utt/s (decode->stage->"
-                f"featurize+train) vs {device_rate:,.1f} device-resident; "
-                f"bound min(loader {loader_rate:,.0f}, transfer "
-                f"{xfer_now:,.0f}, device {device_rate:,.0f}) = "
+                f"dispatch]: steady-state {fed_rate:,.1f} utt/s (decode->"
+                f"stage->featurize+train) vs {device_rate:,.1f} "
+                f"device-resident; bound min(loader {loader_rate:,.0f}, "
+                f"transfer {xfer_now:,.0f}, device {device_rate:,.0f}) = "
                 f"{bound:,.0f} [{limiter}-bound] -> achieved "
-                f"{100 * fed_rate / bound:.0f}% of bound")
+                f"{100 * fed_rate / bound:.0f}% of bound; "
+                f"+{fixed * 1e3:,.0f} ms fixed per fit")
 
         # device-resident epoch cache: epoch 1 pays the feed once, later
         # epochs train from HBM at device speed (augmentation stays fresh
@@ -645,10 +658,13 @@ def main():
             f"dispatch]: epoch1 "
             f"{rates[0]:,.0f} -> epoch3 {rates[-1]:,.0f} utt/s "
             f"(device-resident cache; {100 * rates[-1] / device_rate:.0f}% "
-            f"of device rate after the one-time feed); epoch floor = "
-            f"1 round trip {t_rtt * 1e3:.0f} ms + {num_batches} x "
-            f"{dt_dev * 1e3:.2f} ms device = {floor_rate:,.0f} utt/s "
-            f"-> epoch3 at {100 * rates[-1] / floor_rate:.0f}% of floor")
+            f"of device rate after the one-time feed); conservative epoch "
+            f"floor = 1 round trip {t_rtt * 1e3:.0f} ms + {num_batches} x "
+            f"{dt_dev * 1e3:.2f} ms dispatched-step time = "
+            f"{floor_rate:,.0f} utt/s -> epoch3 at "
+            f"{100 * rates[-1] / floor_rate:.0f}% of it (>=100% means the "
+            f"scan beat dispatched stepping — per-step dispatch is inside "
+            f"the floor's step term but amortized by the replay scan)")
 
         # legacy r02-style fed path (host featurize round-trip, f32
         # features staged) for direct comparison with BENCH_r02's 114 utt/s
@@ -743,6 +759,14 @@ def main():
         # staged feed core itself runs at ~100% of the transfer bound).
         # Delta-time TWO fit lengths so the steady-state rate and the
         # fixed per-fit cost are reported separately.
+        # transfer probes must match the ACTUAL feed geometry per spd:
+        # at spd=4 the fit ships ONE [4, B, T, F] stack per dispatch
+        # round, and big stacked puts move more MB/s than 4 small ones
+        # (per-put overhead amortizes) — probing with unstacked buffers
+        # under-states the bound and yields impossible >100% fractions
+        probe_bufs = {1: feat_bufs,
+                      4: [np.stack(feat_bufs[i:i + 4])
+                          for i in range(0, len(feat_bufs), 4)]}
         for spd in (1, 4):
             nb_short, nb_long = num_batches, 3 * num_batches
 
@@ -751,7 +775,7 @@ def main():
             trainer_feat.fit(lambda: feat_src(2 * spd), epochs=1,
                              verbose=False, steps_per_dispatch=spd)  # warm
             device_feat_rate = probe_device_feat_rate()
-            t_before = measure_stream(feat_bufs)
+            t_before = measure_stream(probe_bufs[spd])
             legs = {nb_short: [], nb_long: []}
             for _ in range(2):  # min per leg: stalls only ever add time
                 for nb in (nb_short, nb_long):
@@ -759,12 +783,14 @@ def main():
                     trainer_feat.fit(lambda n=nb: feat_src(n), epochs=1,
                                      verbose=False, steps_per_dispatch=spd)
                     legs[nb].append(time.perf_counter() - t0)
-            t_after = measure_stream(feat_bufs)
+            t_after = measure_stream(probe_bufs[spd])
             steady = ((min(legs[nb_long]) - min(legs[nb_short]))
                       / (nb_long - nb_short))
             fixed = max(min(legs[nb_short]) - nb_short * steady, 0.0)
             fed_feat_rate = MODEL_BATCH / max(steady, 1e-9)
-            xfer_now = MODEL_BATCH / ((t_before + t_after) / 2)
+            # measure_stream prices one PUT; at spd=4 each put carries
+            # 4 model batches
+            xfer_now = spd * MODEL_BATCH / ((t_before + t_after) / 2)
             bound = min(xfer_now, device_feat_rate)
             limiter = ("transfer" if bound == xfer_now else "device")
             log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB "
@@ -812,10 +838,12 @@ def main():
         log(f"  fed-cached[features bf16, 3 epochs, whole-epoch scan]: "
             f"epoch1 {f_rates[0]:,.0f} -> epoch3 {f_rates[-1]:,.0f} utt/s "
             f"(1 dispatch + 1 readback per epoch after the one-time feed); "
-            f"epoch floor = 1 round trip {t_rtt_f * 1e3:.0f} ms + "
-            f"{num_batches} x {MODEL_BATCH / dev_feat_now * 1e3:.2f} ms "
-            f"device = {f_floor_rate:,.0f} utt/s -> epoch3 at "
-            f"{100 * f_rates[-1] / f_floor_rate:.0f}% of floor")
+            f"conservative epoch floor = 1 round trip {t_rtt_f * 1e3:.0f} "
+            f"ms + {num_batches} x "
+            f"{MODEL_BATCH / dev_feat_now * 1e3:.2f} ms dispatched-step "
+            f"time = {f_floor_rate:,.0f} utt/s -> epoch3 at "
+            f"{100 * f_rates[-1] / f_floor_rate:.0f}% of it (>=100% = the "
+            f"scan amortized the dispatch inside the floor's step term)")
 
         # embedding-extraction feed (the extract_embeddings pipeline
         # shape): per batch, host features -> device forward -> host
@@ -925,7 +953,8 @@ def main():
         log(f"  serving-latency[streaming {sc.chunk_len / SAMPLE_RATE:.0f}s "
             f"chunk]: {dt_chunk * 1e3:.3f} ms device time/chunk; "
             f"StreamingClassifier.feed wall {min(walls) * 1e3:.0f} ms/chunk "
-            f"through the tunnel (2 synchronous round trips/chunk)")
+            f"through the tunnel (1 synchronous round trip — the fused "
+            f"chunk program; on-host serving pays only the device time)")
     except Exception as e:
         if not isinstance(e, TimeoutError):
             log(f"  serving-latency section failed: {type(e).__name__}: {e}")

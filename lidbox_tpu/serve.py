@@ -156,6 +156,19 @@ class StreamingClassifier:
         post = (lambda out: out) if score_fn is None else score_fn
         self._apply = jax.jit(
             lambda v, x: post(model.apply(v, x, train=False)))
+        # One fused waveform->scores program per chunk: the chunk shape is
+        # fixed, so features + forward compile together and each chunk
+        # costs ONE dispatch round instead of two (halves per-chunk
+        # latency on high-RTT links; same numerics — the inner jitted
+        # extractor inlines during tracing). validate_finite needs the
+        # intermediate features on the host, so it keeps the 2-step path.
+        if self.extractor.validate_finite:
+            self._fused_chunk = None
+        else:
+            extract = self.extractor._get_fn(self.sample_rate)
+            self._fused_chunk = jax.jit(
+                lambda v, sig: post(model.apply(v, extract(sig),
+                                                train=False)))
         self.reset()
 
     def reset(self):
@@ -178,9 +191,13 @@ class StreamingClassifier:
         # exactly once per stream (variable-count batching retraced on
         # every new chunk count — seconds per compile on a tunneled chip)
         for chunk in chunks:
-            feats = self.extractor(chunk[None, :], self.sample_rate)
-            out = np.asarray(jax.device_get(
-                self._apply(self.model.variables, feats)))
+            if self._fused_chunk is not None:
+                out = np.asarray(jax.device_get(self._fused_chunk(
+                    self.model.variables, chunk[None, :])))
+            else:
+                feats = self.extractor(chunk[None, :], self.sample_rate)
+                out = np.asarray(jax.device_get(
+                    self._apply(self.model.variables, feats)))
             s = out[0]
             self._score_sum = (s if self._score_sum is None
                                else self._score_sum + s)

@@ -201,3 +201,44 @@ def test_classifier_forwards_full_feature_config(monkeypatch, tmp_path):
     assert seen["precision"] == "highest"
     assert seen["validate_finite"] is True
     assert seen["melspectrogram"] == {"num_mel_bins": 24}
+
+
+class TestStreamingFusedChunkProgram:
+    def _config(self):
+        return {"type": "logmelspectrogram",
+                "melspectrogram": {"num_mel_bins": 24}}
+
+    def test_fused_matches_two_step_path(self):
+        """The single fused waveform->scores chunk program must reproduce
+        the extractor->forward two-step path (same chunk grid, same
+        scores) — one dispatch round per chunk instead of two."""
+        frames = 1 + (RATE - 400) // 160
+        model = models.create("dnn", (frames, 24), len(LABELS)).init()
+        sig = testutil.noisy_sinewave(300, RATE, 0.1, 3.3, seed=11)
+        fused = serve.StreamingClassifier(model, LABELS,
+                                          feature_config=self._config(),
+                                          chunk_seconds=1.0,
+                                          hop_seconds=0.5)
+        assert fused._fused_chunk is not None
+        two_step = serve.StreamingClassifier(
+            model, LABELS,
+            feature_config={**self._config(), "validate_finite": True},
+            chunk_seconds=1.0, hop_seconds=0.5)
+        assert two_step._fused_chunk is None  # host finite-check path
+        np.testing.assert_allclose(fused.feed(sig), two_step.feed(sig),
+                                   rtol=1e-5, atol=1e-6)
+        assert fused._num_chunks == two_step._num_chunks > 1
+
+    def test_validate_finite_still_raises_in_streaming(self):
+        """validate_finite keeps the host check: a NaN signal raises from
+        feed() instead of silently scoring garbage."""
+        frames = 1 + (RATE - 400) // 160
+        model = models.create("dnn", (frames, 24), len(LABELS)).init()
+        sc = serve.StreamingClassifier(
+            model, LABELS,
+            feature_config={**self._config(), "validate_finite": True},
+            chunk_seconds=1.0, hop_seconds=1.0)
+        import pytest
+        bad = np.full(RATE, np.nan, np.float32)
+        with pytest.raises(FloatingPointError):
+            sc.feed(bad)
