@@ -583,7 +583,7 @@ def main():
             # the pooled link's rate drifts minute to minute: bound each
             # fed line with a streamed-transfer measurement taken
             # IMMEDIATELY around it (in-process A/B)
-            t_before = measure_stream(sig_probe_bufs[spd])
+            probes = [measure_stream(sig_probe_bufs[spd])]
             flegs = {nb_short: [], nb_long: []}
             for _ in range(2):  # min per leg: stalls only ever add time
                 for nb in (nb_short, nb_long):
@@ -593,12 +593,14 @@ def main():
                                           epochs=1, verbose=False,
                                           steps_per_dispatch=spd)
                     flegs[nb].append(time.perf_counter() - t0)
-            t_after = measure_stream(sig_probe_bufs[spd])
+                probes.append(measure_stream(sig_probe_bufs[spd]))
             steady = ((min(flegs[nb_long]) - min(flegs[nb_short]))
                       / (nb_long - nb_short))
             fixed = max(min(flegs[nb_short]) - nb_short * steady, 0.0)
             fed_rate = MODEL_BATCH / max(steady, 1e-9)
-            xfer_now = spd * MODEL_BATCH / ((t_before + t_after) / 2)
+            # min over interleaved probes: the fit legs are min-over-reps
+            # stall-free estimates, so the bound must be one too
+            xfer_now = spd * MODEL_BATCH / min(probes)
             bound = min(loader_rate, xfer_now, device_rate)
             limiter = {loader_rate: "loader", xfer_now: "transfer",
                        device_rate: "device"}[bound]
@@ -775,7 +777,7 @@ def main():
             trainer_feat.fit(lambda: feat_src(2 * spd), epochs=1,
                              verbose=False, steps_per_dispatch=spd)  # warm
             device_feat_rate = probe_device_feat_rate()
-            t_before = measure_stream(probe_bufs[spd])
+            probes = [measure_stream(probe_bufs[spd])]
             legs = {nb_short: [], nb_long: []}
             for _ in range(2):  # min per leg: stalls only ever add time
                 for nb in (nb_short, nb_long):
@@ -783,14 +785,15 @@ def main():
                     trainer_feat.fit(lambda n=nb: feat_src(n), epochs=1,
                                      verbose=False, steps_per_dispatch=spd)
                     legs[nb].append(time.perf_counter() - t0)
-            t_after = measure_stream(probe_bufs[spd])
+                probes.append(measure_stream(probe_bufs[spd]))
             steady = ((min(legs[nb_long]) - min(legs[nb_short]))
                       / (nb_long - nb_short))
             fixed = max(min(legs[nb_short]) - nb_short * steady, 0.0)
             fed_feat_rate = MODEL_BATCH / max(steady, 1e-9)
-            # measure_stream prices one PUT; at spd=4 each put carries
-            # 4 model batches
-            xfer_now = spd * MODEL_BATCH / ((t_before + t_after) / 2)
+            # measure_stream prices one PUT (at spd=4 each put carries 4
+            # model batches); min over interleaved probes to match the
+            # fit legs' min-over-reps stall-free estimator
+            xfer_now = spd * MODEL_BATCH / min(probes)
             bound = min(xfer_now, device_feat_rate)
             limiter = ("transfer" if bound == xfer_now else "device")
             log(f"  fed-train-step[features bf16 {feat_mb:.1f}MB "
