@@ -61,8 +61,17 @@ class AugmentConfig:
     The full BASELINE config-5 chain — waveform -> energy VAD ->
     noise / random resampling / SpecAugment -> log-Mel — compiles into one
     XLA program when all stages are enabled.
+
+    ``augment_prob < 1`` gates the stochastic stages (noise, resampling,
+    FIR, SpecAugment) per example with a Bernoulli draw, so each batch
+    interleaves clean and augmented examples — the static-shape analogue
+    of the reference's sample_from_datasets([original] + augmented)
+    stream (reference: lidbox/data/steps.py:215-229), where elements are
+    drawn from the clean and augmented datasets at random. Energy VAD is
+    preprocessing, not augmentation, and is never gated.
     """
     snr_range: Optional[Tuple[float, float]] = (5.0, 20.0)   # None = no noise
+    augment_prob: float = 1.0            # per-example P(apply augmentation)
     fir_coefs: int = 0                   # >0: random-normal FIR filtering
     speed_range: Optional[Tuple[float, float]] = None  # e.g. (0.9, 1.1)
     vad: bool = False                    # energy-VAD silence removal
@@ -259,6 +268,7 @@ def augment_config_from_dict(d):
         on_device_augment:
           noise_datadir: /data/musan     # or noise_paths: [...]
           snr_range: [5, 20]
+          augment_prob: 0.5              # P(example is augmented)
           fir_coefs: 10
           speed_range: [0.9, 1.1]
           vad: true
@@ -267,6 +277,7 @@ def augment_config_from_dict(d):
     spec = d.get("specaug") or {}
     return AugmentConfig(
         snr_range=tuple(d["snr_range"]) if d.get("snr_range") else None,
+        augment_prob=float(d.get("augment_prob", 1.0)),
         fir_coefs=int(d.get("fir_coefs", 0)),
         speed_range=(tuple(d["speed_range"]) if d.get("speed_range")
                      else None),
@@ -342,22 +353,36 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
         if lengths is None:
             lengths = jnp.full((signals.shape[0],), signals.shape[1],
                                jnp.int32)
-        k_vad, k_speed, k_noise, k_fir, k_spec = jax.random.split(key, 5)
-        del k_vad  # energy VAD is deterministic
-        if augment.vad:
+        k_gate, k_speed, k_noise, k_fir, k_spec = jax.random.split(key, 5)
+        # per-example clean/augmented interleaving, reference
+        # sample_from_datasets semantics (lidbox/data/steps.py:215-229);
+        # gate=None keeps the always-augment program byte-identical
+        gate = None
+        if augment.augment_prob < 1.0:
+            gate = jax.random.bernoulli(
+                k_gate, augment.augment_prob, (signals.shape[0],))
+        if augment.vad:  # preprocessing, never gated
             signals, lengths = energy_vad_compact_batch(
                 signals, lengths, sample_rate, frame_ms=augment.vad_frame_ms,
                 min_non_speech_ms=augment.vad_min_non_speech_ms,
                 strength=augment.vad_strength)
         if augment.speed_range is not None:
-            signals, lengths = random_speed_change_batch(
+            sp, sp_len = random_speed_change_batch(
                 k_speed, signals, lengths, augment.speed_range)
+            if gate is not None:
+                sp = jnp.where(gate[:, None], sp, signals)
+                sp_len = jnp.where(gate, sp_len, lengths)
+            signals, lengths = sp, sp_len
         if augment.snr_range is not None and noise_bank is not None:
-            signals = mix_noise_from_bank(
+            mixed = mix_noise_from_bank(
                 k_noise, signals, noise_bank, noise_lengths,
                 augment.snr_range, lengths=lengths if with_mask else None)
+            signals = (mixed if gate is None
+                       else jnp.where(gate[:, None], mixed, signals))
         if augment.fir_coefs > 0:
-            signals = random_fir(k_fir, signals, augment.fir_coefs)
+            filt = random_fir(k_fir, signals, augment.fir_coefs)
+            signals = (filt if gate is None
+                       else jnp.where(gate[:, None], filt, signals))
         feats = F.extract_features(signals, sample_rate,
                                    feature_type=feature_type,
                                    stft_method=stft_method,
@@ -369,11 +394,13 @@ def make_augmented_feature_fn(sample_rate, feature_config, augment: AugmentConfi
         if with_mask:
             feats, frame_mask = feats  # the mask the features were masked with
         if augment.specaug_time_masks or augment.specaug_freq_masks:
-            feats = spec_augment(k_spec, feats,
-                                 time_masks=augment.specaug_time_masks,
-                                 time_width=augment.specaug_time_width,
-                                 freq_masks=augment.specaug_freq_masks,
-                                 freq_width=augment.specaug_freq_width)
+            masked = spec_augment(k_spec, feats,
+                                  time_masks=augment.specaug_time_masks,
+                                  time_width=augment.specaug_time_width,
+                                  freq_masks=augment.specaug_freq_masks,
+                                  freq_width=augment.specaug_freq_width)
+            feats = (masked if gate is None
+                     else jnp.where(gate[:, None, None], masked, feats))
         if with_mask:
             return feats, frame_mask
         return feats

@@ -104,6 +104,75 @@ class TestAugmentOps:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
 
 
+class TestAugmentProb:
+    """augment_prob gates the stochastic stages per example — the
+    static-shape analogue of the reference's
+    sample_from_datasets([original] + augmented) clean/augmented
+    interleaving (reference: lidbox/data/steps.py:215-229)."""
+
+    def _signals(self, n=16):
+        return jnp.asarray(np.stack(
+            [testutil.noisy_sinewave(150 * (i % 3 + 1), RATE, 0.05, 1.0,
+                                     seed=i) for i in range(n)]))
+
+    def _fn(self, prob, bank, lengths, speed=None):
+        return on_device.make_augmented_feature_fn(
+            RATE, {"type": "logmelspectrogram",
+                   "melspectrogram": {"num_mel_bins": 24}},
+            on_device.AugmentConfig(
+                snr_range=(5.0, 15.0), fir_coefs=5, speed_range=speed,
+                specaug_time_masks=1, specaug_freq_masks=1,
+                augment_prob=prob),
+            noise_bank=bank, noise_lengths=lengths)
+
+    def test_prob_zero_matches_clean_chain(self, noise_bank):
+        bank, bl = noise_bank
+        signals = self._signals(8)
+        clean_fn = on_device.make_augmented_feature_fn(
+            RATE, {"type": "logmelspectrogram",
+                   "melspectrogram": {"num_mel_bins": 24}},
+            on_device.AugmentConfig(snr_range=None), noise_bank=None)
+        key = jax.random.PRNGKey(3)
+        gated = self._fn(0.0, bank, bl)(key, signals)
+        clean = clean_fn(key, signals)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(clean))
+
+    def test_prob_zero_matches_clean_with_lengths(self, noise_bank):
+        bank, bl = noise_bank
+        signals = self._signals(8)
+        lengths = jnp.asarray([RATE - 117 * i for i in range(8)], jnp.int32)
+        clean_fn = on_device.make_augmented_feature_fn(
+            RATE, {"type": "logmelspectrogram",
+                   "melspectrogram": {"num_mel_bins": 24}},
+            on_device.AugmentConfig(snr_range=None), noise_bank=None)
+        key = jax.random.PRNGKey(4)
+        gf, gm = self._fn(0.0, bank, bl, speed=(0.9, 1.1))(
+            key, signals, lengths)
+        cf, cm = clean_fn(key, signals, lengths)
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(cm))
+        np.testing.assert_array_equal(np.asarray(gf), np.asarray(cf))
+
+    def test_prob_half_interleaves_exact_rows(self, noise_bank):
+        bank, bl = noise_bank
+        signals = self._signals(16)
+        key = jax.random.PRNGKey(7)
+        half = np.asarray(self._fn(0.5, bank, bl)(key, signals))
+        aug = np.asarray(self._fn(1.0, bank, bl)(key, signals))
+        clean = np.asarray(self._fn(0.0, bank, bl)(key, signals))
+        is_clean = np.array([np.array_equal(half[i], clean[i])
+                             for i in range(16)])
+        is_aug = np.array([np.array_equal(half[i], aug[i])
+                           for i in range(16)])
+        assert np.all(is_clean | is_aug)   # every row is one or the other
+        assert is_clean.any() and is_aug.any()  # and both occur
+
+    def test_config_dict_parses_augment_prob(self):
+        cfg = on_device.augment_config_from_dict(
+            {"snr_range": [5, 20], "augment_prob": 0.5})
+        assert cfg.augment_prob == 0.5
+        assert on_device.augment_config_from_dict({}).augment_prob == 1.0
+
+
 class TestFusedTrainStep:
     def test_one_program_trains(self, noise_bank):
         bank, lengths = noise_bank

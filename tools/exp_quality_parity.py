@@ -24,14 +24,18 @@ don't silently cost converged quality. Sections (select with
           precision="bf16" features (1-pass matmuls + bf16-stored
           intermediates) vs the f32/highest arm, same seeds and batch
           orders — does the throughput mode cost converged quality?
-  aug     the fused on-device config-5 augmentation chain
-          (VAD + noise bank + random resampling + FIR + SpecAugment in
-          ONE XLA program, lidbox_tpu.data.on_device; replaces the
-          reference's tf.data augmentation,
-          reference: lidbox/data/steps.py:235-368) trained from raw
-          waveforms vs (i) clean training and (ii) reference-style
-          additive-noise augmentation (one offline augmented copy per
-          utterance mixed with the reference's own numpy_snr_mixer,
+  aug     the fused on-device augmentation chain (noise bank + random
+          resampling + FIR + SpecAugment in ONE XLA program,
+          lidbox_tpu.data.on_device; replaces the reference's tf.data
+          augmentation, reference: lidbox/data/steps.py:235-368), at
+          augment_prob=0.5 (the reference's sample_from_datasets
+          clean/augmented interleave) and 2x epochs (step parity with
+          the doubled reference-style dataset), trained from raw
+          waveforms in two arms — noise-only (apples-to-apples vs the
+          reference-style arm) and the full chain — vs (i) clean
+          training and (ii) reference-style additive-noise augmentation
+          (one offline augmented copy per utterance mixed with the
+          reference's own numpy_snr_mixer,
           reference: lidbox/features/audio.py:100-121 — the reference's
           augment_by_additive_noise emits augmented elements alongside
           originals). All arms evaluate on the SAME noise-corrupted
@@ -278,23 +282,41 @@ def corrupt_signals_ref(signals, clips, seed, snr_lo=5.0, snr_hi=15.0):
 
 
 def train_flax_fused_aug(train_sig, y, input_shape, epochs, batch, lr, seed,
-                         bank):
-    """The flagship fused-augmentation arm: raw waveforms through the full
-    config-5 chain (energy VAD -> noise bank mix -> random resampling ->
-    FIR -> log-Mel -> SpecAugment, ONE XLA program,
-    on_device.make_augmented_feature_fn) with fresh augmentation draws
-    every epoch (fit_signals). f32/highest DSP so the section isolates
-    the AUGMENTATION semantics (the bf16 section isolates precision)."""
+                         bank, full_chain=True):
+    """The flagship fused-augmentation arm: raw waveforms through the
+    fused on-device chain (noise bank mix [-> random resampling -> FIR ->
+    SpecAugment] in ONE XLA program, on_device.make_augmented_feature_fn)
+    with fresh augmentation draws every epoch (fit_signals).
+
+    ``augment_prob=0.5`` reproduces the reference's
+    sample_from_datasets([original] + augmented) clean/augmented
+    interleaving (reference: lidbox/data/steps.py:215-229). The
+    reference-style arm trains on 2N elements per epoch (originals +
+    augmented copies), so this arm runs 2*epochs for the same step count
+    and the same expected clean/augmented visits per utterance — with
+    FRESH noise/SNR draws each epoch where the offline copy is frozen.
+    Energy VAD stays off: the synthetic corpus carries no silence and
+    the shared eval features are extracted without VAD, so enabling it
+    would train on a compacted distribution the eval never shows (an
+    experiment-design artifact, not a chain property).
+    ``full_chain=False`` leaves only the additive-noise stage — the
+    apples-to-apples comparison against train_keras_ref_aug.
+    f32/highest DSP so the section isolates AUGMENTATION semantics (the
+    bf16 section isolates precision)."""
     from lidbox_tpu.data import on_device
     trainer = _make_trainer(input_shape, lr, seed)
+    if full_chain:
+        cfg = on_device.AugmentConfig(
+            snr_range=(5.0, 20.0), augment_prob=0.5, fir_coefs=10,
+            speed_range=(0.9, 1.1),
+            specaug_time_masks=2, specaug_freq_masks=2)
+    else:
+        cfg = on_device.AugmentConfig(snr_range=(5.0, 20.0),
+                                      augment_prob=0.5)
     feature_fn = on_device.make_augmented_feature_fn(
         SR, {"type": "logmelspectrogram",
              "melspectrogram": {"num_mel_bins": 40},
-             "stft_method": "matmul"},
-        on_device.AugmentConfig(
-            snr_range=(5.0, 20.0), fir_coefs=10, speed_range=(0.9, 1.1),
-            vad=True, vad_min_non_speech_ms=0,
-            specaug_time_masks=2, specaug_freq_masks=2),
+             "stft_method": "matmul"}, cfg,
         noise_bank=jnp.asarray(bank),
         noise_lengths=jnp.full((len(bank),), bank.shape[1], jnp.int32))
     rng_perm = np.random.default_rng(seed)
@@ -305,7 +327,7 @@ def train_flax_fused_aug(train_sig, y, input_shape, epochs, batch, lr, seed,
             idx = perm[j:j + batch]
             yield train_sig[idx], y[idx]
 
-    on_device.fit_signals(trainer, feature_fn, batches, epochs=epochs,
+    on_device.fit_signals(trainer, feature_fn, batches, epochs=2 * epochs,
                           verbose=False)
     return _predictor(trainer)
 
@@ -527,6 +549,10 @@ def main():
             for name, fn in [
                     ("flax_clean", lambda: train_flax(
                         Xj, train_y, perms, args.batch, args.lr, seed)),
+                    ("flax_noise_aug", lambda: train_flax_fused_aug(
+                        train_sig, train_y, Xj.shape[1:], args.epochs,
+                        args.batch, args.lr, seed, train_bank,
+                        full_chain=False)),
                     ("flax_fused_aug", lambda: train_flax_fused_aug(
                         train_sig, train_y, Xj.shape[1:], args.epochs,
                         args.batch, args.lr, seed, train_bank)),
@@ -556,10 +582,14 @@ def main():
                         [r[k][cond][m] for r in rows])), 4),
                     "max": round(float(np.max(
                         [r[k][cond][m] for r in rows])), 4)}
-                for k in ("flax_clean", "flax_fused_aug", "keras_ref_aug")
+                for k in ("flax_clean", "flax_noise_aug", "flax_fused_aug",
+                          "keras_ref_aug")
                 for m in METRICS}
             for cond in ("noisy", "clean")}
         for cond in ("noisy", "clean"):
+            results["summary_aug"][cond]["paired_delta_noise_vs_ref_aug"] = \
+                paired_delta(rows, "flax_noise_aug", "keras_ref_aug",
+                             get=get_eval(cond))
             results["summary_aug"][cond]["paired_delta_fused_vs_clean"] = \
                 paired_delta(rows, "flax_fused_aug", "flax_clean",
                              get=get_eval(cond))
