@@ -74,7 +74,12 @@ def validate_config(config):
     feed = config.get("experiment", {}).get("feed") or {}
     if feed:
         known = {"prefetch", "stage_dtype", "steps_per_dispatch",
-                 "cache_staged"}
+                 "cache_staged", "cache_shuffle"}
+        cs = feed.get("cache_shuffle", True)
+        if cs not in (True, False, "rows"):
+            problems.append(
+                f"experiment.feed.cache_shuffle must be true, false, or "
+                f"'rows', got {cs!r}")
         for key in set(feed) - known:
             problems.append(f"unknown experiment.feed key '{key}' "
                             f"(valid: {sorted(known)})")

@@ -236,6 +236,7 @@ class ModelWrapper:
                           cache_staged=feed.get("cache_staged", False))
         wrapper = cls(model, model_key, trainer)
         wrapper.steps_per_dispatch = int(feed.get("steps_per_dispatch", 1))
+        wrapper.cache_shuffle = feed.get("cache_shuffle", True)
         wrapper.score_fn = score_fn
         wrapper.config = config
         return wrapper
@@ -296,8 +297,12 @@ class ModelWrapper:
     def fit(self, train_batches, validation_batches, **kwargs):
         """(reference: keras_utils.py:191-203). The config's
         ``feed.steps_per_dispatch`` applies to the feature-fed path too
-        (Trainer.fit grouped dispatch), overridable per call."""
+        (Trainer.fit grouped dispatch), overridable per call, as does
+        ``feed.cache_shuffle`` (true = batch-order, "rows" = row-level
+        recomposition of the cached corpus each epoch)."""
         kwargs.setdefault("steps_per_dispatch", self.steps_per_dispatch)
+        kwargs.setdefault("cache_shuffle", getattr(self, "cache_shuffle",
+                                                   True))
         return self.trainer.fit(train_batches, validation_batches, **kwargs)
 
     def fit_fused(self, signal_batches, epochs=1, sample_rate=None,

@@ -376,6 +376,8 @@ class Trainer:
                                              donate_argnums=0)
         self._jit_replay_train_step = jax.jit(self._replay_train_step,
                                               donate_argnums=0)
+        self._jit_replay_rows_train_step = jax.jit(
+            self._replay_rows_train_step, donate_argnums=0)
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_replay_eval_step = jax.jit(self._replay_eval_step)
         self._jit_apply_eval = jax.jit(
@@ -574,6 +576,27 @@ class Trainer:
                 stacked)
             return self._train_step(st, batch, rng)
         return jax.lax.scan(body, state, order)
+
+    def _replay_rows_train_step(self, state, stacked, rng, idx):
+        """Whole-epoch cached replay with ROW-level reshuffle
+        (cache_shuffle="rows"): ``idx`` is a [K, B] int32 permutation of
+        the K*B cached example rows, so every epoch re-draws batch
+        COMPOSITION, not just batch order — the device-resident analogue
+        of the reference re-shuffling elements every epoch
+        (reference: lidbox/data/steps.py:997-999). Each scan step gathers
+        its B rows from the flattened [K*B, ...] view (a leading-axis
+        sublane gather; the flatten of two major dims is free), so no
+        permuted copy of the corpus materializes in HBM. Masks/targets
+        travel with their rows. ``stacked`` is NOT donated — it is reused
+        every epoch."""
+        flat = jax.tree_util.tree_map(
+            lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+            stacked)
+        def body(st, rows):
+            batch = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, rows, axis=0), flat)
+            return self._train_step(st, batch, rng)
+        return jax.lax.scan(body, state, idx)
 
     def _eval_step(self, state, batch, metric_states):
         outputs, _ = self._apply(state.params, state.batch_stats, batch,
@@ -1010,7 +1033,15 @@ class Trainer:
         (seeded, batch-granular — the within-batch grouping stays fixed,
         and with multiple shape stacks the permutation is within-stack
         plus stack order), recovering most of the optimization benefit of
-        per-epoch reshuffling at zero feed cost. A
+        per-epoch reshuffling at zero feed cost.
+        ``cache_shuffle="rows"`` re-draws batch COMPOSITION too: each
+        epoch permutes the K*B cached example ROWS across batches inside
+        the replay scan (_replay_rows_train_step, a leading-axis gather —
+        no feed traffic, no permuted HBM copy), matching the reference's
+        per-epoch element reshuffle exactly within each shape stack
+        (reference: lidbox/data/steps.py:997-999; rows cannot cross shape
+        stacks, and if interleaved shapes force the per-entry fallback
+        the shuffle degrades to batch-order). A
         ``steps_per_epoch``-truncated first epoch does not populate the
         cache. An HBM guard accounts staged bytes against the device's
         memory budget (``cache_bytes_limit``, default auto-detected from
@@ -1082,17 +1113,26 @@ class Trainer:
                     for gi in gorder:
                         g = staged_cache[gi]
                         K = len(g["ns"])
-                        order = (rng_epoch.permutation(K) if cache_shuffle
-                                 else np.arange(K))
-                        # order crosses as HOST values: under a
+                        # order/idx cross as HOST values: under a
                         # process-spanning mesh a committed local array
                         # would need an implicit cross-host reshard; numpy
                         # inputs are uncommitted and place wherever the
                         # compiled program wants them (same on every host —
                         # the permutation is seeded by epoch)
-                        self.state, loss_k = self._jit_replay_train_step(
-                            self.state, g["stack"], self.rng,
-                            np.asarray(order, np.int32))
+                        if cache_shuffle == "rows":
+                            B = int(jax.tree_util.tree_leaves(
+                                g["stack"])[0].shape[1])
+                            idx = rng_epoch.permutation(K * B).reshape(K, B)
+                            self.state, loss_k = \
+                                self._jit_replay_rows_train_step(
+                                    self.state, g["stack"], self.rng,
+                                    np.asarray(idx, np.int32))
+                        else:
+                            order = (rng_epoch.permutation(K)
+                                     if cache_shuffle else np.arange(K))
+                            self.state, loss_k = self._jit_replay_train_step(
+                                self.state, g["stack"], self.rng,
+                                np.asarray(order, np.int32))
                         losses.append(loss_k)
                         meter.update(int(g["ns"].sum()))
                 else:

@@ -452,6 +452,40 @@ class TestCacheStaged:
         assert int(jax.device_get(trainer.state.step)) == 15
         assert np.all(np.isfinite([h["loss"] for h in hist]))
 
+    def test_cache_shuffle_rows_matches_streamed_recomposition(self):
+        """cache_shuffle="rows" re-draws batch COMPOSITION each epoch via
+        an in-scan row gather. Exactness: the trajectory must equal a
+        streamed run fed the SAME row-permuted batches (reconstructed
+        from the trainer's seeded epoch permutation) — proving the gather
+        recomposes rows correctly, not just 'some shuffle happened'."""
+        from lidbox_tpu import RANDOM_SEED
+        batches = toy_batches(n_batches=4)
+        corpus_x = np.concatenate([b["input"] for b in batches])
+        corpus_y = np.concatenate([b["target"] for b in batches])
+        K, B = len(batches), len(batches[0]["target"])
+
+        def recomposed(epoch):
+            if epoch == 1:
+                return batches
+            rng = np.random.default_rng(RANDOM_SEED + epoch)
+            rng.permutation(1)  # the group-order draw (one shape group)
+            idx = rng.permutation(K * B).reshape(K, B)
+            return [{"input": corpus_x[idx[k]], "target": corpus_y[idx[k]]}
+                    for k in range(K)]
+
+        epoch_counter = {"n": 0}
+
+        def streamed_loader():
+            epoch_counter["n"] += 1
+            return recomposed(epoch_counter["n"])
+
+        hist_ref = make_trainer().fit(streamed_loader, epochs=3)
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, cache_staged=True)
+        hist = trainer.fit(lambda: batches, epochs=3, cache_shuffle="rows")
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+
     def test_validation_batches_cached_and_logs_match(self):
         batches = toy_batches()
         val = toy_batches(n_batches=2, seed=1)
@@ -841,6 +875,25 @@ class TestMeshCacheAndDispatch:
         assert calls == {"single": 5, "replay": 2}, calls
         for a, b in zip(hist_ref, hist):
             np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+    def test_mesh_cache_shuffle_rows_matches_single_device(self):
+        """Row-level cached reshuffle under a mesh: the [K*B] gather
+        crosses shard boundaries (XLA inserts the collective), and the
+        host-seeded permutation is device-count-invariant — the mesh
+        trajectory equals the single-device one."""
+        mesh = parallel.get_mesh()
+        batches = toy_batches(n_batches=4)
+        single = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                         optax.adam(5e-3), nll_loss, cache_staged=True)
+        hist_ref = single.fit(lambda: batches, epochs=3,
+                              cache_shuffle="rows")
+        trainer = Trainer(models.create("dnn", (T, F), N_CLASSES),
+                          optax.adam(5e-3), nll_loss, mesh=mesh,
+                          cache_staged=True)
+        hist = trainer.fit(lambda: batches, epochs=3, cache_shuffle="rows")
+        assert int(jax.device_get(trainer.state.step)) == 12
+        for a, b in zip(hist_ref, hist):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
 
     def test_mesh_cached_stack_sharding(self):
         """The consolidated cache stack keeps P(None, data): scan axis
