@@ -504,7 +504,12 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
     RAW waveform batches device-resident after epoch 1: later epochs pay
     zero feed traffic while augmentation stays fresh per epoch (it runs
     on device, keyed by the advancing step counter). ``cache_shuffle``
-    re-permutes the cached batch order each epoch (seeded).
+    re-permutes the cached batch order each epoch (seeded);
+    ``cache_shuffle="rows"`` additionally re-draws batch COMPOSITION by
+    permuting the cached waveform rows inside the replay scan
+    (make_fused_replay_rows_step — the reference's element-level
+    reshuffle, reference: lidbox/data/steps.py:997-999; degrades to
+    batch-order when interleaved shapes force per-entry replay).
     """
     # fit_signals rebinds trainer.state every step (strictly linear), so
     # the donating variants apply: in-place param/opt updates halve the
@@ -683,22 +688,35 @@ def fit_signals(trainer, feature_fn, signal_batches, epochs=1, verbose=True,
             # granular, like the per-entry replay it replaces).
             from lidbox_tpu import RANDOM_SEED
             if replay is None:
-                replay = make_fused_replay_step(trainer, feature_fn,
-                                                donate=True)
+                replay = (make_fused_replay_rows_step
+                          if cache_shuffle == "rows"
+                          else make_fused_replay_step)(trainer, feature_fn,
+                                                       donate=True)
             rng_epoch = np.random.default_rng(RANDOM_SEED + epoch)
             gorder = (rng_epoch.permutation(len(replay_groups))
                       if cache_shuffle else np.arange(len(replay_groups)))
             for gi in gorder:
                 g = replay_groups[gi]
-                order_k = (rng_epoch.permutation(g["steps"])
-                           if cache_shuffle else np.arange(g["steps"]))
-                # order crosses as HOST values: under a process-spanning
+                # order/idx cross as HOST values: under a process-spanning
                 # mesh a committed local array would need a cross-host
                 # reshard; numpy inputs place wherever the compiled
                 # program wants them (same on every host — seeded)
-                trainer.state, loss_k = replay(
-                    trainer.state, g["signals"], g["targets"], trainer.rng,
-                    np.asarray(order_k, np.int32), g.get("masks"))
+                if cache_shuffle == "rows":
+                    K = int(g["steps"])
+                    B = (g["targets"].shape[1] if g["targets"] is not None
+                         else g["signals"].shape[1] - 1)
+                    idx = rng_epoch.permutation(K * B).reshape(K, B)
+                    trainer.state, loss_k = replay(
+                        trainer.state, g["signals"], g["targets"],
+                        trainer.rng, np.asarray(idx, np.int32),
+                        g.get("masks"))
+                else:
+                    order_k = (rng_epoch.permutation(g["steps"])
+                               if cache_shuffle else np.arange(g["steps"]))
+                    trainer.state, loss_k = replay(
+                        trainer.state, g["signals"], g["targets"],
+                        trainer.rng, np.asarray(order_k, np.int32),
+                        g.get("masks"))
                 losses.append(loss_k)
                 meter.update(g["n"], g["samples"] / sr if sr else 0.0)
             staged = iter(())
@@ -984,6 +1002,55 @@ def make_fused_replay_step(trainer, feature_fn, donate=False):
         return jax.lax.scan(body, state, order)
     replay = jax.jit(replay_fn, donate_argnums=(0,)) if donate \
         else jax.jit(replay_fn)
+    cache[key] = (feature_fn, replay)
+    return replay
+
+
+def make_fused_replay_rows_step(trainer, feature_fn, donate=False):
+    """Whole-epoch cached replay with ROW-level reshuffle
+    (cache_shuffle="rows") for the fused path: ``idx`` is a [K, B] int32
+    permutation of the K*B cached waveform rows, so every epoch re-draws
+    batch COMPOSITION — the device-resident analogue of the reference
+    re-shuffling elements every epoch
+    (reference: lidbox/data/steps.py:997-999), on top of the
+    already-fresh per-epoch augmentation draws. Packed layouts
+    ([K, B+1, T] with targets in row B) unpack once outside the scan;
+    each step gathers its B rows from the flattened [K*B, T] view (a
+    leading-axis sublane gather — no permuted HBM copy).
+
+    step(state, signals_all [K, B(, +1), T], targets_all ([K, B] or None
+    for the packed layout), rng, idx [K, B], masks_all) ->
+    (state, losses [K]).
+    """
+    cache = trainer.__dict__.setdefault("_fused_replay_rows_cache", {})
+    key = (id(feature_fn), bool(donate))
+    if key in cache:
+        return cache[key][1]
+    single = make_fused_train_step(trainer, feature_fn)
+
+    def replay_rows_fn(state, signals_all, targets_all, rng, idx,
+                       masks_all=None):
+        K, B = idx.shape
+        if targets_all is None:  # packed: row B of each batch = targets
+            tgt_flat = signals_all[:, B, :B].reshape(K * B).astype(jnp.int32)
+            sig_flat = signals_all[:, :B, :].reshape(
+                (K * B,) + signals_all.shape[2:])
+        else:
+            tgt_flat = targets_all.reshape(K * B)
+            sig_flat = signals_all.reshape((K * B,) + signals_all.shape[2:])
+        mask_flat = (None if masks_all is None
+                     else masks_all.reshape(K * B))
+
+        def body(st, rows):
+            sig = jnp.take(sig_flat, rows, axis=0)
+            tgt = jnp.take(tgt_flat, rows, axis=0)
+            mask = (None if mask_flat is None
+                    else jnp.take(mask_flat, rows, axis=0))
+            st, loss = single(st, sig, tgt, rng, mask)
+            return st, loss
+        return jax.lax.scan(body, state, idx)
+    replay = jax.jit(replay_rows_fn, donate_argnums=(0,)) if donate \
+        else jax.jit(replay_rows_fn)
     cache[key] = (feature_fn, replay)
     return replay
 

@@ -104,6 +104,12 @@ def test_cached_frozen_feed_matches_streamed_quality():
         Xt, test_y)
     assert cached["accuracy"] >= streamed["accuracy"] - 0.09, (streamed,
                                                                cached)
+    rows_mode = exp.evaluate(
+        exp.train_flax_cached(X, train_y, epochs=8, batch=32, lr=1e-3,
+                              seed=0, shuffle="rows"),
+        Xt, test_y)
+    assert rows_mode["accuracy"] >= streamed["accuracy"] - 0.09, (
+        streamed, rows_mode)
 
 
 @pytest.mark.slow

@@ -41,12 +41,14 @@ don't silently cost converged quality. Sections (select with
           originals). All arms evaluate on the SAME noise-corrupted
           eval set (corrupted with the reference's numpy_snr_mixer,
           held-out noise clips) and on the clean eval set.
-  cached  cache_staged feed semantics: epoch-1 batch COMPOSITION frozen
-          with per-epoch batch-order reshuffle (Trainer.fit
-          cache_staged=True) vs the streamed per-epoch-reshuffled feed
-          (the reference reshuffles elements every epoch,
-          reference: lidbox/data/steps.py:997-999) — does the frozen
-          within-batch grouping cost quality?
+  cached  cache_staged feed semantics vs the streamed
+          per-epoch-reshuffled feed (the reference reshuffles elements
+          every epoch, reference: lidbox/data/steps.py:997-999): the
+          batch-order-only reshuffle (frozen epoch-1 composition,
+          cache_shuffle=True) and the row-level recomposition
+          (cache_shuffle="rows", the reference's element-level semantics
+          inside the replay scan) — does frozen within-batch grouping
+          cost quality, and does "rows" recover it?
 
 Every multi-arm section reports PAIRED per-seed deltas with mean and a
 95% t-CI (arms share seed, corpus, and batch orders, so pairing removes
@@ -227,10 +229,12 @@ def train_flax(X, y, perms, batch, lr, seed, matched=False,
     return _predictor(trainer)
 
 
-def train_flax_cached(X, y, epochs, batch, lr, seed):
-    """Flax x-vector trained through the cache_staged feed: epoch-1 batch
-    COMPOSITION frozen, per-epoch batch-order reshuffle only
-    (Trainer.fit cache_staged=True, cache_shuffle=True)."""
+def train_flax_cached(X, y, epochs, batch, lr, seed, shuffle=True):
+    """Flax x-vector trained through the cache_staged feed.
+    ``shuffle=True``: epoch-1 batch COMPOSITION frozen, per-epoch
+    batch-order reshuffle only. ``shuffle="rows"``: per-epoch row-level
+    recomposition inside the replay scan (the reference's element-level
+    reshuffle, Trainer._replay_rows_train_step)."""
     trainer = _make_trainer(X.shape[1:], lr, seed)
     perm = np.random.default_rng(seed).permutation(len(y))
 
@@ -240,7 +244,7 @@ def train_flax_cached(X, y, epochs, batch, lr, seed):
                 for j in range(0, len(perm), batch)]
 
     trainer.fit(feeder, epochs=epochs, verbose=False, cache_staged=True,
-                cache_shuffle=True)
+                cache_shuffle=shuffle)
     return _predictor(trainer)
 
 
@@ -609,17 +613,22 @@ def main():
                         Xj, train_y, perms, args.batch, args.lr, seed)),
                     ("cached_frozen", lambda: train_flax_cached(
                         Xj, train_y, args.epochs, args.batch, args.lr,
-                        seed))]:
+                        seed)),
+                    ("cached_rows", lambda: train_flax_cached(
+                        Xj, train_y, args.epochs, args.batch, args.lr,
+                        seed, shuffle="rows"))]:
                 t = time.time()
                 row[name] = evaluate(fn(), Xjt, test_y)
                 row[name]["train_sec"] = round(time.time() - t, 1)
                 print(f"  cached/seed{seed}/{name}: {row[name]}", flush=True)
             rows.append(row)
         results["cached_feed"] = rows
-        results["summary_cached"] = summarize(rows, ["streamed",
-                                                     "cached_frozen"])
+        results["summary_cached"] = summarize(
+            rows, ["streamed", "cached_frozen", "cached_rows"])
         results["summary_cached"]["paired_delta_cached_vs_streamed"] = \
             paired_delta(rows, "cached_frozen", "streamed")
+        results["summary_cached"]["paired_delta_rows_vs_streamed"] = \
+            paired_delta(rows, "cached_rows", "streamed")
         _write(results, args.json)
 
     results["wall_sec"] = round(time.time() - t0, 1)
