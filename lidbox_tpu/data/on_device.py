@@ -275,9 +275,15 @@ def augment_config_from_dict(d):
           specaug: {time_masks: 2, time_width: 20, freq_masks: 2, freq_width: 8}
     """
     spec = d.get("specaug") or {}
+    prob = float(d.get("augment_prob", 1.0))
+    if not 0.0 <= prob <= 1.0:
+        # a typo'd probability (e.g. 5 for 0.5) would silently train
+        # all-augmented (bernoulli clamps) — refuse instead
+        raise ValueError(
+            f"on_device_augment.augment_prob must be in [0, 1], got {prob}")
     return AugmentConfig(
         snr_range=tuple(d["snr_range"]) if d.get("snr_range") else None,
-        augment_prob=float(d.get("augment_prob", 1.0)),
+        augment_prob=prob,
         fir_coefs=int(d.get("fir_coefs", 0)),
         speed_range=(tuple(d["speed_range"]) if d.get("speed_range")
                      else None),

@@ -171,6 +171,8 @@ class TestAugmentProb:
             {"snr_range": [5, 20], "augment_prob": 0.5})
         assert cfg.augment_prob == 0.5
         assert on_device.augment_config_from_dict({}).augment_prob == 1.0
+        with pytest.raises(ValueError, match="augment_prob"):
+            on_device.augment_config_from_dict({"augment_prob": 5})
 
 
 class TestFusedTrainStep:

@@ -230,21 +230,52 @@ def train_flax(X, y, perms, batch, lr, seed, matched=False,
 
 
 def train_flax_cached(X, y, epochs, batch, lr, seed, shuffle=True):
-    """Flax x-vector trained through the cache_staged feed.
+    """Flax x-vector trained with cache_staged's feed SEMANTICS.
     ``shuffle=True``: epoch-1 batch COMPOSITION frozen, per-epoch
     batch-order reshuffle only. ``shuffle="rows"``: per-epoch row-level
-    recomposition inside the replay scan (the reference's element-level
-    reshuffle, Trainer._replay_rows_train_step)."""
+    recomposition within each shape stack (the reference's element-level
+    reshuffle, Trainer._replay_rows_train_step).
+
+    The arm STREAMS batches with exactly these composition policies
+    instead of running the device replay scan: the replay is proven
+    trajectory-identical to streaming the same recomposed batches
+    (tests/test_train.py::TestCacheStaged::
+    test_cache_shuffle_rows_matches_streamed_recomposition and
+    test_fit_trajectory_matches_and_loader_runs_once), and compiling the
+    whole-epoch x-vector scan on this 1-core CPU host takes tens of
+    minutes per arm — the semantics are what this section measures."""
     trainer = _make_trainer(X.shape[1:], lr, seed)
     perm = np.random.default_rng(seed).permutation(len(y))
+    K = -(-len(perm) // batch)
+    frozen = [perm[j * batch:(j + 1) * batch] for j in range(K)]
+    epoch_no = {"n": 0}
 
     def feeder():
-        return [{"input": X[perm[j:j + batch]],
-                 "target": y[perm[j:j + batch]]}
-                for j in range(0, len(perm), batch)]
+        epoch_no["n"] += 1
+        e = epoch_no["n"]
+        if e == 1:
+            idxs = frozen
+        else:
+            rng_e = np.random.default_rng(seed + 1000 * e)
+            if shuffle == "rows":
+                # rows permute within same-shape stacks (the tail batch
+                # is its own stack), stacks in permuted order
+                groups = {}
+                for bidx in frozen:
+                    groups.setdefault(len(bidx), []).append(bidx)
+                keys = [list(groups)[i]
+                        for i in rng_e.permutation(len(groups))]
+                idxs = []
+                for k in keys:
+                    flat = np.concatenate(groups[k])
+                    flat = flat[rng_e.permutation(len(flat))]
+                    idxs.extend(flat[j * k:(j + 1) * k]
+                                for j in range(len(groups[k])))
+            else:
+                idxs = [frozen[i] for i in rng_e.permutation(K)]
+        return [{"input": X[i], "target": y[i]} for i in idxs]
 
-    trainer.fit(feeder, epochs=epochs, verbose=False, cache_staged=True,
-                cache_shuffle=shuffle)
+    trainer.fit(feeder, epochs=epochs, verbose=False)
     return _predictor(trainer)
 
 
