@@ -188,10 +188,29 @@ class LearningRateDateLogger(Callback):
 
 
 def _tree_device_nbytes(tree):
-    """Total bytes of a (device-)array pytree — the staged-cache HBM
-    accounting unit."""
-    return sum(int(getattr(leaf, "nbytes", 0))
-               for leaf in jax.tree_util.tree_leaves(tree))
+    """PER-DEVICE bytes a staged pytree pins in HBM — the staged-cache
+    accounting unit, comparable against the per-device budget
+    (_cache_budget_bytes). Sharded leaves count their largest single-
+    device footprint (sum of that device's addressable shards): a
+    batch-sharded array on an N-device mesh pins 1/N of its bytes per
+    device, so counting global nbytes would trip the cache guard at 1/N
+    of actual capacity; replicated leaves correctly count full size
+    (every device holds a copy). Host arrays count their plain nbytes."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                per_dev = {}
+                for s in leaf.addressable_shards:
+                    per_dev[s.device] = (per_dev.get(s.device, 0)
+                                         + int(s.data.nbytes))
+                if per_dev:
+                    total += max(per_dev.values())
+                    continue
+            except Exception:
+                pass
+        total += int(getattr(leaf, "nbytes", 0))
+    return total
 
 
 def _cache_budget_bytes(limit=None):

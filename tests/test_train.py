@@ -566,6 +566,22 @@ class TestCacheStaged:
         assert val_pulls["n"] == 4
         assert np.all(np.isfinite([h["val_loss"] for h in hist]))
 
+    def test_hbm_accounting_counts_per_device_bytes(self):
+        """The cache guard's accounting unit is PER-DEVICE HBM: a
+        batch-sharded array on an 8-device mesh pins 1/8 of its bytes per
+        device (counting global nbytes would refuse caching at 1/8 of
+        actual capacity), while a replicated array pins full size on
+        every device."""
+        from lidbox_tpu.train.loop import _tree_device_nbytes
+        mesh = parallel.get_mesh()
+        x = np.zeros((8, 16, 4), np.float32)  # 2048 B global
+        sharded = jax.device_put(x, parallel.batch_sharding(mesh))
+        replicated = jax.device_put(x, parallel.replicated(mesh))
+        assert _tree_device_nbytes({"x": sharded}) == x.nbytes // 8
+        assert _tree_device_nbytes({"x": replicated}) == x.nbytes
+        # host arrays count plain nbytes; None leaves are skipped
+        assert _tree_device_nbytes((x, None)) == x.nbytes
+
     def test_fused_hbm_guard_falls_back_to_streaming(self):
         """fit_signals honors the same budget guard on the raw-waveform
         cache path."""

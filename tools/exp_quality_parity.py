@@ -56,7 +56,12 @@ the between-seed variance that swamped the round-4 3-seed claim).
 
 Run:  python tools/exp_quality_parity.py [--seeds 5] [--epochs 18]
       [--sections a,b,bf16,aug,cached] [--quick] [--json PATH]
+      [--platform cpu|ambient]
 CPU-safe; ~1.5 h for all sections at default sizes on a 1-core host.
+``--platform ambient`` keeps the environment's JAX backend (the real
+TPU under axon) — use it with the Flax-only sections (bf16, cached) to
+measure the flagship modes on REAL MXU bf16 rounding rather than the
+CPU backend's emulation (docs/quality_parity_tpu.json).
 """
 import argparse
 import importlib.util
@@ -71,7 +76,27 @@ os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# --platform ambient keeps the environment's JAX backend (the tunneled
+# TPU under axon) so the Flax-only sections (bf16, cached) measure REAL
+# MXU bf16 rounding instead of the CPU backend's emulation; the default
+# pins the deterministic CPU backend (required for the Keras-comparison
+# sections' wall-clock sanity — TF runs on CPU either way). Must be
+# decided before any backend initializes, hence the argv peek.
+_PLATFORM = "cpu"
+if "--platform" in sys.argv:
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+else:
+    _PLATFORM = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--platform=")), _PLATFORM)
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # persistent compile cache: reruns skip the 20-40 s tunnel compiles
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -229,22 +254,34 @@ def train_flax(X, y, perms, batch, lr, seed, matched=False,
     return _predictor(trainer)
 
 
-def train_flax_cached(X, y, epochs, batch, lr, seed, shuffle=True):
+def train_flax_cached(X, y, epochs, batch, lr, seed, shuffle=True,
+                      real_replay=False):
     """Flax x-vector trained with cache_staged's feed SEMANTICS.
     ``shuffle=True``: epoch-1 batch COMPOSITION frozen, per-epoch
     batch-order reshuffle only. ``shuffle="rows"``: per-epoch row-level
     recomposition within each shape stack (the reference's element-level
     reshuffle, Trainer._replay_rows_train_step).
 
-    The arm STREAMS batches with exactly these composition policies
-    instead of running the device replay scan: the replay is proven
-    trajectory-identical to streaming the same recomposed batches
+    By default the arm STREAMS batches with exactly these composition
+    policies instead of running the device replay scan: the replay is
+    proven trajectory-identical to streaming the same recomposed batches
     (tests/test_train.py::TestCacheStaged::
     test_cache_shuffle_rows_matches_streamed_recomposition and
     test_fit_trajectory_matches_and_loader_runs_once), and compiling the
     whole-epoch x-vector scan on this 1-core CPU host takes tens of
-    minutes per arm — the semantics are what this section measures."""
+    minutes per arm — the semantics are what this section measures.
+    ``real_replay=True`` (the --platform ambient TPU run, where the scan
+    compiles normally) runs the SHIPPED device path instead:
+    Trainer.fit(cache_staged=True, cache_shuffle=shuffle)."""
     trainer = _make_trainer(X.shape[1:], lr, seed)
+    if real_replay:
+        perm = np.random.default_rng(seed).permutation(len(y))
+        batches = [{"input": X[perm[j:j + batch]],
+                    "target": y[perm[j:j + batch]]}
+                   for j in range(0, len(perm), batch)]
+        trainer.fit(lambda: list(batches), epochs=epochs, verbose=False,
+                    cache_staged=True, cache_shuffle=shuffle)
+        return _predictor(trainer)
     perm = np.random.default_rng(seed).permutation(len(y))
     K = -(-len(perm) // batch)
     frozen = [perm[j * batch:(j + 1) * batch] for j in range(K)]
@@ -458,6 +495,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--sections", default="a,b,bf16,aug,cached")
+    ap.add_argument("--platform", choices=("cpu", "ambient"), default="cpu",
+                    help="ambient = keep the environment's JAX backend "
+                         "(real TPU under axon) for the Flax-only "
+                         "sections; consumed at import time")
     ap.add_argument("--quick", action="store_true",
                     help="reduced sizes (slow-test harness)")
     ap.add_argument("--json", default=None)
@@ -644,10 +685,11 @@ def main():
                         Xj, train_y, perms, args.batch, args.lr, seed)),
                     ("cached_frozen", lambda: train_flax_cached(
                         Xj, train_y, args.epochs, args.batch, args.lr,
-                        seed)),
+                        seed, real_replay=args.platform != "cpu")),
                     ("cached_rows", lambda: train_flax_cached(
                         Xj, train_y, args.epochs, args.batch, args.lr,
-                        seed, shuffle="rows"))]:
+                        seed, shuffle="rows",
+                        real_replay=args.platform != "cpu"))]:
                 t = time.time()
                 row[name] = evaluate(fn(), Xjt, test_y)
                 row[name]["train_sec"] = round(time.time() - t, 1)
